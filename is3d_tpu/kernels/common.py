@@ -1,0 +1,139 @@
+"""Shared cell-side preparation for the Cooper-Frye kernels.
+
+Everything here is pure jnp over (C,) cell arrays: velocity completion,
+shear-stress closure, diffusion completion, delta-f coefficient evaluation,
+and padding/chunking helpers for the lax.scan reduction over cells.
+
+TPU-first design note: instead of the reference's per-cell OpenMP loop with
+scalar locals (emissionfunction_smooth_kernels.cpp:106-197), every per-cell
+quantity is a vector over the cell axis, computed once per chunk and fused by
+XLA into the downstream (cell x momentum) contraction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io.surface import Surface
+from ..io.deltaf import DeltafData, evaluate_df_coefficients
+from ..physics import lrf
+
+
+def required_fields(cfg) -> list:
+    req = ["tau", "dat", "dax", "day", "dan", "ux", "uy", "un", "T"]
+    if cfg.dimension == 3:
+        req.append("eta")
+    if cfg.include_shear_deltaf:
+        req += ["pixx", "pixy", "pixn", "piyy", "piyn"]
+    if cfg.include_bulk_deltaf:
+        req += ["bulkPi"]
+    if cfg.include_baryon:
+        req += ["muB"]
+        if cfg.include_baryondiff_deltaf:
+            req += ["nB", "Vx", "Vy", "Vn"]
+    if cfg.df_mode in (1, 2, 3, 4) and cfg.mode in (0, 1, 4, 5, 6, 7):
+        req += ["E", "P"]
+    return req
+
+
+def surface_columns(surface: Surface, cfg) -> dict:
+    """Extract the cell columns a VH kernel needs, zero-filling switched-off
+    viscous blocks exactly like the reference's SoA unpack
+    (emissionfunction.cpp:1420-1499 + kernel-side zero defaults)."""
+    n = surface.n_cells
+    z = jnp.zeros(n, dtype=surface.tau.dtype)
+    get = lambda name: getattr(surface, name)
+    cols = {k: get(k) for k in ("tau", "dat", "dax", "day", "dan",
+                                "ux", "uy", "un", "T")}
+    cols["eta"] = get("eta") if surface.eta is not None else z
+    cols["E"] = get("E") if surface.E is not None else z
+    cols["P"] = get("P") if surface.P is not None else z
+    for name in ("pixx", "pixy", "pixn", "piyy", "piyn"):
+        v = get(name)
+        cols[name] = v if (cfg.include_shear_deltaf and v is not None) else z
+    v = surface.bulkPi
+    cols["bulkPi"] = v if (cfg.include_bulk_deltaf and v is not None) else z
+    use_bdiff = cfg.include_baryon and cfg.include_baryondiff_deltaf
+    cols["muB"] = surface.muB if (cfg.include_baryon and surface.muB is not None) else z
+    for name in ("nB", "Vx", "Vy", "Vn"):
+        v = get(name)
+        cols[name] = v if (use_bdiff and v is not None) else z
+    return cols
+
+
+def prepare_cells(cols: dict, cfg, df_data: Optional[DeltafData]) -> dict:
+    """Complete the hydro fields per cell (jit-friendly).
+
+    Adds: ut, udsigma, valid mask (u.dsigma > 0, reference
+    emissionfunction_smooth_kernels.cpp:137), the reconstructed pi^munu
+    closure, V^tau, alphaB, nB/(E+P), and the delta-f coefficient bundle.
+    """
+    c = dict(cols)
+    tau, ux, uy, un = c["tau"], c["ux"], c["uy"], c["un"]
+    ut = lrf.u_tau(ux, uy, un, tau)
+    c["ut"] = ut
+    udsigma = ut * c["dat"] + ux * c["dax"] + uy * c["day"] + un * c["dan"]
+    c["udsigma"] = udsigma
+    c["valid"] = udsigma > 0.0
+
+    pitt, pitx, pity, pitn, pinn = lrf.reconstruct_pimunu(
+        c["pixx"], c["pixy"], c["pixn"], c["piyy"], c["piyn"], ut, ux, uy, un, tau)
+    zero_shear = not cfg.include_shear_deltaf
+    zl = jnp.zeros_like(tau)
+    c["pitt"], c["pitx"], c["pity"], c["pitn"], c["pinn"] = (
+        (zl, zl, zl, zl, zl) if zero_shear else (pitt, pitx, pity, pitn, pinn))
+
+    use_bdiff = cfg.include_baryon and cfg.include_baryondiff_deltaf
+    if use_bdiff:
+        c["Vt"] = lrf.complete_Vmu(c["Vx"], c["Vy"], c["Vn"], ut, ux, uy, un, tau)
+        denom = c["E"] + c["P"]
+        c["baryon_enthalpy_ratio"] = c["nB"] / denom
+        c["alphaB"] = c["muB"] / c["T"]
+    else:
+        c["Vt"] = zl
+        c["baryon_enthalpy_ratio"] = zl
+        c["alphaB"] = (c["muB"] / c["T"]) if cfg.include_baryon else zl
+
+    if df_data is not None:
+        bulkPi = c["bulkPi"]
+        if cfg.df_mode == 4:
+            # clamp bulkPi into the Jonah spline domain
+            # (reference: emissionfunction_smooth_kernels.cpp:586-594)
+            P = c["P"]
+            bmax = df_data.bulkPi_over_Peq_max
+            bulkPi = jnp.where(bulkPi < -P, -(1.0 - 1.0e-5) * P, bulkPi)
+            bulkPi = jnp.where(bulkPi / P > bmax, P * (bmax - 1.0e-5), bulkPi)
+            c["bulkPi"] = bulkPi
+        c["df"] = evaluate_df_coefficients(
+            df_data, cfg.df_mode, bool(cfg.include_baryon),
+            c["T"], c["muB"], c["E"], c["P"], bulkPi)
+    return c
+
+
+def pad_and_chunk(cols: dict, chunk: int) -> tuple[dict, jnp.ndarray, int]:
+    """Pad cell columns to a multiple of ``chunk`` and reshape to
+    (n_chunks, chunk).  Returns (chunked columns, valid mask, n_chunks).
+
+    Padding uses benign values (T = 1 to avoid division by zero) and is
+    masked out of every reduction — the TPU analog of the reference's
+    FO_chunk remainder handling (emissionfunction_smooth_kernels.cpp:102-105).
+    """
+    n = cols["tau"].shape[0]
+    n_chunks = max(1, math.ceil(n / chunk))
+    padded = n_chunks * chunk
+    pad = padded - n
+
+    mask = jnp.arange(padded) < n
+
+    out = {}
+    for k, v in cols.items():
+        if pad:
+            fill = 1.0 if k in ("tau", "T", "E", "P") else 0.0
+            v = jnp.concatenate([v, jnp.full((pad,), fill, dtype=v.dtype)])
+        out[k] = v.reshape(n_chunks, chunk)
+    return out, mask.reshape(n_chunks, chunk), n_chunks

@@ -1,0 +1,97 @@
+"""Thermal momentum-space integrals over the hadron resonance gas.
+
+Gauss-Laguerre evaluations of the equilibrium density and the J_rs moments
+used by the linearized delta-f corrections (reference: src/cpp/gaussThermal.cpp).
+All integrands are written in reduced variables pbar = p/T, mbar = m/T; the
+generalized Gauss-Laguerre rule of order alpha absorbs pbar^alpha e^-pbar, so
+each integrand carries a compensating e^{+pbar} factor exactly as in the
+reference.
+
+Everything is jnp and broadcasts: scalars or arrays of any matching shape for
+(mbar, alphaB, baryon, sign); the quadrature axis is appended internally.
+Dimensionful prefactors (powers of T / two_pi2_hbarC3, degeneracy) are applied
+by the callers (reference: deltafReader.cpp:536-650).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _ebar(pbar, mbar):
+    return jnp.sqrt(pbar * pbar + mbar * mbar)
+
+
+def _expand(roots, mbar, alphaB, baryon, sign):
+    """Broadcast species args against the quadrature axis."""
+    mbar = jnp.asarray(mbar)[..., None]
+    alphaB = jnp.asarray(alphaB)[..., None]
+    baryon = jnp.asarray(baryon)[..., None]
+    sign = jnp.asarray(sign)[..., None]
+    return roots, mbar, alphaB, baryon, sign
+
+
+def gauss_thermal(integrand, roots, weights, mbar, alphaB, baryon, sign):
+    """sum_k w_k * integrand(r_k, ...) (reference: gaussThermal.cpp:7-15)."""
+    pbar, mbar, alphaB, baryon, sign = _expand(roots, mbar, alphaB, baryon, sign)
+    return jnp.sum(weights * integrand(pbar, mbar, alphaB, baryon, sign), axis=-1)
+
+
+# ---- integrands (reference: gaussThermal.cpp:19-85); quadrature alpha noted
+
+def neq_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 1
+    return pbar * jnp.exp(pbar) / (jnp.exp(_ebar(pbar, mbar) - baryon * alphaB) + sign)
+
+
+def J10_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 1
+    e = _ebar(pbar, mbar)
+    q = jnp.exp(e - baryon * alphaB) + sign
+    return pbar * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+
+
+def J11_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 1
+    e = _ebar(pbar, mbar)
+    q = jnp.exp(e - baryon * alphaB) + sign
+    return pbar**3 / (e * e) * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+
+
+def J20_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 2
+    e = _ebar(pbar, mbar)
+    q = jnp.exp(e - baryon * alphaB) + sign
+    return e * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+
+
+def J30_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 3
+    e = _ebar(pbar, mbar)
+    q = jnp.exp(e - baryon * alphaB) + sign
+    return e * e / pbar * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+
+
+def J31_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 3
+    e = _ebar(pbar, mbar)
+    q = jnp.exp(e - baryon * alphaB) + sign
+    return pbar * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+
+
+# ---- Jonah's isotropically-scaled moments (reference: gaussThermal.cpp:93-116)
+
+def E_mod_int(pbar, mbar, lam, sign):              # alpha = 2
+    scale2 = (1.0 + lam) ** 2
+    e = _ebar(pbar, mbar)
+    return jnp.sqrt(pbar * pbar * scale2 + mbar * mbar) * jnp.exp(pbar) / (jnp.exp(e) + sign)
+
+
+def P_mod_int(pbar, mbar, lam, sign):              # alpha = 2
+    scale2 = (1.0 + lam) ** 2
+    e = _ebar(pbar, mbar)
+    return (pbar * pbar * scale2 / jnp.sqrt(pbar * pbar * scale2 + mbar * mbar)
+            * jnp.exp(pbar) / (jnp.exp(e) + sign))
+
+
+def gauss_mod(integrand, roots, weights, mbar, lam, sign):
+    """Quadrature for the Jonah modified-EoS integrands
+    (reference: gaussThermal.cpp:93-98)."""
+    mbar = jnp.asarray(mbar)[..., None]
+    sign = jnp.asarray(sign)[..., None]
+    lam = jnp.asarray(lam)[..., None]
+    return jnp.sum(weights * integrand(roots, mbar, lam, sign), axis=-1)

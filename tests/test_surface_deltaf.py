@@ -1,0 +1,212 @@
+"""Surface readers and delta-f coefficient manager tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from is3d_tpu.units import HBARC
+from is3d_tpu.io import surface as surf_io
+from is3d_tpu.io import pdg, deltaf
+from is3d_tpu.io.surface import read_surface, count_cells
+
+
+def test_toy_surface_mode1(reference_dir):
+    path = f"{reference_dir}/input/surface.dat"
+    assert count_cells(path) == 1
+    s, avg = read_surface(path, mode=1, dimension=2)
+    assert s.n_cells == 1
+    assert float(s.tau[0]) == 0.5
+    assert float(s.dat[0]) == 1000.0
+    # E, T, P converted with hbarC
+    assert float(s.E[0]) == pytest.approx(1.839 * HBARC)
+    assert float(s.T[0]) == pytest.approx(0.786 * HBARC)
+    assert float(s.P[0]) == pytest.approx(0.270 * HBARC)
+    # single cell at rest: averages equal the cell values
+    assert avg.temperature == pytest.approx(0.786 * HBARC)
+    assert avg.energy_density == pytest.approx(1.839 * HBARC)
+    assert avg.pressure == pytest.approx(0.270 * HBARC)
+    assert avg.baryon_chemical_potential == 0.0
+
+
+def test_mode0_roundtrip():
+    # tau x y eta | da4 | u4 | E T P | pi10 | Pi   (26 cols)
+    row = [0.6, 0.1, 0.2, 0.0, 2.0, 0.1, 0.0, 0.0,
+           0.0, 0.3, 0.4, 0.0,
+           1.5, 0.8, 0.3,
+           0.01, 0.002, 0.0, 0.0, 0.03, 0.004, 0.0, 0.05, 0.0, 0.0,
+           -0.02]
+    text = " ".join(str(v) for v in row)
+    s, avg = read_surface(text, mode=0, dimension=2)
+    assert float(s.E[0]) == pytest.approx(1.5 * HBARC)
+    assert float(s.pixx[0]) == pytest.approx(0.03 * HBARC)
+    assert float(s.bulkPi[0]) == pytest.approx(-0.02 * HBARC)
+    assert float(s.ux[0]) == 0.3  # u^tau column is discarded, ux follows
+
+
+def test_mode6_music_new():
+    # tau x y eta | da/tau 4 | u4 | E T muB muS muC s | pi10 | Pi  (29 cols)
+    tau = 2.0
+    row = [tau, 0.0, 0.0, 0.0,
+           0.5, 0.1, 0.0, 0.0,
+           1.0, 0.0, 0.0, 0.2,
+           1.2, 0.75, 0.0, 0.0, 0.0, 6.0,
+           0.0] + [0.0] * 9 + [0.0]
+    s, avg = read_surface(" ".join(map(str, row)), mode=6, dimension=2)
+    assert float(s.dat[0]) == pytest.approx(0.5 * tau)
+    assert float(s.un[0]) == pytest.approx(0.2 / tau)
+    # P = s*T - E in converted units
+    T = 0.75 * HBARC
+    E = 1.2 * HBARC
+    assert float(s.P[0]) == pytest.approx(6.0 * T - E)
+    assert float(s.dan[0]) == 0.0
+
+
+def test_mode7_hiceventgen():
+    tau = 1.5
+    vx, vy = 0.3, 0.1
+    row = [tau, 1.0, 2.0, 0.0,
+           0.4, 0.02, 0.03, 0.0,
+           vx, vy, 0.0] + [0.0] * 10 + [0.01, 0.155, 0.4, 0.09, 0.0]
+    s, avg = read_surface(" ".join(map(str, row)), mode=7, dimension=2)
+    ut = 1.0 / np.sqrt(1 - vx**2 - vy**2)
+    assert float(s.ux[0]) == pytest.approx(ut * vx)
+    assert float(s.uy[0]) == pytest.approx(ut * vy)
+    assert float(s.dat[0]) == pytest.approx(0.4 * tau)
+    # GeV units passed through
+    assert float(s.T[0]) == pytest.approx(0.155)
+    assert float(s.bulkPi[0]) == pytest.approx(0.01)
+
+
+def test_mode1_rejects_nonzero_dan_2d():
+    row = [0.5, 0, 0, 0, 1000.0, 0, 0, 0.5, 0, 0, 0, 1.839, 0.786, 0.270,
+           0, 0, 0, 0, 0, 0]
+    with pytest.raises(ValueError):
+        read_surface(" ".join(map(str, row)), mode=1, dimension=2)
+
+
+def test_thermo_averages_weighting():
+    # two cells with different weights: averages must be dsigma-weighted
+    rows = [[0.5, 0, 0, 0, 10.0, 0, 0, 0, 0, 0, 0, 1.0, 0.7, 0.3,
+             0, 0, 0, 0, 0, 0],
+            [0.5, 0, 0, 0, 30.0, 0, 0, 0, 0, 0, 0, 2.0, 0.9, 0.5,
+             0, 0, 0, 0, 0, 0]]
+    text = "\n".join(" ".join(map(str, r)) for r in rows)
+    _, avg = read_surface(text, mode=1, dimension=2)
+    # weights: dsigma_magnitude = |u.dsigma| + sqrt(|(u.ds)^2 - ds.ds|) = 10, 30
+    expected_T = (0.7 * 10 + 0.9 * 30) / 40 * HBARC
+    assert avg.temperature == pytest.approx(expected_T, rel=1e-12)
+
+
+# ----------------------------------------------------------------- delta-f
+
+@pytest.fixture(scope="module")
+def smash_table(reference_dir):
+    return pdg.read_resonances(f"{reference_dir}/PDG", hrg_eos=2)
+
+
+@pytest.fixture(scope="module")
+def df_data_smash(reference_dir, smash_table):
+    return deltaf.build_deltaf_data(
+        f"{reference_dir}/deltaf_coefficients", hrg_eos=2,
+        particle_table=smash_table, T_avg=0.155)
+
+
+def test_deltaf_tables_load(reference_dir):
+    T, muB, raw = deltaf.load_deltaf_tables(
+        f"{reference_dir}/deltaf_coefficients", hrg_eos=2)
+    assert T.shape == (101,) and muB.shape == (81,)
+    assert raw["c0"].shape == (81, 101)
+    assert T[0] == pytest.approx(0.1) and T[-1] == pytest.approx(0.2)
+    # betapi/T^4 must be positive everywhere
+    assert np.all(raw["betapi"] > 0)
+
+
+def test_deltaf_spline_matches_grid_points(df_data_smash):
+    # the cubic spline must reproduce the knot values exactly
+    data = df_data_smash
+    T = data.T_grid
+    for name in ("c0", "c2", "F", "betabulk", "betapi"):
+        vals = data.splines[name](T)
+        np.testing.assert_allclose(np.asarray(vals),
+                                   np.asarray(data.tables[name][0]),
+                                   rtol=1e-12, atol=1e-14)
+
+
+def test_evaluate_df_mode2_scaling(df_data_smash):
+    T = jnp.asarray(0.155)
+    E, P = jnp.asarray(0.3), jnp.asarray(0.05)
+    co = deltaf.evaluate_df_coefficients(df_data_smash, 2, False, T,
+                                         jnp.asarray(0.0), E, P, jnp.asarray(0.0))
+    # raw spline values times T powers
+    raw_F = float(df_data_smash.splines["F"](T))
+    raw_bp = float(df_data_smash.splines["betapi"](T))
+    assert float(co.F) == pytest.approx(raw_F * 0.155)
+    assert float(co.betapi) == pytest.approx(raw_bp * 0.155**4)
+    assert float(co.betaV) == 1.0
+    assert float(co.G) == 0.0
+
+
+def test_evaluate_df_mode1_shear14(df_data_smash):
+    T, E, P = jnp.asarray(0.155), jnp.asarray(0.3), jnp.asarray(0.05)
+    co = deltaf.evaluate_df_coefficients(df_data_smash, 1, False, T,
+                                         jnp.asarray(0.0), E, P, jnp.asarray(0.0))
+    assert float(co.shear14) == pytest.approx(2 * 0.155**2 * 0.35)
+    assert float(co.c1) == 0.0 and float(co.c3) == 0.0
+
+
+def test_jonah_splines(df_data_smash):
+    data = df_data_smash
+    assert data.z_spline is not None
+    # at bulkPi = 0 the modified distribution is the equilibrium one:
+    # z(0) = 1, lambda(0) = 0
+    z0 = float(data.z_spline(jnp.asarray(0.0)))
+    lam0 = float(data.lambda2_spline(jnp.asarray(0.0)))
+    assert z0 == pytest.approx(1.0, abs=1e-5)
+    assert lam0 == pytest.approx(0.0, abs=1e-6)
+    assert float(data.bulkPi_over_Peq_max) > 0
+
+
+def test_evaluate_df_mode4(df_data_smash):
+    T, E, P = jnp.asarray(0.155), jnp.asarray(0.3), jnp.asarray(0.05)
+    bulkPi = jnp.asarray(-0.005)  # bulkPi/P = -0.1
+    co = deltaf.evaluate_df_coefficients(df_data_smash, 4, False, T,
+                                         jnp.asarray(0.0), E, P, bulkPi)
+    assert float(co.lam) < 0  # negative bulk pressure -> negative lambda
+    assert float(co.z) > 1.0  # narrower distribution -> larger renorm
+    dl = float(co.delta_lambda)
+    assert dl == pytest.approx(
+        -0.005 / (5 * float(co.betapi) - 3 * 0.05 * 0.35 / 0.3))
+    assert float(co.delta_z) == pytest.approx(-3 * dl * 0.05 / 0.3)
+
+
+def test_bilinear_interpolation(df_data_smash):
+    data = df_data_smash
+    # at a grid point the bilinear value equals the table value
+    T = data.T_grid[10]
+    muB = data.muB_grid[5]
+    co = deltaf.evaluate_df_coefficients(data, 2, True, T, muB,
+                                         jnp.asarray(0.3), jnp.asarray(0.05),
+                                         jnp.asarray(0.0))
+    expected_F = float(data.tables["F"][5, 10]) * float(T)
+    assert float(co.F) == pytest.approx(expected_F, rel=1e-12)
+    # halfway between grid points: mean of neighbors
+    Tm = 0.5 * (data.T_grid[10] + data.T_grid[11])
+    co2 = deltaf.evaluate_df_coefficients(data, 2, True, Tm, muB,
+                                          jnp.asarray(0.3), jnp.asarray(0.05),
+                                          jnp.asarray(0.0))
+    expected = 0.5 * (float(data.tables["F"][5, 10]) + float(data.tables["F"][5, 11])) * float(Tm)
+    assert float(co2.F) == pytest.approx(expected, rel=1e-12)
+
+
+def test_particle_densities(reference_dir, smash_table, df_data_smash):
+    avg = surf_io.ThermoAverages(0.155, 0.3, 0.05, 0.0, 0.0)
+    t = deltaf.compute_particle_densities(smash_table, 2, avg, df_data_smash,
+                                          include_baryon=False)
+    i = t.index_of_mcid(211)
+    # pion equilibrium density at T=155 MeV is ~0.07/fm^3 (known ballpark)
+    assert 0.03 < t.equilibrium_density[i] < 0.15
+    # all equilibrium densities positive
+    assert np.all(t.equilibrium_density > 0)
+    # particle/antiparticle symmetric at muB = 0
+    ip, ia = t.index_of_mcid(2212), t.index_of_mcid(-2212)
+    assert t.equilibrium_density[ip] == pytest.approx(t.equilibrium_density[ia])
