@@ -1,0 +1,122 @@
+"""feqmod smooth kernel (df modes 3/4) vs independent numpy oracle."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from is3d_tpu.config import Config
+from is3d_tpu.io import pdg, deltaf
+from is3d_tpu.io.tables import native_momentum_grid, gauss_laguerre
+from is3d_tpu.kernels.feqmod import smooth_spectra_feqmod
+
+from oracle import oracle_feqmod_spectra
+from test_smooth import (pikp_species, random_cells, to_surface, grid_dicts,
+                         smash_table, df_data)  # noqa: F401 (fixtures)
+
+
+@pytest.fixture(scope="module")
+def scipy_feqmod_eval(reference_dir, smash_table):
+    from scipy.interpolate import CubicSpline
+    T, muB, raw = deltaf.load_deltaf_tables(
+        f"{reference_dir}/deltaf_coefficients", hrg_eos=2)
+    sp = {k: CubicSpline(T, raw[k][0], bc_type="natural") for k in raw}
+    x, lam2, z = deltaf.compute_jonah_arrays(
+        smash_table.mass, smash_table.gspin, smash_table.sign, 0.155)
+    lam2_sp = CubicSpline(x, lam2, bc_type="natural")
+    z_sp = CubicSpline(x, z, bc_type="natural")
+    bulk_max = float(x.max())
+
+    def evaluate(Tq, muBq, E, P, bulkPi):
+        T4 = Tq**4
+        betapi = float(sp["betapi"](Tq)) * T4
+        lam2v = float(lam2_sp(bulkPi / P))
+        lam = np.sign(bulkPi) * np.sqrt(max(lam2v, 0.0))
+        dl = bulkPi / (5.0 * betapi - 3.0 * P * (E + P) / E)
+        return dict(
+            F=float(sp["F"](Tq)) * Tq, G=0.0,
+            betabulk=float(sp["betabulk"](Tq)) * T4,
+            betaV=1.0, betapi=betapi,
+            lam=lam, z=float(z_sp(bulkPi / P)),
+            delta_lambda=dl, delta_z=-3.0 * dl * P / E,
+            bulk_max=bulk_max,
+        )
+    return evaluate
+
+
+BASE_CFG = Config(operation=1, mode=1, dimension=2, df_mode=3,
+                  include_shear_deltaf=1, include_bulk_deltaf=1,
+                  regulate_deltaf=1, outflow=1, cell_chunk=16,
+                  deta_min=1.0e-5, mass_pion0=0.138)
+
+
+def run_both(cells, species_j, grid, df_data, scipy_eval, cfg):
+    ours = np.asarray(smooth_spectra_feqmod(to_surface(cells), species_j,
+                                            grid, df_data, cfg))
+    sp = {"mass": np.asarray(species_j.mass), "sign": np.asarray(species_j.sign),
+          "degeneracy": np.asarray(species_j.degeneracy),
+          "baryon": np.asarray(species_j.baryon)}
+    lag = gauss_laguerre(32, alphas=(1, 2))
+    want = oracle_feqmod_spectra(
+        cells, sp, grid_dicts(grid), scipy_eval,
+        df_mode=cfg.df_mode, dimension=cfg.dimension,
+        include_shear=bool(cfg.include_shear_deltaf),
+        include_bulk=bool(cfg.include_bulk_deltaf),
+        include_baryon=bool(cfg.include_baryon),
+        include_baryondiff=bool(cfg.include_baryondiff_deltaf),
+        regulate_deltaf=bool(cfg.regulate_deltaf),
+        outflow=bool(cfg.outflow), deta_min=cfg.deta_min,
+        mass_pion0=cfg.mass_pion0, laguerre=lag)
+    return ours, want
+
+
+@pytest.mark.parametrize("df_mode", [3, 4])
+def test_feqmod_vs_oracle_2d(smash_table, df_data, scipy_feqmod_eval, df_mode):
+    rng = np.random.default_rng(5)
+    cells = random_cells(19, rng, dimension=2)
+    grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=12)
+    cfg = BASE_CFG.replace(df_mode=df_mode)
+    ours, want = run_both(cells, pikp_species(smash_table), grid, df_data,
+                          scipy_feqmod_eval, cfg)
+    np.testing.assert_allclose(ours, want, rtol=5e-7, atol=1e-18)
+
+
+@pytest.mark.parametrize("df_mode", [3, 4])
+def test_feqmod_vs_oracle_3d(smash_table, df_data, scipy_feqmod_eval, df_mode):
+    rng = np.random.default_rng(17)
+    cells = random_cells(11, rng, dimension=3)
+    grid = native_momentum_grid(dimension=3, n_pT=4, n_phi=4, n_y=5, y_max=2.0)
+    cfg = BASE_CFG.replace(df_mode=df_mode, dimension=3, cell_chunk=4)
+    ours, want = run_both(cells, pikp_species(smash_table), grid, df_data,
+                          scipy_feqmod_eval, cfg)
+    np.testing.assert_allclose(ours, want, rtol=5e-7, atol=1e-18)
+
+
+def test_feqmod_breakdown_forced(smash_table, df_data, scipy_feqmod_eval):
+    """Huge negative bulk pressure forces detA <= detA_min -> the kernel must
+    fall back to the linearized CE distribution (mode 3)."""
+    rng = np.random.default_rng(23)
+    cells = random_cells(7, rng, dimension=2)
+    cells["bulkPi"] = -0.9 * cells["P"]  # extreme bulk: breakdown expected
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=3, n_eta=8)
+    cfg = BASE_CFG.replace(df_mode=3)
+    ours, want = run_both(cells, pikp_species(smash_table), grid, df_data,
+                          scipy_feqmod_eval, cfg)
+    np.testing.assert_allclose(ours, want, rtol=5e-7, atol=1e-18)
+
+
+def test_feqmod_reduces_to_equilibrium(smash_table, df_data):
+    """With zero viscosity, feqmod must equal the ideal spectra from the
+    linear-df kernel (A = identity, T_mod = T, renorm = 1)."""
+    from is3d_tpu.kernels.smooth import smooth_spectra
+    rng = np.random.default_rng(31)
+    cells = random_cells(9, rng, dimension=2)
+    for k in ("pixx", "pixy", "pixn", "piyy", "piyn", "bulkPi"):
+        cells[k] = np.zeros_like(cells[k])
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=3, n_eta=8)
+    species = pikp_species(smash_table)
+    surf = to_surface(cells)
+    a = np.asarray(smooth_spectra_feqmod(surf, species, grid, df_data,
+                                         BASE_CFG.replace(df_mode=3)))
+    b = np.asarray(smooth_spectra(surf, species, grid, df_data,
+                                  BASE_CFG.replace(df_mode=2)))
+    np.testing.assert_allclose(a, b, rtol=1e-10)
