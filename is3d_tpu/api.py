@@ -1,0 +1,207 @@
+"""High-level run orchestration: the IS3D-class equivalent.
+
+Mirrors the reference's IS3D library API (reference: src/cpp/iS3D.{h,cpp}):
+construct from a parameter file + data directories, feed a freeze-out surface
+from file or from memory, run particlization, and read back results (smooth
+spectra / observables, or sampled particle event lists) -- plus idiomatic
+extras: everything is also available as arrays in memory, and multi-chip
+execution is a `mesh=` argument away.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import Config, load_config
+from .data import species_from_table
+from .io import pdg as pdg_io
+from .io import deltaf as deltaf_io
+from .io.surface import read_surface, surface_from_arrays, ThermoAverages
+from .io.tables import load_momentum_grid, native_momentum_grid, gauss_laguerre
+from . import writers
+
+
+_CHOSEN_FILES = {1: "chosen_particles_urqmd_v3.3+.dat",
+                 2: "chosen_particles.dat",
+                 3: "chosen_particles_box.dat"}
+
+
+@dataclass
+class RunResult:
+    spectra: Optional[np.ndarray] = None        # (S, PT, PHI, Y)
+    mcids: Optional[np.ndarray] = None
+    events: Optional[list] = None               # sampled particle lists
+    dN_dX: Optional[dict] = None                # spacetime distributions
+    polarization: Optional[dict] = None
+    averages: Optional[ThermoAverages] = None
+
+
+class IS3D:
+    """End-to-end runner.
+
+    Typical use (file mode, reference layout)::
+
+        run = IS3D.from_run_dir(".")            # expects iS3D_parameters.dat,
+        result = run.run_particlization()       # input/, PDG/, tables/, ...
+
+    JETSCAPE-style memory mode::
+
+        run = IS3D(cfg, data_dir=...)
+        run.read_fo_surf_from_memory(tau=..., x=..., ..., bulkPi=...)
+        result = run.run_particlization()
+    """
+
+    def __init__(self, cfg: Config, data_dir: str = ".",
+                 results_dir: Optional[str] = None, mesh=None,
+                 chosen_file: Optional[str] = None):
+        self.cfg = cfg
+        self.data_dir = data_dir
+        self.results_dir = results_dir or os.path.join(data_dir, "results")
+        self.mesh = mesh
+        self.chosen_file = chosen_file
+        self.surface = None
+        self.averages: Optional[ThermoAverages] = None
+        self._dtype = jnp.float64 if cfg.precision == "f64" else (
+            jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32)
+
+    # ------------------------------------------------------------ loading
+
+    @classmethod
+    def from_run_dir(cls, run_dir: str = ".", overrides: Optional[dict] = None,
+                     **kw) -> "IS3D":
+        cfg = load_config(path=os.path.join(run_dir, "iS3D_parameters.dat"),
+                          overrides=overrides)
+        return cls(cfg, data_dir=run_dir, **kw)
+
+    def read_fo_surf_from_file(self, path: Optional[str] = None):
+        path = path or os.path.join(self.data_dir, "input/surface.dat")
+        self.surface, self.averages = read_surface(
+            path, mode=self.cfg.mode, dimension=self.cfg.dimension,
+            include_baryon=bool(self.cfg.include_baryon),
+            include_baryondiff=bool(self.cfg.include_baryondiff_deltaf),
+            dtype=self._dtype)
+        return self
+
+    def read_fo_surf_from_memory(self, **columns):
+        """21-column VH memory interface (reference: iS3D.cpp:27-72), plus any
+        further Surface fields.  Units: GeV / GeV fm^-3 (already converted)."""
+        self.surface = surface_from_arrays(dtype=self._dtype, **columns)
+        cols = {k: np.asarray(v) for k, v in columns.items()}
+        from .io.surface import _averages
+        self.averages = _averages(
+            cols["tau"], cols["ux"], cols["uy"], cols["un"],
+            cols["dat"], cols["dax"], cols["day"], cols["dan"],
+            cols["T"], cols.get("E", 0.0), cols.get("P", 0.0),
+            cols.get("muB", 0.0), cols.get("nB", 0.0))
+        return self
+
+    # ------------------------------------------------------------ pipeline
+
+    def _prepare(self):
+        cfg = self.cfg
+        if self.surface is None:
+            self.read_fo_surf_from_file()
+
+        particle_table = pdg_io.read_resonances(
+            os.path.join(self.data_dir, "PDG"), cfg.hrg_eos)
+
+        avg = self.averages
+        df_data = deltaf_io.build_deltaf_data(
+            os.path.join(self.data_dir, "deltaf_coefficients"), cfg.hrg_eos,
+            particle_table=particle_table, T_avg=avg.temperature,
+            include_jonah=True, dtype=self._dtype)
+        deltaf_io.compute_particle_densities(
+            particle_table, cfg.df_mode, avg, df_data,
+            include_baryon=bool(cfg.include_baryon))
+
+        chosen_name = self.chosen_file or _CHOSEN_FILES[cfg.hrg_eos]
+        chosen_path = os.path.join(self.data_dir, "PDG", chosen_name)
+        if os.path.exists(chosen_path):
+            mcids = pdg_io.load_chosen_mcids(chosen_path)
+        else:  # fall back to every species in the table
+            mcids = particle_table.mc_id
+        idx = pdg_io.chosen_indices(particle_table, mcids,
+                                    group_by_mass=bool(cfg.group_particles))
+        species = species_from_table(particle_table, idx, dtype=self._dtype)
+        chosen_mcids = particle_table.mc_id[idx]
+
+        tables_dir = os.path.join(self.data_dir, "tables")
+        if os.path.isdir(tables_dir):
+            grid = load_momentum_grid(tables_dir, cfg.dimension, cfg.operation,
+                                      dtype=self._dtype)
+        else:
+            grid = native_momentum_grid(cfg.dimension, dtype=self._dtype)
+
+        # QGP state used inside calculate_spectra honors set_FO_temperature
+        # (reference: emissionfunction.cpp:1318-1321); the df/jonah tables
+        # above intentionally use the raw surface averages, like iS3D.cpp.
+        plasma = avg
+        if cfg.set_FO_temperature:
+            plasma = ThermoAverages(cfg.T_switch, avg.energy_density,
+                                    avg.pressure, avg.baryon_chemical_potential,
+                                    avg.net_baryon_density)
+        return particle_table, df_data, species, chosen_mcids, grid, plasma
+
+    def run_particlization(self, write_files: bool = True) -> RunResult:
+        cfg = self.cfg
+        (particle_table, df_data, species, mcids, grid, plasma) = self._prepare()
+
+        result = RunResult(mcids=np.asarray(mcids), averages=self.averages)
+
+        if cfg.operation == 1:
+            spectra = self._smooth_spectra(species, grid, df_data)
+            result.spectra = np.asarray(spectra)
+            if write_files:
+                os.makedirs(self.results_dir, exist_ok=True)
+                writers.write_dN_pTdpTdphidy(spectra, grid, mcids,
+                                             cfg.dimension, self.results_dir)
+                writers.write_continuous_vn(spectra, grid, mcids,
+                                            cfg.dimension, self.results_dir)
+                writers.write_dN_dy(spectra, grid, mcids, cfg.dimension,
+                                    self.results_dir)
+            if cfg.do_resonance_decays:
+                from .kernels.decays import do_resonance_decays
+                decayed = do_resonance_decays(
+                    np.asarray(result.spectra), particle_table,
+                    np.asarray(mcids), grid, cfg)
+                result.spectra = decayed
+                if write_files:
+                    writers.write_dN_pTdpTdphidy(
+                        jnp.asarray(decayed), grid, mcids, cfg.dimension,
+                        self.results_dir, suffix="_resonance_decays")
+        elif cfg.operation == 0:
+            from .kernels.dndx import spacetime_distributions
+            result.dN_dX = spacetime_distributions(
+                self.surface, species, grid, df_data, cfg)
+        elif cfg.operation == 2:
+            from .kernels.sample import sample_particles
+            result.events = sample_particles(
+                self.surface, species, np.asarray(mcids), grid, df_data,
+                cfg, plasma, particle_table)
+            if write_files:
+                os.makedirs(self.results_dir, exist_ok=True)
+                if not cfg.test_sampler:
+                    writers.write_particle_list_oscar(
+                        result.events,
+                        os.path.join(self.results_dir, "particle_list_osc.dat"))
+        else:
+            raise ValueError(f"operation must be 0, 1 or 2, got {cfg.operation}")
+
+        return result
+
+    def _smooth_spectra(self, species, grid, df_data):
+        cfg = self.cfg
+        if self.mesh is not None:
+            from .parallel.mesh import smooth_spectra_sharded
+            return smooth_spectra_sharded(self.surface, species, grid,
+                                          df_data, cfg, mesh=self.mesh)
+        if cfg.df_mode in (1, 2):
+            from .kernels.smooth import smooth_spectra
+            return smooth_spectra(self.surface, species, grid, df_data, cfg)
+        from .kernels.feqmod import smooth_spectra_feqmod
+        return smooth_spectra_feqmod(self.surface, species, grid, df_data, cfg)

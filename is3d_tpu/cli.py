@@ -1,0 +1,43 @@
+"""Command-line entry point (RuniS3D equivalent, reference: RuniS3D.cpp).
+
+Usage::
+
+    python -m is3d_tpu.cli [run_dir] [key=value ...]
+
+Reads ``<run_dir>/iS3D_parameters.dat``, the surface from
+``<run_dir>/input/surface.dat``, PDG / tables / deltaf_coefficients from the
+run directory, writes outputs to ``<run_dir>/results/``.  ``key=value``
+arguments override parameters (reference: ParameterReader::readFromArguments).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    run_dir = "."
+    if argv and "=" not in argv[0]:
+        run_dir = argv.pop(0)
+    overrides = dict(a.split("=", 1) for a in argv)
+
+    from .api import IS3D
+
+    t0 = time.time()
+    run = IS3D.from_run_dir(run_dir, overrides=overrides)
+    print(f"is3d_tpu: operation={run.cfg.operation} mode={run.cfg.mode} "
+          f"df_mode={run.cfg.df_mode} dimension={run.cfg.dimension}")
+    result = run.run_particlization()
+    dt = time.time() - t0
+    if result.spectra is not None:
+        print(f"spectra shape {result.spectra.shape}")
+    if result.events is not None:
+        print(f"sampled {len(result.events)} event(s)")
+    print(f"done in {dt:.2f} s; output in {run.results_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

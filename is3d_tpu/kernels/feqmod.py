@@ -312,8 +312,10 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
 def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config):
     chunked, mask, _ = pad_and_chunk(cols, cfg.cell_chunk)
     n_y_out = 1 if cfg.dimension == 2 else grid.n_y
+    # seed the carry from the (possibly device-varying) surface data so the
+    # scan carry type matches under shard_map as well as plain jit
     acc0 = jnp.zeros((species.n_species, grid.n_pT, grid.n_phi, n_y_out),
-                     dtype=cols["tau"].dtype)
+                     dtype=cols["tau"].dtype) + 0.0 * cols["tau"].ravel()[0]
 
     def body(acc, inp):
         chunk_cols, m = inp

@@ -1,0 +1,179 @@
+"""Reference-compatible results/*.dat writers.
+
+File layouts mirror the reference's 14 writer methods
+(emissionfunction.cpp:381-1258): same column orders, block separators, and
+`scientific << setprecision(8)` number formatting, so downstream analysis
+scripts written for the reference keep working.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .observables import dN_dphidy, dN_twopipTdpTdy, dN_dy, continuous_vn, K_MAX
+
+
+def _sci(v: float) -> str:
+    return f"{v:.8e}"
+
+
+def _ensure_dir(path: str):
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+
+
+def _y_values(grid, dimension: int):
+    return [0.0] if dimension == 2 else [float(v) for v in np.asarray(grid.y)]
+
+
+def write_dN_pTdpTdphidy(spectra, grid, mcids, dimension, results_dir="results",
+                         suffix=""):
+    """results/dN_pTdpTdphidy[_MCID].dat
+    (reference: emissionfunction.cpp:381-450).  Rows: y phip pT value, blank
+    line after each phip block; per-species files carry a header."""
+    spectra = np.asarray(spectra)
+    ys = _y_values(grid, dimension)
+    pTs = np.asarray(grid.pT)
+    phis = np.asarray(grid.phi)
+
+    main_path = f"{results_dir}/dN_pTdpTdphidy{suffix}.dat"
+    _ensure_dir(main_path)
+    with open(main_path, "a") as f:
+        for s in range(spectra.shape[0]):
+            for iy, y in enumerate(ys):
+                for ifp, phip in enumerate(phis):
+                    for ipT, pT in enumerate(pTs):
+                        f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(pT)}\t"
+                                f"{_sci(spectra[s, ipT, ifp, iy])}\n")
+                    f.write("\n")
+
+    for s, mcid in enumerate(mcids):
+        path = f"{results_dir}/dN_pTdpTdphidy_{int(mcid)}{suffix}.dat"
+        with open(path, "a") as f:
+            f.write("y\tphip\tpT\tdN_pTdpTdphidy\n")
+            for iy, y in enumerate(ys):
+                for ifp, phip in enumerate(phis):
+                    for ipT, pT in enumerate(pTs):
+                        f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(pT)}\t"
+                                f"{_sci(spectra[s, ipT, ifp, iy])}\n")
+                    f.write("\n")
+
+
+def write_dN_dphidy(spectra, grid, mcids, dimension, results_dir="results"):
+    """results/dN_dphidy_MCID.dat (reference: emissionfunction.cpp:593-637)."""
+    vals = np.asarray(dN_dphidy(spectra, grid))
+    ys = _y_values(grid, dimension)
+    phis = np.asarray(grid.phi)
+    for s, mcid in enumerate(mcids):
+        path = f"{results_dir}/dN_dphidy_{int(mcid)}.dat"
+        _ensure_dir(path)
+        with open(path, "a") as f:
+            for iy, y in enumerate(ys):
+                for ifp, phip in enumerate(phis):
+                    f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(vals[s, ifp, iy])}\n")
+                f.write("\n")
+
+
+def write_dN_twopipTdpTdy(spectra, grid, mcids, dimension, results_dir="results"):
+    """results/dN_twopipTdpTdy_MCID.dat (reference: emissionfunction.cpp:639-682)."""
+    vals = np.asarray(dN_twopipTdpTdy(spectra, grid))
+    ys = _y_values(grid, dimension)
+    pTs = np.asarray(grid.pT)
+    for s, mcid in enumerate(mcids):
+        path = f"{results_dir}/dN_twopipTdpTdy_{int(mcid)}.dat"
+        _ensure_dir(path)
+        with open(path, "a") as f:
+            for iy, y in enumerate(ys):
+                for ipT, pT in enumerate(pTs):
+                    f.write(f"{_sci(y)}\t{_sci(pT)}\t{_sci(vals[s, ipT, iy])}\n")
+                f.write("\n")
+
+
+def write_dN_dy(spectra, grid, mcids, dimension, results_dir="results"):
+    """results/dN_dy_MCID.dat (reference: emissionfunction.cpp:729-772)."""
+    vals = np.asarray(dN_dy(spectra, grid))
+    ys = _y_values(grid, dimension)
+    for s, mcid in enumerate(mcids):
+        path = f"{results_dir}/dN_dy_{int(mcid)}.dat"
+        _ensure_dir(path)
+        with open(path, "a") as f:
+            for iy, y in enumerate(ys):
+                f.write(f"{y:.8g}\t{vals[s, iy]:.8g}\n")
+
+
+def write_continuous_vn(spectra, grid, mcids, dimension, results_dir="results"):
+    """results/vn_continuous/vn_MCID.dat
+    (reference: emissionfunction.cpp:1053-1136): y pT v1..v7 rows."""
+    vn, _ = continuous_vn(spectra, grid)
+    vn = np.asarray(vn)
+    ys = _y_values(grid, dimension)
+    pTs = np.asarray(grid.pT)
+    for s, mcid in enumerate(mcids):
+        path = f"{results_dir}/vn_continuous/vn_{int(mcid)}.dat"
+        _ensure_dir(path)
+        with open(path, "a") as f:
+            for iy, y in enumerate(ys):
+                for ipT, pT in enumerate(pTs):
+                    row = "\t".join(_sci(vn[s, k, ipT, iy]) for k in range(K_MAX))
+                    f.write(f"{_sci(y)}\t{_sci(pT)}\t{row}\n")
+                f.write("\n")
+
+
+def write_polarization(St, Sx, Sy, Sn, Snorm, grid, dimension,
+                       results_dir="results"):
+    """results/S{t,x,y,n}.dat, normalized by Snorm
+    (reference: emissionfunction.cpp:775-827)."""
+    ys = _y_values(grid, dimension)
+    pTs = np.asarray(grid.pT)
+    phis = np.asarray(grid.phi)
+    comps = {"St": np.asarray(St), "Sx": np.asarray(Sx),
+             "Sy": np.asarray(Sy), "Sn": np.asarray(Sn)}
+    Snorm = np.asarray(Snorm)
+    for name, arr in comps.items():
+        path = f"{results_dir}/{name}.dat"
+        _ensure_dir(path)
+        with open(path, "a") as f:
+            for s in range(arr.shape[0]):
+                for iy, y in enumerate(ys):
+                    for ifp, phip in enumerate(phis):
+                        for ipT, pT in enumerate(pTs):
+                            v = arr[s, ipT, ifp, iy] / Snorm[s, ipT, ifp, iy]
+                            f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(pT)}\t{_sci(v)}\n")
+                        f.write("\n")
+
+
+def write_particle_list_csv(events, results_dir="results"):
+    """results/particle_list_{i}.dat per-event CSV
+    (reference: emissionfunction.cpp:829-860).  ``events`` is a list of
+    structured arrays / dicts with keys mcid, tau, x, y, eta, E, px, py, pz."""
+    for ievent, ev in enumerate(events):
+        path = f"{results_dir}/particle_list_{ievent + 1}.dat"
+        _ensure_dir(path)
+        with open(path, "w") as f:
+            f.write("mcid,tau,x,y,eta,E,px,py,pz\n")
+            n = len(ev["mcid"])
+            for i in range(n):
+                f.write(f"{int(ev['mcid'][i])}," + ",".join(
+                    _sci(float(ev[k][i]))
+                    for k in ("tau", "x", "y", "eta", "E", "px", "py", "pz")) + "\n")
+
+
+def write_particle_list_oscar(events, path="results/particle_list_osc.dat"):
+    """OSCAR-style list for the urqmd/smash afterburner
+    (reference: emissionfunction.cpp:863-901): per event a ``# N`` header and
+    rows ``mcid t x y z E px py pz`` at 16 significant digits.  Events with
+    zero particles are skipped (afterburner requirement)."""
+    _ensure_dir(path)
+    with open(path, "w") as f:
+        for ev in events:
+            n = len(ev["mcid"])
+            if n == 0:
+                continue
+            f.write(f"# {n}\n")
+            for i in range(n):
+                row = " ".join(f"{float(ev[k][i]):.16e}"
+                               for k in ("t", "x", "y", "z", "E", "px", "py", "pz"))
+                f.write(f"{int(ev['mcid'][i])} {row}\n")

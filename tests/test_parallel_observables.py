@@ -1,0 +1,136 @@
+"""Multi-chip sharding parity, observables, and writer format tests."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from is3d_tpu.config import Config
+from is3d_tpu.io.tables import native_momentum_grid
+from is3d_tpu.kernels.smooth import smooth_spectra
+from is3d_tpu.kernels.feqmod import smooth_spectra_feqmod
+from is3d_tpu.parallel.mesh import smooth_spectra_sharded, default_mesh
+from is3d_tpu import observables, writers
+
+from test_smooth import (pikp_species, random_cells, to_surface,
+                         smash_table, df_data)  # noqa: F401
+
+
+BASE_CFG = Config(operation=1, mode=1, dimension=2, df_mode=2,
+                  include_shear_deltaf=1, include_bulk_deltaf=1,
+                  regulate_deltaf=1, outflow=1, cell_chunk=8)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("df_mode", [1, 2, 3, 4])
+def test_sharded_matches_single_device(smash_table, df_data, df_mode):
+    rng = np.random.default_rng(71)
+    cells = random_cells(53, rng, dimension=2)   # deliberately not % 8
+    grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=12)
+    species = pikp_species(smash_table)
+    surf = to_surface(cells)
+    cfg = BASE_CFG.replace(df_mode=df_mode)
+
+    if df_mode in (1, 2):
+        single = smooth_spectra(surf, species, grid, df_data, cfg)
+    else:
+        single = smooth_spectra_feqmod(surf, species, grid, df_data, cfg)
+    mesh = default_mesh(axis=cfg.mesh_axis)
+    sharded = smooth_spectra_sharded(surf, species, grid, df_data, cfg,
+                                     mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-12, atol=1e-20)
+
+
+def test_sharded_3d(smash_table, df_data):
+    rng = np.random.default_rng(72)
+    cells = random_cells(29, rng, dimension=3)
+    grid = native_momentum_grid(dimension=3, n_pT=4, n_phi=4, n_y=5)
+    species = pikp_species(smash_table)
+    surf = to_surface(cells)
+    cfg = BASE_CFG.replace(dimension=3)
+    single = smooth_spectra(surf, species, grid, df_data, cfg)
+    sharded = smooth_spectra_sharded(surf, species, grid, df_data, cfg,
+                                     mesh=default_mesh())
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-12, atol=1e-20)
+
+
+# ------------------------------------------------------------- observables
+
+def test_vn_of_isotropic_spectra_is_zero():
+    # n_phi must resolve cos(7 phi): 48-pt Gauss-Legendre is plenty
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=48, n_eta=4)
+    spectra = jnp.ones((2, grid.n_pT, grid.n_phi, 1))
+    vn, den = observables.continuous_vn(spectra, grid)
+    np.testing.assert_allclose(np.asarray(vn), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(den),
+                               2 * np.pi * np.ones((2, grid.n_pT, 1)),
+                               rtol=1e-8)
+
+
+def test_vn_pure_v2():
+    grid = native_momentum_grid(dimension=2, n_pT=3, n_phi=24, n_eta=4)
+    phi = np.asarray(grid.phi)
+    v2_in = 0.07
+    base = 1.0 + 2 * v2_in * np.cos(2 * phi)
+    spectra = jnp.asarray(np.broadcast_to(base[None, None, :, None],
+                                          (1, 3, 24, 1)))
+    vn, _ = observables.continuous_vn(spectra, grid)
+    np.testing.assert_allclose(np.asarray(vn[0, 1]), v2_in, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vn[0, 0]), 0.0, atol=1e-10)
+
+
+def test_dN_dy_consistency():
+    grid = native_momentum_grid(dimension=2, n_pT=8, n_phi=8, n_eta=4)
+    rng = np.random.default_rng(5)
+    spectra = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 1)))
+    direct = np.einsum("spfy,p,f->sy", np.asarray(spectra),
+                       np.asarray(grid.pT_weight), np.asarray(grid.phi_weight))
+    np.testing.assert_allclose(np.asarray(observables.dN_dy(spectra, grid)),
+                               direct, rtol=1e-12)
+
+
+# ------------------------------------------------------------------ writers
+
+def test_writer_formats(tmp_path):
+    grid = native_momentum_grid(dimension=2, n_pT=2, n_phi=2, n_eta=4)
+    spectra = jnp.asarray(np.arange(4, dtype=float).reshape(1, 2, 2, 1) + 1.0)
+    d = str(tmp_path)
+    writers.write_dN_pTdpTdphidy(spectra, grid, [211], 2, d)
+    writers.write_continuous_vn(spectra, grid, [211], 2, d)
+    writers.write_dN_dy(spectra, grid, [211], 2, d)
+
+    main = open(f"{d}/dN_pTdpTdphidy.dat").read().strip().split("\n\n")
+    assert len(main) == 2  # one block per phi
+    first = main[0].splitlines()[0].split("\t")
+    assert len(first) == 4
+    assert first[0] == "0.00000000e+00"  # y = 0 in scientific
+    float(first[3])
+
+    per = open(f"{d}/dN_pTdpTdphidy_211.dat").read().splitlines()
+    assert per[0] == "y\tphip\tpT\tdN_pTdpTdphidy"
+
+    vn_lines = open(f"{d}/vn_continuous/vn_211.dat").read().split()
+    assert len(vn_lines) == 2 * (2 + 7)  # 2 pT rows x (y, pT, v1..v7)
+
+    dndy = open(f"{d}/dN_dy_211.dat").read().split()
+    assert len(dndy) == 2
+
+
+def test_oscar_writer(tmp_path):
+    ev = {k: np.asarray([1.0, 2.0]) for k in
+          ("t", "x", "y", "z", "E", "px", "py", "pz")}
+    ev["mcid"] = np.asarray([211, -211])
+    empty = {k: np.asarray([]) for k in ev}
+    path = f"{tmp_path}/osc.dat"
+    writers.write_particle_list_oscar([ev, empty], path)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "# 2"
+    assert lines[1].startswith("211 ")
+    assert len(lines) == 3  # empty event skipped
