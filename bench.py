@@ -1,0 +1,66 @@
+"""Headline benchmark: smooth Cooper-Frye throughput on one chip.
+
+Metric: Cooper-Frye (cell x species x momentum-point) evaluations per second
+per chip on the reference momentum grid (32 pT x 24 phi x 21 y, 3+1D), full
+hadron list scale (320 species).
+
+Baseline (BASELINE.md north star): a 1M-cell full-list smooth-spectra pass in
+30 s on a v5e-8, i.e. 1e6 * 320 * 32*24*21 / 30 / 8 = 2.15e10 evals/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from is3d_tpu.config import Config
+    from is3d_tpu.kernels.smooth import _smooth_spectra_jit
+    from is3d_tpu.kernels.common import surface_columns
+    from is3d_tpu.io.tables import native_momentum_grid
+    from is3d_tpu.testing import (synthetic_surface, synthetic_species,
+                                  synthetic_deltaf_data)
+
+    dtype = jnp.float32
+    n_cells = 131072
+    n_species = 320
+    cfg = Config(operation=1, mode=1, dimension=3, df_mode=2,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, cell_chunk=512,
+                 precision="f32")
+
+    surface = synthetic_surface(n_cells, dimension=3, seed=1, dtype=dtype)
+    species = synthetic_species(n_species, dtype=dtype)
+    grid = native_momentum_grid(dimension=3, n_pT=32, n_phi=24, n_y=21,
+                                dtype=dtype)
+    df_data = synthetic_deltaf_data(dtype=dtype)
+    cols = surface_columns(surface, cfg)
+
+    run = lambda: _smooth_spectra_jit(cols, species, grid, df_data, cfg)
+    run().block_until_ready()            # compile + warm up
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run()
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    evals = n_cells * n_species * 32 * 24 * 21
+    value = evals / dt
+    baseline = 1e6 * 320 * 32 * 24 * 21 / 30.0 / 8.0
+    print(json.dumps({
+        "metric": "cooper_frye_evals_per_sec_per_chip",
+        "value": value,
+        "unit": "evals/s/chip",
+        "vs_baseline": value / baseline,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
