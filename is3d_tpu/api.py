@@ -153,6 +153,19 @@ class IS3D:
 
         result = RunResult(mcids=np.asarray(mcids), averages=self.averages)
 
+        if cfg.mode == 5:
+            # thermal-vorticity spin polarization (reference:
+            # emissionfunction.cpp:1675 and polzn_kernels.cpp)
+            from .kernels.polzn import spin_polarization
+            pol = spin_polarization(self.surface, species, grid, cfg, plasma)
+            result.polarization = {k: np.asarray(v) for k, v in pol.items()}
+            if write_files:
+                os.makedirs(self.results_dir, exist_ok=True)
+                writers.write_polarization(pol["St"], pol["Sx"], pol["Sy"],
+                                           pol["Sn"], pol["Snorm"], grid,
+                                           cfg.dimension, self.results_dir)
+            return result
+
         if cfg.operation == 1:
             spectra = self._smooth_spectra(species, grid, df_data)
             result.spectra = np.asarray(spectra)
@@ -178,6 +191,10 @@ class IS3D:
             from .kernels.dndx import spacetime_distributions
             result.dN_dX = spacetime_distributions(
                 self.surface, species, grid, df_data, cfg)
+            if write_files:
+                os.makedirs(self.results_dir, exist_ok=True)
+                writers.write_spacetime_distributions(result.dN_dX, mcids,
+                                                      self.results_dir)
         elif cfg.operation == 2:
             from .kernels.sample import sample_particles
             result.events = sample_particles(

@@ -1,0 +1,147 @@
+"""Smooth Cooper-Frye spacetime distributions (operation = 0):
+dN/(tau dtau dy), dN/(2 pi r dr dy), dN/(2 pi tau r dtau dr dy), dN/dy/deta.
+
+TPU-native re-derivation of calculate_dN_dX / calculate_dN_dX_feqmod
+(reference: emissionfunction_smooth_kernels.cpp:1000-2135).  The reference
+loops species x cells and histogram-bins each cell's momentum-integrated
+dN/dy on the (tau, r) grid.  Here the identical pointwise emission function
+(shared with the spectra kernels) is reduced over the momentum axes per
+(cell, species), and the binning becomes a masked scatter-add inside the
+same chunked lax.scan -- one pass over the surface for all species at once.
+
+Outputs (per species s):
+  dN_taudtaudy[s, itau]            normalized by (tau_mid * dtau)
+  dN_twopirdrdy[s, ir]             normalized by (2 pi r_mid * dr)
+  dN_twopitaurdtaudrdy[s, it, ir]  normalized by (2 pi tau r dtau dr)
+  dN_dydeta[s, ieta]               eta-node differential dN/dy/deta
+  dN_dy[s]                         total
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..units import CF_PREFACTOR
+from ..config import Config
+from ..data import SpeciesArrays
+from ..io.tables import MomentumGrid
+from ..io.deltaf import DeltafData
+from .common import surface_columns, prepare_cells, pad_and_chunk
+from .smooth import _pointwise_contribution
+from .feqmod import _pointwise_contribution_feqmod, _prepare_feqmod_cells
+
+
+def _cell_dNdy(contrib, species, grid, cfg):
+    """(C, S, P, F, R) -> per-cell momentum-integrated dN/dy (C, S) and the
+    eta-node distribution contribution (S, R)."""
+    # include the pT Jacobian (the reference's dN_dX momentum integral omits
+    # it, :1372 -- same quirk as its write_dN_dy_toFile; see observables.dN_dy)
+    wp = grid.pT_weight * grid.pT
+    wf = grid.phi_weight
+    # dN/dy/deta: no eta weight (reference divides it back out, :1366)
+    dydeta = jnp.einsum("cspfr,p,f->sr", contrib, wp, wf)
+    if cfg.dimension == 2:
+        per_cell = jnp.einsum("cspfr,p,f,r->cs", contrib, wp, wf,
+                              grid.eta_weight)
+    else:
+        # 3+1D: the reference sums the y grid without weights (:1312-1374,
+        # boost-invariance is the stated scope of this kernel)
+        per_cell = jnp.einsum("cspfr,p,f->cs", contrib, wp, wf)
+    deg = species.degeneracy
+    return (CF_PREFACTOR * per_cell * deg[None, :],
+            CF_PREFACTOR * dydeta * deg[:, None])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
+    chunked, mask, _ = pad_and_chunk(cols, cfg.cell_chunk)
+    S = species.n_species
+    R = grid.n_eta if cfg.dimension == 2 else grid.n_y
+    dtype = cols["tau"].dtype
+
+    tau_edges = (cfg.tau_min, cfg.tau_max, cfg.tau_bins)
+    r_edges = (cfg.r_min, cfg.r_max, cfg.r_bins)
+    dtau = (tau_edges[1] - tau_edges[0]) / tau_edges[2]
+    dr = (r_edges[1] - r_edges[0]) / r_edges[2]
+
+    acc0 = dict(
+        tau_hist=jnp.zeros((S, cfg.tau_bins), dtype),
+        r_hist=jnp.zeros((S, cfg.r_bins), dtype),
+        taur_hist=jnp.zeros((S, cfg.tau_bins, cfg.r_bins), dtype),
+        dydeta=jnp.zeros((S, R), dtype),
+        dNdy=jnp.zeros((S,), dtype),
+    )
+
+    def body(acc, inp):
+        chunk_cols, m = inp
+        c = prepare_cells(chunk_cols, cfg, df_data)
+        if cfg.df_mode in (3, 4):
+            c = _prepare_feqmod_cells(c, species, laguerre, cfg)
+            contrib = _pointwise_contribution_feqmod(c, m, species, grid, cfg)
+        else:
+            contrib = _pointwise_contribution(c, m, species, grid, cfg)
+        per_cell, dydeta = _cell_dNdy(contrib, species, grid, cfg)
+
+        tau = c["tau"]
+        r = jnp.sqrt(c["x"] ** 2 + c["y"] ** 2)
+        itau = jnp.floor((tau - tau_edges[0]) / dtau).astype(jnp.int32)
+        ir = jnp.floor((r - r_edges[0]) / dr).astype(jnp.int32)
+        tau_ok = (itau >= 0) & (itau < cfg.tau_bins)
+        r_ok = (ir >= 0) & (ir < cfg.r_bins)
+        itau_c = jnp.clip(itau, 0, cfg.tau_bins - 1)
+        ir_c = jnp.clip(ir, 0, cfg.r_bins - 1)
+
+        pt = per_cell.T                                 # (S, C)
+        acc = dict(acc)
+        acc["tau_hist"] = acc["tau_hist"].at[:, itau_c].add(
+            pt * tau_ok[None, :])
+        acc["r_hist"] = acc["r_hist"].at[:, ir_c].add(pt * r_ok[None, :])
+        acc["taur_hist"] = acc["taur_hist"].at[:, itau_c, ir_c].add(
+            pt * (tau_ok & r_ok)[None, :])
+        acc["dydeta"] = acc["dydeta"] + dydeta
+        acc["dNdy"] = acc["dNdy"] + jnp.sum(per_cell, axis=0)
+        return acc, None
+
+    acc, _ = lax.scan(body, acc0, (chunked, mask))
+    return acc
+
+
+def spacetime_distributions(surface, species: SpeciesArrays,
+                            grid: MomentumGrid, df_data: DeltafData,
+                            cfg: Config, laguerre=None) -> dict:
+    """Compute all dN/dX distributions.  Returns a dict of numpy arrays with
+    bin midpoints and *normalized* distributions (reference file values,
+    emissionfunction_smooth_kernels.cpp:1404-1432)."""
+    if cfg.df_mode in (3, 4) and laguerre is None:
+        from ..io.tables import gauss_laguerre
+        raw = gauss_laguerre(32, alphas=(1, 2))
+        laguerre = {a: (jnp.asarray(r), jnp.asarray(w))
+                    for a, (r, w) in raw.items()}
+    cols = surface_columns(surface, cfg)
+    cols["x"] = surface.x
+    cols["y"] = surface.y
+    acc = _dndx_jit(cols, species, grid, df_data,
+                    laguerre if cfg.df_mode in (3, 4) else 0.0, cfg)
+    acc = {k: np.asarray(v) for k, v in acc.items()}
+
+    dtau = (cfg.tau_max - cfg.tau_min) / cfg.tau_bins
+    dr = (cfg.r_max - cfg.r_min) / cfg.r_bins
+    tau_mid = cfg.tau_min + dtau * (np.arange(cfg.tau_bins) + 0.5)
+    r_mid = cfg.r_min + dr * (np.arange(cfg.r_bins) + 0.5)
+
+    eta = np.asarray(grid.eta if cfg.dimension == 2 else grid.y)
+    return dict(
+        tau_mid=tau_mid, r_mid=r_mid, eta=eta,
+        dN_dy=acc["dNdy"],
+        dN_dydeta=acc["dydeta"],
+        dN_taudtaudy=acc["tau_hist"] / (tau_mid * dtau)[None, :],
+        dN_twopirdrdy=acc["r_hist"] / (2.0 * np.pi * r_mid * dr)[None, :],
+        dN_twopitaurdtaudrdy=acc["taur_hist"]
+        / (2.0 * np.pi * tau_mid[:, None] * r_mid[None, :] * dtau * dr)[None],
+        raw_tau_hist=acc["tau_hist"], raw_r_hist=acc["r_hist"],
+    )

@@ -201,8 +201,10 @@ def _linearized_df_fallback(cfg, c, pdotu, pipp, Vp, mass2_b, baryon_b,
     return feq * (1.0 + out)
 
 
-def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
-                               grid: MomentumGrid, cfg: Config):
+def _pointwise_contribution_feqmod(c, valid, species: SpeciesArrays,
+                                   grid: MomentumGrid, cfg: Config):
+    """Masked p.dsigma * f at every point: (C, S, PT, PHI, R); feqmod/fallback
+    branch selection included, no quadrature weights or prefactor."""
     cc = lambda x: x[:, None, None, None, None]
     mT, px, py = _momentum_monomials(species, grid)
     mT_b = mT[None, :, :, None, None]
@@ -296,8 +298,12 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     # renorm_ok gates the whole (cell, species) row (reference :773-778)
     mask = (valid & c["valid"]).astype(contrib.dtype)
     ok = c["renorm_ok"].astype(contrib.dtype)[:, :, None, None, None]
-    contrib = contrib * cc(mask) * ok
+    return contrib * cc(mask) * ok
 
+
+def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
+                               grid: MomentumGrid, cfg: Config):
+    contrib = _pointwise_contribution_feqmod(c, valid, species, grid, cfg)
     if cfg.dimension == 2:
         contrib = contrib * grid.eta_weight[None, None, None, None, :]
         out = jnp.sum(contrib, axis=(0, 4))[..., None]

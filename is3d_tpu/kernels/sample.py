@@ -1,0 +1,585 @@
+"""Monte-Carlo particle sampler: discrete hadron lists from the Cooper-Frye
+emission function.
+
+TPU-native re-derivation of the reference sampler
+(reference: src/cpp/emissionfunction_sampling_kernels.cpp:653-1225).  The
+reference walks cells serially, draws a Poisson count per (cell, event), and
+rejection-samples each hadron momentum in a data-dependent while-loop.  That
+control flow is hostile to SPMD, so the rebuild restructures it:
+
+* Phase A (vectorized over cells): all per-cell quantities -- LRF tetrads,
+  dsigma/pi/V in the LRF, df coefficients, feqmod transform + breakdown,
+  per-(cell, species) mean yields dn -- are computed as (C,) / (C, S) arrays
+  in one jit (the reference's per-cell scalar block, :878-1077).
+
+* Phase B (vectorized over hadron slots): by Poisson superposition, drawing
+  N_c ~ Poisson(dn_c) per cell is equivalent to drawing one total
+  N ~ Poisson(sum_c dn_c) and assigning each hadron a cell from the
+  categorical distribution p(c) = dn_c / sum dn.  Each event therefore becomes
+  a fixed-capacity batch of hadron slots: cell via inverse-CDF searchsorted,
+  species via per-row CDF, momenta via *batched* rejection rounds inside a
+  lax.while_loop (all pending hadrons propose simultaneously each round),
+  flux/viscous thinning as a single Bernoulli mask.  Identical target
+  distribution, fully shaped for the VPU.
+
+* Acceptance bookkeeping and compaction to variable-length per-event particle
+  lists happen on the host (numpy boolean indexing).
+
+Deterministic counter-based RNG: one base key (sampler_seed) folded per event;
+no analog of the reference's 5 seeded mt19937 streams is needed.
+
+Divergences from the reference (documented):
+* negative per-species mean densities are clamped to 0 for the categorical
+  draw (std::discrete_distribution with negative weights is UB in C++);
+* `calculate_total_yield` reads `dsigma_space` without ever calling
+  compute_dsigma_magnitude() (uninitialized member, sampling_kernels.cpp:777);
+  we compute it.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..units import TWO_PI2_HBARC3
+from ..config import Config
+from ..data import SpeciesArrays
+from ..io.deltaf import DeltafData
+from ..physics import lrf, thermal
+from .common import surface_columns, prepare_cells
+from .feqmod import _adjugate_sym, _mode3_breakdown
+
+TWO_PI = 2.0 * math.pi
+MBAR_LIGHT = 1.008        # light/heavy sampler split (reference :481)
+MAX_REJECTION_ROUNDS = 256
+
+
+def pion_thermal_weight_max(x):
+    """Max of the light-hadron equilibrium weight for m/T < 0.8554
+    (rational fit, reference: emissionfunction_sampling_kernels.cpp:172-195)."""
+    x2 = x * x
+    x3 = x2 * x
+    x4 = x3 * x
+    num = (143206.88623164667 - 95956.76008684626 * x - 21341.937407169076 * x2
+           + 14388.446116867359 * x3 - 6083.775788504437 * x4)
+    den = (-0.3541350577684533 + 143218.69233952634 * x - 24516.803600065778 * x2
+           - 115811.59391199696 * x3 + 35814.36403387459 * x4)
+    return 1.00001 * num / den
+
+
+# ======================================================================
+# Phase A: per-cell data
+# ======================================================================
+
+def _species_yields_exact(c, species, laguerre, cfg):
+    """Per-(cell, species) max densities dn for the categorical draw
+    (reference max_particle_number, sampling_kernels.cpp:282-357)."""
+    r1, w1 = laguerre[1]
+    r2, w2 = laguerre[2]
+    T = c["T"][:, None]
+    alphaB = c["alphaB"][:, None]
+    mbar = species.mass[None, :] / T
+    baryon = species.baryon[None, :]
+    sign = species.sign[None, :]
+    deg = species.degeneracy[None, :]
+    neq_fact = T**3 / TWO_PI2_HBARC3
+
+    gt = lambda f, r, w, mb, aB, b, s: thermal.gauss_thermal(f, r, w, mb, aB, b, s)
+
+    if cfg.df_mode in (1, 2):
+        neq = neq_fact * deg * gt(thermal.neq_int, r1, w1, mbar, alphaB, baryon, sign)
+        return 2.0 * neq
+    df = c["df"]
+    neq = neq_fact * deg * gt(thermal.neq_int, r1, w1, mbar, alphaB, baryon, sign)
+    linear = 2.0 * neq
+    if cfg.df_mode == 3:
+        J20_fact = T * neq_fact
+        J10 = jnp.where(cfg.include_baryon,
+                        neq_fact * deg * gt(thermal.J10_int, r1, w1, mbar,
+                                            alphaB, baryon, sign), 0.0)
+        J20 = J20_fact * deg * gt(thermal.J20_int, r2, w2, mbar, alphaB,
+                                  baryon, sign)
+        bulk_density = (neq + baryon * J10 * df.G[:, None]
+                        + J20 * (df.F / T[:, 0] ** 2)[:, None]) / df.betabulk[:, None]
+        mod = neq + c["bulkPi"][:, None] * bulk_density
+    else:  # mode 4: z . neq at zero chemical potential
+        neq0 = neq_fact * deg * gt(thermal.neq_int, r1, w1, mbar,
+                                   jnp.zeros_like(alphaB),
+                                   jnp.zeros_like(baryon), sign)
+        mod = df.z[:, None] * neq0
+    if cfg.df_mode in (3, 4):
+        return jnp.where(c["breakdown"][:, None], linear, mod)
+    return linear
+
+
+def _species_yields_fast(c, species, cfg):
+    """Fast mode: densities at the surface-averaged state, shared by all
+    cells (reference fast_max_particle_number, sampling_kernels.cpp:239-279)."""
+    neq = species.equilibrium_density[None, :]
+    if cfg.df_mode in (1, 2):
+        return jnp.broadcast_to(2.0 * neq, (c["T"].shape[0], species.n_species))
+    if cfg.df_mode == 3:
+        mod = neq + c["bulkPi"][:, None] * species.bulk_density[None, :]
+    else:
+        mod = c["df"].z[:, None] * neq
+    return jnp.where(c["breakdown"][:, None], 2.0 * neq, mod)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _cell_data_jit(cols, species: SpeciesArrays, df_data: DeltafData,
+                   laguerre, plasma_avg, cfg: Config):
+    """All per-cell sampler inputs, as a dict of (C,) / (C, S) arrays."""
+    c = prepare_cells(cols, cfg, df_data)
+    tau = c["tau"]
+
+    basis = lrf.milne_basis(c["ut"], c["ux"], c["uy"], c["un"], tau)
+    dst, dsx, dsy, dsz = lrf.boost_dsigma_to_lrf(
+        basis, c["dat"], c["dax"], c["day"], c["dan"],
+        c["ut"], c["ux"], c["uy"], c["un"])
+    ds_space, ds_max = lrf.dsigma_magnitude(dst, dsx, dsy, dsz)
+
+    piL = lrf.boost_pimunu_to_lrf(basis, c["pitt"], c["pitx"], c["pity"],
+                                  c["pitn"], c["pixx"], c["pixy"], c["pixn"],
+                                  c["piyy"], c["piyn"], c["pinn"], tau)
+    VL = lrf.boost_Vmu_to_lrf(basis, c["Vt"], c["Vx"], c["Vy"], c["Vn"], tau)
+    Vdsigma = (c["Vt"] * c["dat"] + c["Vx"] * c["dax"] + c["Vy"] * c["day"]
+               + c["Vn"] * c["dan"])
+
+    df = c["df"]
+    zl = jnp.zeros_like(tau)
+    if cfg.df_mode == 3:
+        T_mod = c["T"] + c["bulkPi"] * df.F / df.betabulk
+        alphaB_mod = c["alphaB"] + c["bulkPi"] * df.G / df.betabulk
+        shear_mod = 0.5 / df.betapi
+        bulk_mod = c["bulkPi"] / (3.0 * df.betabulk)
+        diff_mod = c["T"] / df.betaV
+    elif cfg.df_mode == 4:
+        T_mod, alphaB_mod = c["T"], zl
+        shear_mod = 0.5 / df.betapi
+        bulk_mod = df.lam
+        diff_mod = zl
+    else:
+        T_mod, alphaB_mod = c["T"], c["alphaB"]
+        shear_mod = bulk_mod = diff_mod = zl
+
+    if cfg.df_mode in (3, 4):
+        A = (1.0 + piL[0] * shear_mod + bulk_mod,
+             piL[1] * shear_mod, piL[2] * shear_mod,
+             1.0 + piL[3] * shear_mod + bulk_mod,
+             piL[4] * shear_mod,
+             1.0 + piL[5] * shear_mod + bulk_mod)
+        _, detA = _adjugate_sym(A)
+        c["detA"] = detA
+        if cfg.df_mode == 3:
+            if cfg.fast:
+                # breakdown from the average state (reference fast path,
+                # does_feqmod_breakdown with fast=1, emissionfunction.cpp:114-120)
+                from ..io.deltaf import evaluate_df_coefficients
+                T_avg, muB_avg = plasma_avg
+                zero = jnp.zeros_like(T_avg)
+                df_avg = evaluate_df_coefficients(
+                    df_data, cfg.df_mode, bool(cfg.include_baryon),
+                    T_avg, muB_avg, zero, zero, zero)
+                dfb = jax.tree.map(lambda a: jnp.broadcast_to(a, tau.shape),
+                                   df_avg)
+                cavg = dict(T=jnp.broadcast_to(T_avg, tau.shape),
+                            bulkPi=c["bulkPi"], detA=detA, df=dfb)
+                breakdown = _mode3_breakdown(cavg, laguerre, cfg)
+            else:
+                breakdown = _mode3_breakdown(c, laguerre, cfg)
+        else:
+            breakdown = jnp.zeros_like(detA, dtype=bool)
+    else:
+        breakdown = jnp.zeros_like(tau, dtype=bool)
+    c["breakdown"] = breakdown
+
+    if cfg.fast:
+        dn_list = _species_yields_fast(c, species, cfg)
+    else:
+        dn_list = _species_yields_exact(c, species, laguerre, cfg)
+    dn_list = jnp.maximum(dn_list, 0.0)     # negative weights would be UB
+    # photons cannot be sampled by this method (reference exits at :479);
+    # exclude massless species from the categorical instead
+    dn_list = jnp.where(species.mass[None, :] > 0.0, dn_list, 0.0)
+
+    y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
+    dn_tot = jnp.sum(dn_list, axis=1) * (2.0 * y_max * ds_max)
+    dn_tot = jnp.where(c["valid"], dn_tot, 0.0)
+
+    # mean yield for the oversampling estimate (reference
+    # estimate_mean_particle_number, sampling_kernels.cpp:200-236)
+    neq_s = species.equilibrium_density[None, :]
+    if cfg.df_mode == 4:
+        per_sp = jnp.where(breakdown[:, None],
+                           (1.0 + df.delta_z[:, None]) * neq_s,
+                           df.z[:, None] * neq_s)
+        mean_cell = c["udsigma"] * jnp.sum(per_sp, axis=1)
+    else:
+        mean_cell = (c["udsigma"] * jnp.sum(
+            neq_s + c["bulkPi"][:, None] * species.bulk_density[None, :], axis=1)
+            - ds_space * Vdsigma * jnp.sum(species.diff_density))
+    mean_cell = jnp.where(c["valid"], mean_cell, 0.0)
+
+    out = dict(
+        tau=tau, x=c["x"], y=c["y"], eta=c["eta"],
+        T=c["T"], alphaB=c["alphaB"], T_mod=T_mod, alphaB_mod=alphaB_mod,
+        shear_mod=shear_mod, bulk_mod=bulk_mod, diff_mod=diff_mod,
+        breakdown=breakdown, benth=c["baryon_enthalpy_ratio"],
+        bulkPi=c["bulkPi"],
+        dst=dst, dsx=dsx, dsy=dsy, dsz=dsz, ds_max=ds_max,
+        ut=c["ut"], ux=c["ux"], uy=c["uy"], un=c["un"],
+        Xt=basis.Xt, Xx=basis.Xx, Xy=basis.Xy, Xn=basis.Xn,
+        Yx=basis.Yx, Yy=basis.Yy, Zt=basis.Zt, Zn=basis.Zn,
+        pixx=piL[0], pixy=piL[1], pixz=piL[2], piyy=piL[3], piyz=piL[4],
+        pizz=piL[5],
+        Vx=VL[0], Vy=VL[1], Vz=VL[2],
+        dn_list=dn_list, dn_tot=dn_tot, cum_dn=jnp.cumsum(dn_tot),
+        mean_cell=mean_cell,
+    )
+    # per-cell df coefficients needed by the hadron-level viscous weight
+    for name in ("c0", "c1", "c2", "c3", "c4", "shear14", "F", "G",
+                 "betabulk", "betaV", "betapi", "delta_lambda", "delta_z"):
+        out["df_" + name] = getattr(df, name)
+    return out
+
+
+# ======================================================================
+# Phase B: one event = a fixed-capacity batch of hadron slots
+# ======================================================================
+
+def _df_weight(cfg, g, E, px, py, pz, mass2, sign, baryon):
+    """Viscous weight (1 + df)/2 for the linear branch
+    (reference compute_df_weight, sampling_kernels.cpp:361-453)."""
+    pipp = (px * px * g["pixx"] + py * py * g["piyy"] + pz * pz * g["pizz"]
+            + 2.0 * (px * py * g["pixy"] + px * pz * g["pixz"]
+                     + py * pz * g["piyz"]))
+    Vp = -(px * g["Vx"] + py * g["Vy"] + pz * g["Vz"])
+    T = g["T"]
+    bulkPi = g["bulkPi"]
+
+    if cfg.df_mode == 1:
+        chem = baryon * g["alphaB"]
+        feqbar = 1.0 - sign / (jnp.exp(E / T - chem) + sign)
+        df_shear = pipp / g["df_shear14"]
+        df_bulk = ((g["df_c0"] - g["df_c2"]) * mass2
+                   + (baryon * g["df_c1"] + (4.0 * g["df_c2"] - g["df_c0"]) * E) * E) * bulkPi
+        df_diff = (baryon * g["df_c3"] + g["df_c4"] * E) * Vp
+        df_tot = feqbar * (df_shear + df_bulk + df_diff)
+    elif cfg.df_mode in (2, 3):
+        chem = baryon * g["alphaB"]
+        feqbar = 1.0 - sign / (jnp.exp(E / T - chem) + sign)
+        df_shear = pipp / (2.0 * E * g["df_betapi"] * T)
+        df_bulk = (baryon * g["df_G"] + g["df_F"] * E / T**2
+                   + (E - mass2 / E) / (3.0 * T)) * bulkPi / g["df_betabulk"]
+        df_diff = (g["benth"] - baryon / E) * Vp / g["df_betaV"]
+        df_tot = feqbar * (df_shear + df_bulk + df_diff)
+    else:  # mode 4 linearized (Jonah)
+        feqbar = 1.0 - sign / (jnp.exp(E / T) + sign)
+        df_shear = feqbar * pipp / (2.0 * E * g["df_betapi"] * T)
+        df_bulk = (g["df_delta_z"] - 3.0 * g["df_delta_lambda"]
+                   + feqbar * g["df_delta_lambda"] * (E - mass2 / E) / T)
+        df_tot = df_shear + df_bulk
+
+    df_tot = jnp.clip(df_tot, -1.0, 1.0)
+    return 0.5 * (1.0 + df_tot)
+
+
+def _propose(key, mbar, sign, chem, pending):
+    """One synchronized rejection round for all pending hadron slots.
+
+    Light hadrons (mbar < 1.008): p^2 e^{-p} proposal via three exponential
+    deviates (reference :481-517).  Heavy: 3-component k^j e^{-k} mixture
+    (reference :520-599).  Both are evaluated elementwise and selected by
+    mask.  Returns (accept, pbar, phi, costheta)."""
+    n = mbar.shape[0]
+    u = jax.random.uniform(key, (5, n), dtype=mbar.dtype,
+                           minval=jnp.finfo(mbar.dtype).tiny, maxval=1.0)
+    l1, l2, l3 = jnp.log(u[0]), jnp.log(u[1]), jnp.log(u[2])
+    l12 = l1 + l2
+    mbar2 = mbar * mbar
+
+    # ---- light branch
+    pbar_l = -(l1 + l2 + l3)
+    Ebar_l = jnp.sqrt(pbar_l * pbar_l + mbar2)
+    phi_l = l12 * l12 / (pbar_l * pbar_l)
+    cos_l = (l1 - l2) / l12
+    weq_max = jnp.where((mbar < 0.8554) & (sign == -1.0),
+                        pion_thermal_weight_max(mbar), 1.0)
+    # exp(pbar) / (exp(Ebar) + sign), with exp(pbar) = 1/(u0 u1 u2)
+    w_l = jnp.exp(pbar_l - Ebar_l) / (1.0 + sign * jnp.exp(-Ebar_l)) / weq_max
+
+    # ---- heavy branch: pick the k^j e^-k component
+    w0 = mbar2
+    w1 = 2.0 * mbar
+    tot = w0 + w1 + 2.0
+    r = u[3] * tot
+    j1 = (r >= w0) & (r < w0 + w1)
+    j2 = r >= (w0 + w1)
+    kbar = jnp.where(j2, -(l1 + l2 + l3), jnp.where(j1, -l12, -l1))
+    phi_h = jnp.where(j2, l12 * l12 / (kbar * kbar),
+                      jnp.where(j1, -l1 / kbar, u[1]))
+    cos_h = jnp.where(j2, (l1 - l2) / l12, 2.0 * u[2] - 1.0)
+    Ebar_h = kbar + mbar
+    pbar_h = jnp.sqrt(jnp.maximum(Ebar_h * Ebar_h - mbar2, 0.0))
+    e = jnp.exp(Ebar_h - chem)
+    w_h = pbar_h / Ebar_h * e / (e + sign)
+
+    light = mbar < MBAR_LIGHT
+    pbar = jnp.where(light, pbar_l, pbar_h)
+    Ebar = jnp.where(light, Ebar_l, Ebar_h)
+    phi = TWO_PI * jnp.where(light, phi_l, phi_h)
+    cost = jnp.where(light, cos_l, cos_h)
+    w = jnp.where(light, w_l, w_h)
+
+    accept = pending & (u[4] < w)
+    return accept, pbar, Ebar, phi, cost
+
+
+def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
+               cfg: Config):
+    """Sample one event into fixed-capacity arrays + keep mask."""
+    dtype = cell["T"].dtype
+    ks = jax.random.split(key, 8)
+
+    n = jax.random.poisson(ks[0], lam)
+    slot = jnp.arange(n_cap) < n
+
+    # cell assignment ~ Categorical(dn_tot / lam) via inverse CDF
+    u_cell = jax.random.uniform(ks[1], (n_cap,), dtype=dtype) * lam
+    cidx = jnp.clip(jnp.searchsorted(cell["cum_dn"], u_cell, side="right"),
+                    0, cell["cum_dn"].shape[0] - 1)
+
+    # species assignment ~ Categorical(dn_list[cell])
+    rows = cell["dn_list"][cidx]                       # (n_cap, S)
+    cum = jnp.cumsum(rows, axis=1)
+    tot = cum[:, -1:]
+    u_s = jax.random.uniform(ks[2], (n_cap, 1), dtype=dtype) * tot
+    sidx = jnp.clip(jnp.sum((cum < u_s).astype(jnp.int32), axis=1),
+                    0, species.n_species - 1)
+
+    g = {k: cell[k][cidx] for k in cell if k not in
+         ("dn_list", "dn_tot", "cum_dn", "mean_cell")}
+    mass = species.mass[sidx]
+    mass2 = mass * mass
+    sign = species.sign[sidx]
+    baryon = species.baryon[sidx]
+
+    use_mod = jnp.zeros_like(slot) if cfg.df_mode in (1, 2) \
+        else ~g["breakdown"]
+    T_eff = jnp.where(use_mod, g["T_mod"], g["T"])
+    if cfg.df_mode == 4:
+        # Jonah's feqmod samples at zero chemical potential (:1111-1117)
+        chem_s = jnp.where(use_mod, 0.0, baryon * g["alphaB"])
+    else:
+        chem_s = baryon * jnp.where(use_mod, g["alphaB_mod"], g["alphaB"])
+    mbar = mass / T_eff
+
+    # ---- batched rejection: all pending slots propose each round
+    def cond(st):
+        done, _, _, _, _, rounds, _, nsamp = st
+        return (~jnp.all(done)) & (rounds < MAX_REJECTION_ROUNDS)
+
+    def body(st):
+        done, pbar, Ebar, phi, cost, rounds, k, nsamp = st
+        k, sub = jax.random.split(k)
+        nsamp = nsamp + jnp.sum(~done).astype(nsamp.dtype)
+        acc, pb, Eb, ph, ct = _propose(sub, mbar, sign, chem_s, ~done)
+        pbar = jnp.where(acc, pb, pbar)
+        Ebar = jnp.where(acc, Eb, Ebar)
+        phi = jnp.where(acc, ph, phi)
+        cost = jnp.where(acc, ct, cost)
+        return (done | acc, pbar, Ebar, phi, cost, rounds + 1, k, nsamp)
+
+    z = jnp.zeros(n_cap, dtype=dtype)
+    st0 = (~slot, z, z + 1.0, z, z, jnp.int32(0), ks[3],
+           jnp.zeros((), jnp.int32))
+    done, pbar, Ebar, phi, cost, rounds, _, nsamp = lax.while_loop(cond, body, st0)
+    sampled_ok = done & slot
+
+    sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+    E = Ebar * T_eff
+    p = pbar * T_eff
+    px = p * sint * jnp.cos(phi)
+    py = p * sint * jnp.sin(phi)
+    pz = p * cost
+
+    # ---- feqmod momentum rescale p = A p_mod + shifts (reference :619-650)
+    if cfg.df_mode in (3, 4):
+        dm = g["diff_mod"] * (E * g["benth"] + baryon)
+        bx = (1.0 + g["bulk_mod"]) * px + g["shear_mod"] * (
+            g["pixx"] * px + g["pixy"] * py + g["pixz"] * pz) + dm * g["Vx"]
+        by = (1.0 + g["bulk_mod"]) * py + g["shear_mod"] * (
+            g["pixy"] * px + g["piyy"] * py + g["piyz"] * pz) + dm * g["Vy"]
+        bz = (1.0 + g["bulk_mod"]) * pz + g["shear_mod"] * (
+            g["pixz"] * px + g["piyz"] * py + g["pizz"] * pz) + dm * g["Vz"]
+        px = jnp.where(use_mod, bx, px)
+        py = jnp.where(use_mod, by, py)
+        pz = jnp.where(use_mod, bz, pz)
+        E = jnp.where(use_mod, jnp.sqrt(mass2 + px**2 + py**2 + pz**2), E)
+
+    # ---- viscous + flux acceptance
+    w_visc = jnp.where(use_mod, 1.0,
+                       _df_weight(cfg, g, E, px, py, pz, mass2, sign, baryon))
+    w_flux = jnp.maximum(0.0, E * g["dst"] - px * g["dsx"] - py * g["dsy"]
+                         - pz * g["dsz"]) / (E * g["ds_max"])
+    u_keep = jax.random.uniform(ks[4], (n_cap,), dtype=dtype)
+    keep = sampled_ok & (u_keep < w_flux * w_visc)
+
+    # ---- boost to the lab frame
+    basis = lrf.MilneBasis(Xt=g["Xt"], Xx=g["Xx"], Xy=g["Xy"], Xn=g["Xn"],
+                           Yx=g["Yx"], Yy=g["Yy"], Zt=g["Zt"], Zn=g["Zn"])
+    ptau, px_lab, py_lab, pn = lrf.boost_pLRF_to_lab(
+        basis, g["ut"], g["ux"], g["uy"], g["un"], E, px, py, pz)
+
+    tau = g["tau"]
+    mT = jnp.sqrt(mass2 + px_lab**2 + py_lab**2)
+    if cfg.dimension == 2:
+        # boost-invariant: sample rapidity uniformly, reconstruct (pz, eta)
+        # (reference :1168-1192)
+        y_max = cfg.y_cut
+        yp = y_max * (2.0 * jax.random.uniform(ks[5], (n_cap,), dtype=dtype) - 1.0)
+        sinhy = jnp.sinh(yp)
+        coshy = jnp.sqrt(1.0 + sinhy * sinhy)
+        sinheta = (ptau * sinhy - tau * pn * coshy) / mT
+        eta_out = jnp.arcsinh(sinheta)
+        cosheta = jnp.sqrt(1.0 + sinheta * sinheta)
+        pz_lab = mT * sinhy
+        E_lab = mT * coshy
+    else:
+        eta_out = g["eta"]
+        sinheta = jnp.sinh(eta_out)
+        cosheta = jnp.cosh(eta_out)
+        pz_lab = tau * pn * cosheta + ptau * sinheta
+        E_lab = jnp.sqrt(mass2 + px_lab**2 + py_lab**2 + pz_lab**2)
+        yp = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
+
+    return dict(
+        keep=keep, mcid=mcid_arr[sidx], mass=mass,
+        tau=tau, x=g["x"], y=g["y"], eta=eta_out,
+        t=tau * cosheta, z=tau * sinheta,
+        E=E_lab, px=px_lab, py=py_lab, pz=pz_lab, yp=yp,
+        acceptances=jnp.sum(sampled_ok), samples=nsamp,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_cap", "cfg"))
+def _event_batch_jit(cell, species, mcid_arr, keys, lam, n_cap: int, cfg: Config):
+    f = lambda k: _one_event(cell, species, mcid_arr, k, lam, n_cap, cfg)
+    return jax.vmap(f)(keys)
+
+
+# ======================================================================
+# Host orchestration
+# ======================================================================
+
+def _laguerre_device(dtype):
+    from ..io.tables import gauss_laguerre
+    raw = gauss_laguerre(32, alphas=(1, 2))
+    return {a: (jnp.asarray(r, dtype=dtype), jnp.asarray(w, dtype=dtype))
+            for a, (r, w) in raw.items()}
+
+
+def _sampler_cols(surface, cfg):
+    cols = surface_columns(surface, cfg)
+    cols["x"] = surface.x
+    cols["y"] = surface.y
+    return cols
+
+
+def calculate_total_yield(surface, species, df_data, cfg, plasma,
+                          laguerre=None) -> float:
+    """Mean total hadron yield of the surface (reference:
+    sampling_kernels.cpp:653-831).  In 2+1D the yield is dN/dy * 2 Y_CUT."""
+    if laguerre is None:
+        laguerre = _laguerre_device(surface.tau.dtype)
+    cols = _sampler_cols(surface, cfg)
+    dtype = surface.tau.dtype
+    plasma_avg = (jnp.asarray(plasma.temperature, dtype),
+                  jnp.asarray(plasma.baryon_chemical_potential, dtype))
+    cell = _cell_data_jit(cols, species, df_data, laguerre, plasma_avg, cfg)
+    ntot = float(jnp.sum(cell["mean_cell"]))
+    if cfg.dimension == 2:
+        ntot *= 2.0 * cfg.y_cut
+    return ntot
+
+
+def sample_particles(surface, species: SpeciesArrays, mcids, grid,
+                     df_data: DeltafData, cfg: Config, plasma,
+                     particle_table=None, nevents: Optional[int] = None,
+                     seed: Optional[int] = None, laguerre=None,
+                     events_per_batch: Optional[int] = None) -> list:
+    """Sample particle event lists.  Returns a list of per-event dicts of
+    numpy arrays (keys: mcid, t, x, y, z, E, px, py, pz, mass, tau, eta, yp).
+
+    Orchestration mirrors the reference's operation=2 path
+    (emissionfunction.cpp:1504-1562): optional oversampling picks
+    Nevents = min(ceil(min_num_hadrons / Ntot), max_num_samples).
+    """
+    dtype = surface.tau.dtype
+    if laguerre is None:
+        laguerre = _laguerre_device(dtype)
+    cols = _sampler_cols(surface, cfg)
+    plasma_avg = (jnp.asarray(plasma.temperature, dtype),
+                  jnp.asarray(plasma.baryon_chemical_potential, dtype))
+    cell = _cell_data_jit(cols, species, df_data, laguerre, plasma_avg, cfg)
+
+    lam = float(jnp.sum(cell["dn_tot"]))
+    if lam <= 0.0:
+        return [{} for _ in range(nevents or 1)]
+
+    if nevents is None:
+        if cfg.oversample:
+            ntot = float(jnp.sum(cell["mean_cell"]))
+            if cfg.dimension == 2:
+                ntot *= 2.0 * cfg.y_cut
+            ntot = abs(ntot)
+            nevents = max(1, min(int(math.ceil(cfg.min_num_hadrons / max(ntot, 1e-30))),
+                                 cfg.max_num_samples))
+        else:
+            nevents = 1
+
+    # fixed per-event slot capacity: mean + 10 sigma, padded
+    n_cap = int(lam + 10.0 * math.sqrt(lam) + 64.0)
+    n_cap = -(-n_cap // 128) * 128
+
+    if seed is None:
+        seed = cfg.sampler_seed
+    if seed < 0:
+        seed = int(np.random.SeedSequence().entropy % (2**31))
+    base_key = jax.random.key(seed)
+
+    if events_per_batch is None:
+        events_per_batch = max(1, min(nevents, (1 << 21) // n_cap))
+
+    mcid_arr = jnp.asarray(np.asarray(mcids), dtype=jnp.int32)
+    lam_dev = jnp.asarray(lam, dtype)
+
+    events = []
+    total_acc = total_samp = 0
+    for start in range(0, nevents, events_per_batch):
+        b = min(events_per_batch, nevents - start)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+            jnp.arange(start, start + b))
+        out = _event_batch_jit(cell, species, mcid_arr, keys, lam_dev,
+                               n_cap, cfg)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        total_acc += int(out["acceptances"].sum())
+        total_samp += int(out["samples"].sum())
+        for e in range(b):
+            keep = out["keep"][e]
+            ev = {k: out[k][e][keep] for k in
+                  ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
+                   "E", "px", "py", "pz", "yp")}
+            events.append(ev)
+
+    if total_samp:
+        eff = 100.0 * total_acc / total_samp
+        print(f"Momentum sampling efficiency = {eff:.2f} %")
+    return events

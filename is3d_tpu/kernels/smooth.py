@@ -98,9 +98,11 @@ def _linear_df(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b, feqbar):
     return out
 
 
-def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
-                        grid: MomentumGrid, cfg: Config):
-    """Spectra contribution of one cell chunk: (S, PT, PHI, Y_out)."""
+def _pointwise_contribution(c: dict, valid, species: SpeciesArrays,
+                            grid: MomentumGrid, cfg: Config):
+    """Masked p.dsigma * f at every (cell, species, pT, phi, rapidity-node)
+    point: (C, S, PT, PHI, R).  No quadrature weights, no prefactor/degeneracy
+    -- shared by the spectra reduction and the dN/dX spacetime kernel."""
     cc = lambda x: x[:, None, None, None, None]        # (C,) -> broadcast
     mT, px, py = _momentum_monomials(species, grid)
     mT_b = mT[None, :, :, None, None]
@@ -151,8 +153,13 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
         contrib = jnp.where(pds > 0.0, contrib, 0.0)
 
     mask = (valid & c["valid"]).astype(contrib.dtype)
-    contrib = contrib * cc(mask)
+    return contrib * cc(mask)
 
+
+def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
+                        grid: MomentumGrid, cfg: Config):
+    """Spectra contribution of one cell chunk: (S, PT, PHI, Y_out)."""
+    contrib = _pointwise_contribution(c, valid, species, grid, cfg)
     if cfg.dimension == 2:
         # weighted eta quadrature collapses R -> 1
         contrib = contrib * grid.eta_weight[None, None, None, None, :]

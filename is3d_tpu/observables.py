@@ -29,13 +29,19 @@ def dN_twopipTdpTdy(spectra: jnp.ndarray, grid: MomentumGrid) -> jnp.ndarray:
 
 def dN_dy(spectra: jnp.ndarray, grid: MomentumGrid) -> jnp.ndarray:
     """(S, PT, PHI, Y) -> (S, Y): full transverse-momentum integral
-    (reference: emissionfunction.cpp:745-768)."""
-    return jnp.einsum("spfy,p,f->sy", spectra, grid.pT_weight, grid.phi_weight)
+    dN/dy = int pT dpT dphi dN/(pT dpT dphi dy).
+
+    Note: the reference's write_dN_dy_toFile (emissionfunction.cpp:745-768)
+    omits the pT Jacobian, inconsistently with its own write_dN_dphidy_toFile
+    (:620-630) which includes it.  We include it (the physically correct
+    integral; also required for sampler-vs-smooth parity)."""
+    w = grid.pT_weight * grid.pT
+    return jnp.einsum("spfy,p,f->sy", spectra, w, grid.phi_weight)
 
 
 def mean_pT(spectra: jnp.ndarray, grid: MomentumGrid) -> jnp.ndarray:
     """(S, Y) mean transverse momentum."""
-    num = jnp.einsum("spfy,p,f->sy", spectra, grid.pT_weight * grid.pT,
+    num = jnp.einsum("spfy,p,f->sy", spectra, grid.pT_weight * grid.pT ** 2,
                      grid.phi_weight)
     den = dN_dy(spectra, grid)
     return num / jnp.where(den == 0.0, 1.0, den)

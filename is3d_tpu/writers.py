@@ -177,3 +177,28 @@ def write_particle_list_oscar(events, path="results/particle_list_osc.dat"):
                 row = " ".join(f"{float(ev[k][i]):.16e}"
                                for k in ("t", "x", "y", "z", "E", "px", "py", "pz"))
                 f.write(f"{int(ev['mcid'][i])} {row}\n")
+
+
+def write_spacetime_distributions(dX: dict, mcids, results_dir="results"):
+    """results/spacetime_distribution/{dN_taudtaudy,dN_twopirdrdy,
+    dN_twopitaurdtaudrdy,dN_dydeta}_MCID.dat (reference:
+    emissionfunction_smooth_kernels.cpp:1404-1439)."""
+    d = os.path.join(results_dir, "spacetime_distribution")
+    os.makedirs(d, exist_ok=True)
+    tau_mid, r_mid, eta = dX["tau_mid"], dX["r_mid"], dX["eta"]
+    for i, mcid in enumerate(np.asarray(mcids)):
+        mcid = int(mcid)
+        with open(f"{d}/dN_taudtaudy_{mcid}.dat", "w") as f:
+            for it, tm in enumerate(tau_mid):
+                f.write(f"{tm:.6e}\t{dX['dN_taudtaudy'][i, it]:.6e}\n")
+        with open(f"{d}/dN_twopirdrdy_{mcid}.dat", "w") as f:
+            for ir, rm in enumerate(r_mid):
+                f.write(f"{rm:.6e}\t{dX['dN_twopirdrdy'][i, ir]:.6e}\n")
+        with open(f"{d}/dN_twopitaurdtaudrdy_{mcid}.dat", "w") as f:
+            for ir, rm in enumerate(r_mid):
+                for it, tm in enumerate(tau_mid):
+                    f.write(f"{tm:.6e}\t{rm:.6e}\t"
+                            f"{dX['dN_twopitaurdtaudrdy'][i, it, ir]:.6e}\n")
+        with open(f"{d}/dN_dydeta_{mcid}_{len(eta)}pt.dat", "w") as f:
+            for ie, ev in enumerate(eta):
+                f.write(f"{ev:.6e}\t{dX['dN_dydeta'][i, ie]:.6e}\n")

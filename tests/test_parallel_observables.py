@@ -91,7 +91,8 @@ def test_dN_dy_consistency():
     rng = np.random.default_rng(5)
     spectra = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 1)))
     direct = np.einsum("spfy,p,f->sy", np.asarray(spectra),
-                       np.asarray(grid.pT_weight), np.asarray(grid.phi_weight))
+                       np.asarray(grid.pT_weight) * np.asarray(grid.pT),
+                       np.asarray(grid.phi_weight))
     np.testing.assert_allclose(np.asarray(observables.dN_dy(spectra, grid)),
                                direct, rtol=1e-12)
 

@@ -1,0 +1,232 @@
+"""Monte-Carlo sampler: statistical parity with the smooth spectra.
+
+The reference validates its sampler by binning event-averaged histograms and
+overlaying them on the smooth Cooper-Frye output of the same surface
+(scripts/compare_sampling_smooth.py; SURVEY.md section 4.1).  These tests do
+the same quantitatively: per-species yields, mean pT, and pT-spectrum shape
+must agree with the smooth kernel within Monte-Carlo error.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from is3d_tpu.config import Config
+from is3d_tpu.data import SpeciesArrays
+from is3d_tpu.io.surface import Surface, ThermoAverages
+from is3d_tpu.io.tables import native_momentum_grid, gauss_laguerre
+from is3d_tpu.units import TWO_PI2_HBARC3
+from is3d_tpu.physics import thermal
+from is3d_tpu.kernels.smooth import smooth_spectra
+from is3d_tpu.kernels.sample import sample_particles, calculate_total_yield
+from is3d_tpu import observables
+
+from test_smooth import smash_table, df_data, pikp_species, random_cells, to_surface  # noqa: F401
+
+
+PLASMA = ThermoAverages(0.155, 0.33, 0.057, 0.0, 0.0)
+
+
+def equilibrium_density(mass, deg, sign, baryon, T, alphaB=0.0):
+    """Host-side neq (GeV^0 fm^-3) via 32-pt Gauss-Laguerre."""
+    r1, w1 = gauss_laguerre(32, alphas=(1,))[1]
+    mbar = jnp.asarray(np.atleast_1d(mass)) / T
+    out = T**3 / TWO_PI2_HBARC3 * np.asarray(deg) * np.asarray(
+        thermal.gauss_thermal(thermal.neq_int, jnp.asarray(r1), jnp.asarray(w1),
+                              mbar, alphaB, jnp.asarray(np.atleast_1d(baryon)),
+                              jnp.asarray(np.atleast_1d(sign))))
+    return out
+
+
+def species_with_densities(table, T):
+    sp = pikp_species(table)
+    neq = equilibrium_density(np.asarray(sp.mass), np.asarray(sp.degeneracy),
+                              np.asarray(sp.sign), np.asarray(sp.baryon), T)
+    return sp.replace(equilibrium_density=jnp.asarray(neq))
+
+
+MCIDS = np.asarray([211, -211, 321, -321, 2212, -2212], dtype=np.int32)
+
+
+def small_surface(n=24, seed=4, dimension=2):
+    rng = np.random.default_rng(seed)
+    cells = random_cells(n, rng, dimension=dimension)
+    return to_surface(cells)
+
+
+# ---------------------------------------------------------------- total yield
+
+def test_total_yield_ideal_single_cell(smash_table, df_data):
+    """One cell at rest, ideal: yield = u.dsigma * sum_s neq_s * 2 y_cut."""
+    T0 = 0.155
+    n = 1
+    z = np.zeros(n)
+    surf = Surface(tau=jnp.ones(n) * 2.0, x=jnp.asarray(z), y=jnp.asarray(z),
+                   eta=jnp.asarray(z), dat=jnp.ones(n) * 0.5,
+                   dax=jnp.asarray(z), day=jnp.asarray(z), dan=jnp.asarray(z),
+                   ux=jnp.asarray(z), uy=jnp.asarray(z), un=jnp.asarray(z),
+                   T=jnp.ones(n) * T0, E=jnp.ones(n) * 0.33,
+                   P=jnp.ones(n) * 0.057)
+    cfg = Config(operation=2, dimension=2, df_mode=1, y_cut=4.0)
+    sp = species_with_densities(smash_table, T0)
+    got = calculate_total_yield(surf, sp, df_data, cfg, PLASMA)
+    want = 0.5 * float(np.sum(np.asarray(sp.equilibrium_density))) * 2.0 * 4.0
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+# ------------------------------------------------------------- determinism
+
+def test_sampler_deterministic(smash_table, df_data):
+    surf = small_surface()
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 y_cut=3.0, sampler_seed=17)
+    sp = species_with_densities(smash_table, 0.155)
+    ev1 = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                           nevents=3)
+    ev2 = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                           nevents=3)
+    assert len(ev1) == len(ev2) == 3
+    for a, b in zip(ev1, ev2):
+        assert a["mcid"].shape == b["mcid"].shape
+        np.testing.assert_array_equal(a["mcid"], b["mcid"])
+        np.testing.assert_allclose(a["px"], b["px"], rtol=0, atol=0)
+
+
+def test_sampled_particles_on_shell(smash_table, df_data):
+    surf = small_surface(seed=9)
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 y_cut=3.0, sampler_seed=3)
+    sp = species_with_densities(smash_table, 0.155)
+    events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                              nevents=5)
+    allm = np.concatenate([e["mass"] for e in events])
+    assert allm.size > 0
+    for e in events:
+        E2 = e["mass"]**2 + e["px"]**2 + e["py"]**2 + e["pz"]**2
+        np.testing.assert_allclose(e["E"]**2, E2, rtol=1e-10)
+        # rapidity consistent with (E, pz)
+        np.testing.assert_allclose(e["yp"], 0.5 * np.log((e["E"] + e["pz"])
+                                                         / (e["E"] - e["pz"])),
+                                   rtol=1e-8, atol=1e-10)
+        # positions on the tau hypersurface
+        np.testing.assert_allclose(e["t"]**2 - e["z"]**2, e["tau"]**2,
+                                   rtol=1e-10)
+
+
+# ----------------------------------------- statistical parity with smooth CF
+
+@pytest.mark.parametrize("df_mode", [1, 2])
+def test_sampler_matches_smooth(smash_table, df_data, df_mode):
+    """Event-averaged per-species dN/dy and <pT> vs the smooth kernel."""
+    surf = small_surface(n=24, seed=11)
+    y_cut = 4.0
+    cfg = Config(operation=2, dimension=2, df_mode=df_mode,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, y_cut=y_cut, sampler_seed=42)
+    sp = species_with_densities(smash_table, 0.155)
+
+    # smooth side: same df options, fine pT grid
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=5.0, n_phi=24,
+                                n_eta=48)
+    smooth_cfg = cfg.replace(operation=1, cell_chunk=32)
+    spectra = smooth_spectra(surf, sp, grid, df_data, smooth_cfg)
+    dNdy_smooth = np.asarray(observables.dN_dy(spectra, grid))[:, 0]
+    meanpT_smooth = np.asarray(observables.mean_pT(spectra, grid))[:, 0]
+
+    nev = 600
+    events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                              nevents=nev)
+    mcid_all = np.concatenate([e["mcid"] for e in events])
+    pT_all = np.concatenate([np.hypot(e["px"], e["py"]) for e in events])
+
+    for i, mcid in enumerate(MCIDS):
+        sel = mcid_all == mcid
+        n_s = sel.sum()
+        dNdy_sampled = n_s / (2.0 * y_cut) / nev
+        sigma = np.sqrt(max(n_s, 1)) / (2.0 * y_cut) / nev
+        assert abs(dNdy_sampled - dNdy_smooth[i]) < 5.0 * sigma + 0.02 * dNdy_smooth[i], \
+            (mcid, dNdy_sampled, dNdy_smooth[i])
+        mean_pT_sampled = pT_all[sel].mean()
+        tol = 5.0 * pT_all[sel].std() / np.sqrt(n_s) + 0.01 * meanpT_smooth[i]
+        assert abs(mean_pT_sampled - meanpT_smooth[i]) < tol, \
+            (mcid, mean_pT_sampled, meanpT_smooth[i])
+
+
+def test_sampler_pT_shape_vs_smooth(smash_table, df_data):
+    """Coarse-binned pion pT histogram vs the smooth spectrum prediction."""
+    surf = small_surface(n=24, seed=11)
+    y_cut = 4.0
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 y_cut=y_cut, sampler_seed=7)
+    sp = species_with_densities(smash_table, 0.155)
+    grid = native_momentum_grid(dimension=2, n_pT=64, pT_max=5.0, n_phi=24,
+                                n_eta=48)
+    spectra = smooth_spectra(surf, sp, grid, df_data,
+                             cfg.replace(operation=1, cell_chunk=32))
+    # smooth prediction of the pion pT pdf on coarse bins
+    dNpT = np.asarray(observables.dN_twopipTdpTdy(spectra, grid))[0, :, 0]
+    pT = np.asarray(grid.pT)
+    w = np.asarray(grid.pT_weight)
+    edges = np.array([0.0, 0.3, 0.6, 1.0, 1.5, 5.0])
+    pred = np.array([np.sum(2 * np.pi * w[m] * pT[m] * dNpT[m])
+                     for m in [(pT >= lo) & (pT < hi)
+                               for lo, hi in zip(edges[:-1], edges[1:])]])
+    pred /= pred.sum()
+
+    nev = 600
+    events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                              nevents=nev)
+    mcid_all = np.concatenate([e["mcid"] for e in events])
+    pT_all = np.concatenate([np.hypot(e["px"], e["py"]) for e in events])
+    pi = pT_all[mcid_all == 211]
+    counts, _ = np.histogram(pi, bins=edges)
+    frac = counts / counts.sum()
+    sig = np.sqrt(np.maximum(counts, 1)) / counts.sum()
+    assert np.all(np.abs(frac - pred) < 5.0 * sig + 0.01), (frac, pred)
+
+
+@pytest.mark.parametrize("df_mode", [3, 4])
+def test_sampler_feqmod_runs_and_reasonable(smash_table, df_data, df_mode):
+    """feqmod sampling path: runs, on-shell, and total yield within 15% of
+    the smooth kernel (feqmod momentum rescale shifts individual momenta)."""
+    surf = small_surface(n=16, seed=13)
+    y_cut = 3.0
+    cfg = Config(operation=2, dimension=2, df_mode=df_mode,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, y_cut=y_cut, sampler_seed=5)
+    sp = species_with_densities(smash_table, 0.155)
+    nev = 400
+    events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                              nevents=nev)
+    n_tot = sum(len(e["mcid"]) for e in events)
+    assert n_tot > 0
+    for e in events[:10]:
+        E2 = e["mass"]**2 + e["px"]**2 + e["py"]**2 + e["pz"]**2
+        np.testing.assert_allclose(e["E"]**2, E2, rtol=1e-10)
+
+    from is3d_tpu.kernels.feqmod import smooth_spectra_feqmod
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=5.0, n_phi=24,
+                                n_eta=48)
+    spectra = smooth_spectra_feqmod(surf, sp, grid, df_data,
+                                    cfg.replace(operation=1, cell_chunk=16))
+    yield_smooth = float(np.asarray(
+        observables.dN_dy(spectra, grid))[:, 0].sum()) * 2.0 * y_cut
+    yield_sampled = n_tot / nev
+    assert abs(yield_sampled - yield_smooth) < 0.15 * yield_smooth + \
+        5.0 * np.sqrt(n_tot) / nev, (yield_sampled, yield_smooth)
+
+
+def test_sampler_3d(smash_table, df_data):
+    """3+1D surface: runs, on-shell, eta taken from the cells."""
+    surf = small_surface(n=24, seed=21, dimension=3)
+    cfg = Config(operation=2, dimension=3, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 sampler_seed=2)
+    sp = species_with_densities(smash_table, 0.155)
+    events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                              nevents=20)
+    allE = np.concatenate([e["E"] for e in events])
+    assert allE.size > 0 and np.isfinite(allE).all()
