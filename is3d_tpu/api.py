@@ -213,6 +213,12 @@ class IS3D:
 
     def _smooth_spectra(self, species, grid, df_data):
         cfg = self.cfg
+        if cfg.mode in (2, 3):
+            # anisotropic hydro surface -> VAH kernel (the reference's call
+            # site is commented out, emissionfunction.cpp:1650-1656; we wire
+            # it properly)
+            from .kernels.vah import smooth_spectra_vah
+            return smooth_spectra_vah(self.surface, species, grid, cfg)
         if self.mesh is not None:
             from .parallel.mesh import smooth_spectra_sharded
             return smooth_spectra_sharded(self.surface, species, grid,

@@ -115,6 +115,19 @@ def prepare_cells(cols: dict, cfg, df_data: Optional[DeltafData]) -> dict:
     return c
 
 
+def effective_chunk(requested: int, n_cells: int, per_cell_elems: int) -> int:
+    """Bound the scan chunk so the (chunk x species x momentum) elementwise
+    block stays within a per-step element budget.
+
+    On TPU, XLA fuses the block into the reduction so the budget can be
+    large; the CPU backend materializes it, so cap tightly there.  All values
+    are static at trace time (shapes + config), so this is free.
+    """
+    budget = (1 << 24) if jax.default_backend() == "cpu" else (1 << 31)
+    return max(1, min(requested, max(n_cells, 1),
+                      max(1, budget // max(per_cell_elems, 1))))
+
+
 def pad_and_chunk(cols: dict, chunk: int) -> tuple[dict, jnp.ndarray, int]:
     """Pad cell columns to a multiple of ``chunk`` and reshape to
     (n_chunks, chunk).  Returns (chunked columns, valid mask, n_chunks).
@@ -133,7 +146,7 @@ def pad_and_chunk(cols: dict, chunk: int) -> tuple[dict, jnp.ndarray, int]:
     out = {}
     for k, v in cols.items():
         if pad:
-            fill = 1.0 if k in ("tau", "T", "E", "P") else 0.0
+            fill = 1.0 if k in ("tau", "T", "E", "P", "Lambda", "aL") else 0.0
             v = jnp.concatenate([v, jnp.full((pad,), fill, dtype=v.dtype)])
         out[k] = v.reshape(n_chunks, chunk)
     return out, mask.reshape(n_chunks, chunk), n_chunks

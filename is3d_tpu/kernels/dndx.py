@@ -31,7 +31,8 @@ from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
 from ..io.deltaf import DeltafData
-from .common import surface_columns, prepare_cells, pad_and_chunk
+from .common import (surface_columns, prepare_cells, pad_and_chunk,
+                     effective_chunk)
 from .smooth import _pointwise_contribution
 from .feqmod import _pointwise_contribution_feqmod, _prepare_feqmod_cells
 
@@ -59,7 +60,11 @@ def _cell_dNdy(contrib, species, grid, cfg):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
-    chunked, mask, _ = pad_and_chunk(cols, cfg.cell_chunk)
+    factor = 4 if cfg.df_mode in (3, 4) else 1
+    per_cell = factor * species.n_species * grid.n_pT * grid.n_phi * \
+        grid.n_eta * (1 if cfg.dimension == 2 else grid.n_y)
+    chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
+    chunked, mask, _ = pad_and_chunk(cols, chunk)
     S = species.n_species
     R = grid.n_eta if cfg.dimension == 2 else grid.n_y
     dtype = cols["tau"].dtype

@@ -32,7 +32,8 @@ from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
 from ..io.deltaf import DeltafData
 from ..physics import lrf, thermal
-from .common import surface_columns, prepare_cells, pad_and_chunk
+from .common import (surface_columns, prepare_cells, pad_and_chunk,
+                     effective_chunk)
 from .smooth import _momentum_monomials
 
 
@@ -316,7 +317,10 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config):
-    chunked, mask, _ = pad_and_chunk(cols, cfg.cell_chunk)
+    per_cell = 4 * species.n_species * grid.n_pT * grid.n_phi * grid.n_eta * \
+        (1 if cfg.dimension == 2 else grid.n_y)
+    chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
+    chunked, mask, _ = pad_and_chunk(cols, chunk)
     n_y_out = 1 if cfg.dimension == 2 else grid.n_y
     # seed the carry from the (possibly device-varying) surface data so the
     # scan carry type matches under shard_map as well as plain jit

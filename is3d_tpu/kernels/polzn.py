@@ -33,7 +33,7 @@ from jax import lax
 from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
-from .common import pad_and_chunk
+from .common import pad_and_chunk, effective_chunk
 from .smooth import _momentum_monomials, _rapidity_factors
 
 
@@ -88,7 +88,10 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _polzn_jit(cols, species, grid, T_avg, cfg: Config):
-    chunked, mask, _ = pad_and_chunk(cols, cfg.cell_chunk)
+    per_cell = 5 * species.n_species * grid.n_pT * grid.n_phi * grid.n_eta * \
+        (1 if cfg.dimension == 2 else grid.n_y)
+    chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
+    chunked, mask, _ = pad_and_chunk(cols, chunk)
     n_y_out = 1 if cfg.dimension == 2 else grid.n_y
     shape = (species.n_species, grid.n_pT, grid.n_phi, n_y_out)
     dtype = cols["tau"].dtype

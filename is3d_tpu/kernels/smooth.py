@@ -33,7 +33,8 @@ from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
 from ..io.deltaf import DeltafData
-from .common import surface_columns, prepare_cells, pad_and_chunk
+from .common import (surface_columns, prepare_cells, pad_and_chunk,
+                     effective_chunk)
 
 
 def _momentum_monomials(species: SpeciesArrays, grid: MomentumGrid):
@@ -173,7 +174,10 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _smooth_spectra_jit(cols, species, grid, df_data, cfg: Config):
-    chunked, mask, n_chunks = pad_and_chunk(cols, cfg.cell_chunk)
+    per_cell = species.n_species * grid.n_pT * grid.n_phi * grid.n_eta * \
+        (1 if cfg.dimension == 2 else grid.n_y)
+    chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
+    chunked, mask, n_chunks = pad_and_chunk(cols, chunk)
     n_y_out = 1 if cfg.dimension == 2 else grid.n_y
     # seed the carry from the (possibly device-varying) surface data so the
     # scan carry type matches under shard_map as well as plain jit

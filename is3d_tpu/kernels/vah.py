@@ -1,0 +1,155 @@
+"""Anisotropic-hydro (VAH) smooth Cooper-Frye spectra, MODE 2 surfaces.
+
+TPU-native re-derivation of calculate_dN_pTdpTdphidy_VAH_PL (reference:
+emissionfunction_smooth_kernels.cpp:2140-2393).  The anisotropic distribution
+
+    f_a = 1 / (exp(sqrt((u.p)^2 + xi_L (z.p)^2) / Lambda) + sign),
+    xi_L = 1/a_L^2 - 1
+
+with residual 14-moment corrections
+
+    df = c3 (z.p)(W.p) + c4 pi_perp : pp   (shear)
+       + (c0 m^2 + c1 (z.p)^2 + c2 (u.p)^2) bulkPi   (bulk)
+
+and regulation f = f_a (1 + clamp(fabar df, -1, 1)).
+
+Notes vs the reference:
+* its VAH call sites are commented out (emissionfunction.cpp:1650-1656) and
+  its eta quadrature multiplies the trapezoid weight by delta_eta a second
+  time (:2237-2245 -- the weight column of tables/eta/* already contains
+  delta_eta); we use the weights once, like the VH kernel (:79-80),
+* per-cell df coefficients c0..c4 are optional inputs (zero -> pure f_a);
+  the reference reads them from FO_surf fields that its mode-2 reader never
+  fills.
+* W^mu orthogonality completion Wt = (ux Wx + uy Wy) ut / u0^2, Wn = Wt un/ut
+  (reference :2247-2251).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..units import CF_PREFACTOR
+from ..config import Config
+from ..data import SpeciesArrays
+from ..io.tables import MomentumGrid
+from .common import pad_and_chunk, effective_chunk
+from .smooth import _momentum_monomials, _rapidity_factors
+from ..physics import lrf
+
+
+def _chunk_vah(c, valid, species, grid, cfg):
+    cc = lambda x: x[:, None, None, None, None]
+    mT, px, py = _momentum_monomials(species, grid)
+    mT_b = mT[None, :, :, None, None]
+    px_b = px[None, None, :, :, None]
+    py_b = py[None, None, :, :, None]
+
+    ch, sh = _rapidity_factors(c, grid, cfg.dimension)
+    pt = mT_b * ch[:, None, None, None, :]
+    taupn = mT_b * sh[:, None, None, None, :]        # tau * p^eta
+
+    tau = c["tau"]
+    pds = (pt * cc(c["dat"]) + px_b * cc(c["dax"]) + py_b * cc(c["day"])
+           + taupn * cc(c["dan"] / tau))
+    pdotu = (pt * cc(c["ut"]) - px_b * cc(c["ux"]) - py_b * cc(c["uy"])
+             - taupn * cc(tau * c["un"]))
+    # z.p with z = (zt, 0, 0, zn): zt pt - tau^2 zn pn = zt pt - (tau zn) taupn
+    pdotz = pt * cc(c["zt"]) - taupn * cc(tau * c["zn"])
+
+    sign_b = species.sign[None, :, None, None, None]
+    mass2_b = (species.mass ** 2)[None, :, None, None, None]
+
+    xiL = cc(1.0 / (c["aL"] ** 2) - 1.0)
+    Ea = jnp.sqrt(pdotu * pdotu + xiL * pdotz * pdotz)
+    fa = 1.0 / (jnp.exp(Ea / cc(c["Lambda"])) + sign_b)
+    fabar = 1.0 - sign_b * fa
+
+    df = jnp.zeros_like(fa)
+    if cfg.include_shear_deltaf:
+        Wp = (cc(c["Wt"]) * pt - cc(c["Wx"]) * px_b - cc(c["Wy"]) * py_b
+              - cc(c["Wn"] * tau) * taupn)
+        q3 = taupn
+        pipp = (cc(c["pitt"]) * pt * pt + cc(c["pixx"]) * px_b * px_b
+                + cc(c["piyy"]) * py_b * py_b
+                + cc(c["pinn"] * tau * tau) * q3 * q3
+                + 2.0 * (-(cc(c["pitx"]) * px_b + cc(c["pity"]) * py_b) * pt
+                         + cc(c["pixy"]) * px_b * py_b
+                         + q3 * (cc(c["pixn"] * tau) * px_b
+                                 + cc(c["piyn"] * tau) * py_b
+                                 - cc(c["pitn"] * tau) * pt)))
+        df = df + cc(c["c3"]) * pdotz * Wp + cc(c["c4"]) * pipp
+    if cfg.include_bulk_deltaf:
+        df = df + (cc(c["c0"]) * mass2_b + cc(c["c1"]) * pdotz * pdotz
+                   + cc(c["c2"]) * pdotu * pdotu) * cc(c["bulkPi"])
+
+    if cfg.regulate_deltaf:
+        f = fa * (1.0 + jnp.clip(fabar * df, -1.0, 1.0))
+    else:
+        f = fa * (1.0 + fabar * df)
+
+    contrib = pds * f
+    if cfg.outflow:
+        contrib = jnp.where(pds > 0.0, contrib, 0.0)
+    mask = valid.astype(contrib.dtype)
+    contrib = contrib * cc(mask)
+
+    if cfg.dimension == 2:
+        contrib = contrib * grid.eta_weight[None, None, None, None, :]
+        out = jnp.sum(contrib, axis=(0, 4))[..., None]
+    else:
+        out = jnp.sum(contrib, axis=0)
+    deg = species.degeneracy[:, None, None, None]
+    return CF_PREFACTOR * deg * out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _vah_jit(cols, species, grid, cfg: Config):
+    per_cell = species.n_species * grid.n_pT * grid.n_phi * grid.n_eta * \
+        (1 if cfg.dimension == 2 else grid.n_y)
+    chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
+    chunked, mask, _ = pad_and_chunk(cols, chunk)
+    n_y_out = 1 if cfg.dimension == 2 else grid.n_y
+    acc0 = jnp.zeros((species.n_species, grid.n_pT, grid.n_phi, n_y_out),
+                     dtype=cols["tau"].dtype)
+
+    def body(acc, inp):
+        chunk_cols, m = inp
+        c = dict(chunk_cols)
+        tau = c["tau"]
+        ut = lrf.u_tau(c["ux"], c["uy"], c["un"], tau)
+        u0 = jnp.sqrt(1.0 + c["ux"] ** 2 + c["uy"] ** 2)
+        c["ut"] = ut
+        c["zt"] = tau * c["un"] / u0
+        c["zn"] = ut / (u0 * tau)
+        c["Wt"] = (c["ux"] * c["Wx"] + c["uy"] * c["Wy"]) * ut / (u0 * u0)
+        c["Wn"] = c["Wt"] * c["un"] / ut
+        return acc + _chunk_vah(c, m, species, grid, cfg), None
+
+    acc, _ = lax.scan(body, acc0, (chunked, mask))
+    return acc
+
+
+def smooth_spectra_vah(surface, species: SpeciesArrays, grid: MomentumGrid,
+                       cfg: Config) -> jnp.ndarray:
+    """VAH smooth spectra from a mode-2/3 surface: (S, PT, PHI, Y_out)."""
+    z = jnp.zeros_like(surface.tau)
+    get = lambda name: (getattr(surface, name)
+                        if getattr(surface, name) is not None else z)
+    cols = dict(tau=surface.tau, dat=surface.dat, dax=surface.dax,
+                day=surface.day, dan=surface.dan,
+                ux=surface.ux, uy=surface.uy, un=surface.un)
+    cols["eta"] = get("eta")
+    for name in ("pitt", "pitx", "pity", "pitn", "pixx", "pixy", "pixn",
+                 "piyy", "piyn", "pinn", "bulkPi", "Wx", "Wy",
+                 "c0", "c1", "c2", "c3", "c4"):
+        cols[name] = get(name) if hasattr(surface, name) else z
+    if surface.Lambda is None or surface.aL is None:
+        raise ValueError("VAH kernel needs Lambda and aL (mode 2/3 surface)")
+    cols["Lambda"] = surface.Lambda
+    cols["aL"] = surface.aL
+    return _vah_jit(cols, species, grid, cfg)

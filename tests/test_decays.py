@@ -1,0 +1,199 @@
+"""Resonance decay feed-down: conservation + Monte-Carlo shape oracle.
+
+The reference's decay routine is disabled (exit at
+emissionfunction_resonance_decays.cpp:128), so parity targets are physics
+identities and an independent Monte-Carlo decay simulation (same methodology
+as the reference's documentation/decay test notebooks):
+
+1. yield conservation: each decay R -> 1+2(+3) deposits exactly
+   multiplicity * BR * (parent dN/dY) into the daughter dN/dy,
+2. MC shape: sample parents from the analytic spectrum, decay isotropically
+   in the parent rest frame, boost, histogram the daughter pT spectrum.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from is3d_tpu.config import Config
+from is3d_tpu.io.tables import native_momentum_grid
+from is3d_tpu.kernels import decays as dk
+
+
+def parent_spectrum(grid, M, b=3.2, c=3.0, v2=0.2):
+    """Analytic boost-invariant parent: exp(c - b MT)(1 + 2 v2 cos(2 Phi))."""
+    pT = np.asarray(grid.pT)
+    phi = np.asarray(grid.phi)
+    MT = np.sqrt(M * M + pT * pT)
+    out = np.exp(c - b * MT)[:, None] * (1.0 + 2 * v2 * np.cos(2 * phi))[None, :]
+    return out[None, :, :, None]   # (1, P, F, 1)
+
+
+def dNdy(spec, grid):
+    pT = np.asarray(grid.pT)
+    w = np.asarray(grid.pT_weight) * pT
+    return float(np.einsum("pf,p,f->", spec[:, :, 0], w,
+                           np.asarray(grid.phi_weight)))
+
+
+def feed_two_body(grid, M, m1, m2, branch, dimension=2):
+    spec = parent_spectrum(grid, M)
+    pT = np.asarray(grid.pT)
+    logdN, tc, ts, MT_grid = dk._prepare_parent(spec[0], pT, M)
+    Estar = (M * M + m1 * m1 - m2 * m2) / (2 * M)
+    pstar = np.sqrt(Estar**2 - m1 * m1)
+    pref = 1.0 * M * branch / (8.0 * pstar)
+    out = dk._two_body_integral(
+        jnp.asarray(logdN), jnp.asarray(tc), jnp.asarray(ts),
+        jnp.asarray(MT_grid), jnp.asarray(pT), jnp.asarray(grid.phi),
+        jnp.asarray(grid.y), m1 * m1, Estar, pstar, M, dimension)
+    return spec, pref * np.asarray(out)
+
+
+def test_two_body_yield_conservation():
+    """rho -> pi pi: daughter dN/dy = BR * parent dN/dY per daughter."""
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=6.0, n_phi=24,
+                                n_eta=8)
+    M, m = 0.775, 0.138
+    spec, feed = feed_two_body(grid, M, m, m, branch=1.0)
+    got = dNdy(feed, grid)
+    want = dNdy(spec[0], grid)
+    assert abs(got - want) < 0.02 * want, (got, want)
+
+
+def test_two_body_asymmetric_masses():
+    """K* -> K pi: both daughters conserve the parent yield."""
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=6.0, n_phi=24,
+                                n_eta=8)
+    M, mK, mpi = 0.892, 0.494, 0.138
+    spec, feed_K = feed_two_body(grid, M, mK, mpi, branch=1.0)
+    _, feed_pi = feed_two_body(grid, M, mpi, mK, branch=1.0)
+    want = dNdy(spec[0], grid)
+    assert abs(dNdy(feed_K, grid) - want) < 0.02 * want
+    assert abs(dNdy(feed_pi, grid) - want) < 0.02 * want
+
+
+def test_three_body_yield_conservation():
+    """omega -> 3 pi (single pi+ group): dN/dy = BR * parent dN/dY."""
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=6.0, n_phi=24,
+                                n_eta=8)
+    M, m = 0.783, 0.138
+    spec = parent_spectrum(grid, M)
+    pT = np.asarray(grid.pT)
+    logdN, tc, ts, MT_grid = dk._prepare_parent(spec[0], pT, M)
+    s_plus = (M - m) ** 2
+    s_minus = (2 * m) ** 2
+    d = 0.0
+    Q = dk._q_factor(M, m, m, m)
+    pref = 1.0 * M * M * (s_plus - s_minus) * 1.0 / (8.0 * Q)
+    out = pref * np.asarray(dk._three_body_integral(
+        jnp.asarray(logdN), jnp.asarray(tc), jnp.asarray(ts),
+        jnp.asarray(MT_grid), jnp.asarray(pT), jnp.asarray(grid.phi),
+        jnp.asarray(grid.y), m * m, M, s_minus, s_plus, d, 2))
+    got = dNdy(out, grid)
+    want = dNdy(spec[0], grid)
+    assert abs(got - want) < 0.03 * want, (got, want)
+
+
+def test_two_body_shape_vs_monte_carlo():
+    """rho0 -> pi+ pi-: integral feed-down pT shape vs MC decay simulation."""
+    rng = np.random.default_rng(8)
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=6.0, n_phi=24,
+                                n_eta=8)
+    M, m, b, c, v2 = 0.775, 0.138, 3.2, 3.0, 0.2
+    spec, feed = feed_two_body(grid, M, m, m, branch=1.0)
+
+    # MC: sample parents from MT exp(-b MT) (1 + 2 v2 cos 2Phi), Y uniform
+    N = 2_000_000
+    Yr = 8.0
+    Y = rng.uniform(-Yr, Yr, N)
+    # MT - M ~ mixture sampling via rejection from exponential
+    MT = np.empty(N)
+    got_n = 0
+    while got_n < N:
+        k = (N - got_n) * 2
+        cand = M + rng.exponential(1.0 / b, k)
+        acc = rng.uniform(0, 1, k) < (cand / (M + 3.0 / b))  # envelope ok for MT<M+3/b?
+        # use exact rejection: density prop to MT e^{-b MT}; envelope C e^{-b MT}
+        # with C = cand_max unknown -> instead accept with MT / (M + 40/b)
+        acc = rng.uniform(0, 1, k) < (cand / (M + 40.0 / b))
+        sel = cand[acc][: N - got_n]
+        MT[got_n:got_n + len(sel)] = sel
+        got_n += len(sel)
+    Phi = np.empty(N)
+    got_n = 0
+    while got_n < N:
+        k = (N - got_n) * 2
+        cand = rng.uniform(0, 2 * np.pi, k)
+        acc = rng.uniform(0, 1, k) < (1 + 2 * v2 * np.cos(2 * cand)) / (1 + 2 * v2)
+        sel = cand[acc][: N - got_n]
+        Phi[got_n:got_n + len(sel)] = sel
+        got_n += len(sel)
+
+    PT = np.sqrt(MT**2 - M**2)
+    # parent 4-momentum
+    P0 = MT * np.cosh(Y)
+    Px = PT * np.cos(Phi)
+    Py = PT * np.sin(Phi)
+    Pz = MT * np.sinh(Y)
+
+    # isotropic decay in rest frame
+    Estar = M / 2.0
+    pstar = np.sqrt(Estar**2 - m * m)
+    cth = rng.uniform(-1, 1, N)
+    ph = rng.uniform(0, 2 * np.pi, N)
+    sth = np.sqrt(1 - cth**2)
+    ps = pstar * np.stack([sth * np.cos(ph), sth * np.sin(ph), cth], 1)
+    # boost to lab: p = ps + [(ps.P)/(M(P0+M)) + Estar/M] P_vec
+    Pvec = np.stack([Px, Py, Pz], 1)
+    psP = np.einsum("ni,ni->n", ps, Pvec)
+    coef = psP / (M * (P0 + M)) + Estar / M
+    plab = ps + coef[:, None] * Pvec
+    E = np.sqrt(m * m + np.einsum("ni,ni->n", plab, plab))
+    yd = 0.5 * np.log((E + plab[:, 2]) / (E - plab[:, 2]))
+    pTd = np.hypot(plab[:, 0], plab[:, 1])
+
+    # physical parent yield per unit Y for weighting
+    from scipy.integrate import quad
+    nY = 2 * np.pi * np.exp(c) * quad(lambda x: x * np.exp(-b * x), M, np.inf)[0]
+    w = nY * (2 * Yr) / N
+
+    sel = np.abs(yd) < 0.5
+    edges = np.array([0.05, 0.15, 0.25, 0.35, 0.5, 0.7, 1.0, 1.4])
+    counts, _ = np.histogram(pTd[sel], bins=edges)
+    mc = counts * w / np.diff(edges)      # dN/dy/dpT per bin
+
+    # integral side: dN/dy/dpT = pT * int dphi feed(pT, phi)
+    pT = np.asarray(grid.pT)
+    phiw = np.asarray(grid.phi_weight)
+    dphi_int = np.einsum("pf,f->p", feed[:, :, 0], phiw) * pT
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    integ = np.interp(centers, pT, dphi_int)
+
+    stat = np.sqrt(np.maximum(counts, 1)) * w / np.diff(edges)
+    for i in range(len(centers)):
+        assert abs(mc[i] - integ[i]) < 5 * stat[i] + 0.04 * integ[i], \
+            (i, centers[i], mc[i], integ[i])
+
+
+def test_driver_rho_feeds_pions(reference_dir):
+    """do_resonance_decays on a mini chosen list: rho0 feeds pi+ and pi-."""
+    from is3d_tpu.io import pdg
+    table = pdg.read_resonances(f"{reference_dir}/PDG", 1)
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=6.0, n_phi=24,
+                                n_eta=8)
+    mcids = np.asarray([211, -211, 113])
+    S = len(mcids)
+    spectra = np.zeros((S, grid.n_pT, grid.n_phi, 1))
+    M = float(table.mass[table.index_of_mcid(113)])
+    spectra[2] = parent_spectrum(grid, M)[0]
+    cfg = Config(dimension=2, do_resonance_decays=1, lightest_particle=111)
+    out = dk.do_resonance_decays(spectra, table, mcids, grid, cfg)
+    w_parent = dNdy(spectra[2], grid)
+    got_pip = dNdy(out[0], grid)
+    got_pim = dNdy(out[1], grid)
+    # rho0 -> pi+ pi- with BR 1: each pion species gains the parent yield
+    assert abs(got_pip - w_parent) < 0.02 * w_parent, (got_pip, w_parent)
+    assert abs(got_pim - w_parent) < 0.02 * w_parent
+    # parent spectrum itself unchanged
+    np.testing.assert_allclose(out[2], spectra[2])

@@ -1,0 +1,165 @@
+"""VAH anisotropic-hydro spectra kernel vs a direct numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from is3d_tpu.config import Config
+from is3d_tpu.data import SpeciesArrays
+from is3d_tpu.io.surface import Surface, read_surface
+from is3d_tpu.io.tables import native_momentum_grid
+from is3d_tpu.kernels.vah import smooth_spectra_vah
+from is3d_tpu.units import CF_PREFACTOR
+from is3d_tpu.physics.anisotropic import aL_fit, R200
+
+
+def make_vah_cells(n, rng, dimension=2):
+    return dict(
+        tau=rng.uniform(1, 5, n), x=rng.uniform(-3, 3, n),
+        y=rng.uniform(-3, 3, n),
+        eta=(rng.uniform(-1, 1, n) if dimension == 3 else np.zeros(n)),
+        dat=rng.uniform(0.1, 1, n), dax=rng.uniform(-0.3, 0.3, n),
+        day=rng.uniform(-0.3, 0.3, n),
+        dan=(rng.uniform(-0.05, 0.05, n) if dimension == 3 else np.zeros(n)),
+        ux=rng.uniform(-0.5, 0.5, n), uy=rng.uniform(-0.5, 0.5, n),
+        un=rng.uniform(-0.03, 0.03, n),
+        T=np.full(n, 0.155), E=np.full(n, 0.3), P=np.full(n, 0.05),
+        pitt=rng.normal(0, 0.002, n), pitx=rng.normal(0, 0.002, n),
+        pity=rng.normal(0, 0.002, n), pitn=rng.normal(0, 0.001, n),
+        pixx=rng.normal(0, 0.002, n), pixy=rng.normal(0, 0.002, n),
+        pixn=rng.normal(0, 0.001, n), piyy=rng.normal(0, 0.002, n),
+        piyn=rng.normal(0, 0.001, n), pinn=rng.normal(0, 0.001, n),
+        bulkPi=rng.normal(0, 0.002, n),
+        Wx=rng.normal(0, 0.002, n), Wy=rng.normal(0, 0.002, n),
+        Lambda=rng.uniform(0.14, 0.17, n), aL=rng.uniform(0.6, 1.4, n),
+    )
+
+
+def oracle_vah(cells, mass, sign, deg, grid, cfg):
+    pT = np.asarray(grid.pT); phi = np.asarray(grid.phi)
+    eta = np.asarray(grid.eta); etaw = np.asarray(grid.eta_weight)
+    ys = [0.0] if cfg.dimension == 2 else list(np.asarray(grid.y))
+    out = np.zeros((len(pT), len(phi), len(ys)))
+    n = len(cells["tau"])
+    for ic in range(n):
+        tau = cells["tau"][ic]; tau2 = tau * tau
+        ux, uy, un = cells["ux"][ic], cells["uy"][ic], cells["un"][ic]
+        ut = np.sqrt(1 + ux**2 + uy**2 + tau2 * un**2)
+        u0 = np.sqrt(1 + ux**2 + uy**2)
+        zt, zn = tau * un / u0, ut / (u0 * tau)
+        Wx, Wy = cells["Wx"][ic], cells["Wy"][ic]
+        Wt = (ux * Wx + uy * Wy) * ut / u0**2
+        Wn = Wt * un / ut
+        lam, aL = cells["Lambda"][ic], cells["aL"][ic]
+        xiL = 1.0 / aL**2 - 1.0
+        if cfg.dimension == 2:
+            etas, ws = eta, etaw
+        else:
+            etas, ws = [cells["eta"][ic]], [1.0]
+        for i, pt_ in enumerate(pT):
+            mT = np.sqrt(mass**2 + pt_**2)
+            for j, ph in enumerate(phi):
+                px, py = pt_ * np.cos(ph), pt_ * np.sin(ph)
+                for k, yv in enumerate(ys):
+                    for e, w in zip(etas, ws):
+                        ptau = mT * np.cosh(yv - e)
+                        pn = mT / tau * np.sinh(yv - e)
+                        pds = (ptau * cells["dat"][ic] + px * cells["dax"][ic]
+                               + py * cells["day"][ic] + pn * cells["dan"][ic])
+                        pdotu = ptau * ut - px * ux - py * uy - tau2 * pn * un
+                        pdotz = ptau * zt - tau2 * pn * zn
+                        Ea = np.sqrt(pdotu**2 + xiL * pdotz**2)
+                        fa = 1.0 / (np.exp(Ea / lam) + sign)
+                        fabar = 1.0 - sign * fa
+                        df = 0.0
+                        if cfg.include_shear_deltaf:
+                            Wp = Wt * ptau - Wx * px - Wy * py - tau2 * pn * Wn
+                            pipp = (cells["pitt"][ic] * ptau**2
+                                    + cells["pixx"][ic] * px**2
+                                    + cells["piyy"][ic] * py**2
+                                    + cells["pinn"][ic] * (tau2 * pn)**2
+                                    + 2 * (-(cells["pitx"][ic] * px
+                                             + cells["pity"][ic] * py) * ptau
+                                           + cells["pixy"][ic] * px * py
+                                           + tau2 * pn * (cells["pixn"][ic] * px
+                                                          + cells["piyn"][ic] * py
+                                                          - cells["pitn"][ic] * ptau)))
+                            df += 0.1 * pdotz * Wp + 0.2 * pipp  # c3, c4
+                        if cfg.include_bulk_deltaf:
+                            df += (0.3 * mass**2 + 0.05 * pdotz**2
+                                   + 0.07 * pdotu**2) * cells["bulkPi"][ic]
+                        f = fa * (1 + np.clip(fabar * df, -1, 1)
+                                  if cfg.regulate_deltaf else 1 + fabar * df)
+                        if cfg.outflow and pds <= 0:
+                            continue
+                        out[i, j, k] += w * pds * f
+    return CF_PREFACTOR * deg * out
+
+
+def test_vah_vs_oracle_2d():
+    rng = np.random.default_rng(51)
+    cells = make_vah_cells(6, rng)
+    cells["c0"] = np.full(6, 0.3)
+    cells["c1"] = np.full(6, 0.05)
+    cells["c2"] = np.full(6, 0.07)
+    cells["c3"] = np.full(6, 0.1)
+    cells["c4"] = np.full(6, 0.2)
+    cfg = Config(mode=2, dimension=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 cell_chunk=4)
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=4, n_eta=8)
+    z = jnp.zeros(1)
+    sp = SpeciesArrays(mass=jnp.asarray([0.139]), sign=jnp.asarray([-1.0]),
+                       degeneracy=jnp.asarray([1.0]), baryon=jnp.asarray([0.0]),
+                       equilibrium_density=z, bulk_density=z, diff_density=z)
+    surf_cols = {k: jnp.asarray(v) for k, v in cells.items()
+                 if k not in ("c0", "c1", "c2", "c3", "c4")}
+    surf = Surface(**surf_cols)
+    from is3d_tpu.kernels.vah import _vah_jit
+    cols = dict(tau=surf.tau, dat=surf.dat, dax=surf.dax, day=surf.day,
+                dan=surf.dan, ux=surf.ux, uy=surf.uy, un=surf.un,
+                eta=surf.eta, Lambda=surf.Lambda, aL=surf.aL,
+                bulkPi=surf.bulkPi, Wx=surf.Wx, Wy=surf.Wy)
+    for nm in ("pitt", "pitx", "pity", "pitn", "pixx", "pixy", "pixn",
+               "piyy", "piyn", "pinn"):
+        cols[nm] = getattr(surf, nm)
+    for nm in ("c0", "c1", "c2", "c3", "c4"):
+        cols[nm] = jnp.asarray(cells[nm])
+    got = np.asarray(_vah_jit(cols, sp, grid, cfg))[0]
+    want = oracle_vah(cells, 0.139, -1.0, 1.0, grid, cfg)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-16)
+
+
+def test_vah_3d_runs():
+    rng = np.random.default_rng(52)
+    cells = make_vah_cells(5, rng, dimension=3)
+    cfg = Config(mode=2, dimension=3, include_shear_deltaf=0,
+                 include_bulk_deltaf=0, outflow=1, cell_chunk=2)
+    grid = native_momentum_grid(dimension=3, n_pT=3, n_phi=4, n_y=3)
+    z = jnp.zeros(1)
+    sp = SpeciesArrays(mass=jnp.asarray([0.139]), sign=jnp.asarray([-1.0]),
+                       degeneracy=jnp.asarray([1.0]), baryon=jnp.asarray([0.0]),
+                       equilibrium_density=z, bulk_density=z, diff_density=z)
+    surf = Surface(**{k: jnp.asarray(v) for k, v in cells.items()})
+    got = np.asarray(smooth_spectra_vah(surf, sp, grid, cfg))
+    assert np.isfinite(got).all() and (got > 0).any()
+
+
+def test_vah_reader_roundtrip():
+    """Mode-2 reader computes (aL, Lambda) consistent with the fit."""
+    rng = np.random.default_rng(53)
+    n = 3
+    base = np.zeros((n, 31))
+    base[:, 0] = rng.uniform(1, 4, n)                  # tau
+    base[:, 4] = rng.uniform(0.1, 0.5, n)              # dat
+    base[:, 8] = 1.0                                   # ut (ignored)
+    base[:, 12] = rng.uniform(1.2, 1.8, n)             # E (fm^-4)
+    base[:, 13] = rng.uniform(0.75, 0.80, n)           # T
+    base[:, 14] = rng.uniform(0.22, 0.28, n)           # P
+    base[:, 15] = base[:, 14] * rng.uniform(0.5, 1.5, n)  # PL
+    text = "\n".join(" ".join(f"{v:.17e}" for v in r) for r in base)
+    surf, _ = read_surface(text, mode=2, dimension=2)
+    ratio = base[:, 15] / base[:, 14]
+    aL = aL_fit(ratio)
+    np.testing.assert_allclose(np.asarray(surf.aL), aL, rtol=1e-12)
+    lam = base[:, 13] / (0.5 * aL * R200(aL)) ** 0.25 * 0.197327053
+    np.testing.assert_allclose(np.asarray(surf.Lambda), lam, rtol=1e-12)
