@@ -196,13 +196,21 @@ class IS3D:
                 writers.write_spacetime_distributions(result.dN_dX, mcids,
                                                       self.results_dir)
         elif cfg.operation == 2:
-            from .kernels.sample import sample_particles
+            from .kernels.sample import sample_particles, calculate_total_yield
             result.events = sample_particles(
                 self.surface, species, np.asarray(mcids), grid, df_data,
                 cfg, plasma, particle_table)
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
-                if not cfg.test_sampler:
+                if cfg.test_sampler:
+                    from .histograms import (sampler_test_histograms,
+                                             write_sampler_test)
+                    mean_yield = calculate_total_yield(
+                        self.surface, species, df_data, cfg, plasma)
+                    hist = sampler_test_histograms(result.events, mcids, cfg,
+                                                   mean_yield)
+                    write_sampler_test(hist, mcids, self.results_dir)
+                else:
                     writers.write_particle_list_oscar(
                         result.events,
                         os.path.join(self.results_dir, "particle_list_osc.dat"))
