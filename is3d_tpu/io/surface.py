@@ -137,10 +137,15 @@ def load_float_matrix(path_or_text, ncols: Optional[int] = None) -> np.ndarray:
     else:
         text = path_or_text
 
-    if "#" in text:
-        text = "\n".join(l for l in text.splitlines() if not l.lstrip().startswith("#"))
-
-    flat = np.array(text.split(), dtype=np.float64)
+    # native C++ tokenizer when available (is3d_tpu/native/fastio.cpp);
+    # handles '#' comments itself
+    from ..native import fast_parse_doubles
+    flat = fast_parse_doubles(text.encode())
+    if flat is None:
+        if "#" in text:
+            text = "\n".join(l for l in text.splitlines()
+                             if not l.lstrip().startswith("#"))
+        flat = np.array(text.split(), dtype=np.float64)
     if ncols is not None:
         if flat.size % ncols:
             raise ValueError(f"token count {flat.size} not divisible by ncols={ncols}")

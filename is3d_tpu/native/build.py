@@ -1,0 +1,92 @@
+"""Build + ctypes bindings for the native fastio library."""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "fastio.cpp")
+
+
+def _build_lib() -> str | None:
+    """Compile fastio.cpp into a cached .so; returns its path or None."""
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get("IS3D_NATIVE_CACHE",
+                           os.path.join(tempfile.gettempdir(), "is3d_native"))
+    os.makedirs(cache, exist_ok=True)
+    so_path = os.path.join(cache, f"fastio_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
+        return so_path
+    except (subprocess.SubprocessError, OSError):
+        return None
+
+
+def get_fastio():
+    """The loaded ctypes library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is None and not _tried:
+            _tried = True
+            path = _build_lib()
+            if path is not None:
+                try:
+                    lib = ctypes.CDLL(path)
+                    lib.parse_doubles.restype = ctypes.c_longlong
+                    lib.parse_doubles.argtypes = [
+                        ctypes.c_char_p, ctypes.c_longlong,
+                        ctypes.POINTER(ctypes.c_double), ctypes.c_longlong]
+                    lib.count_doubles.restype = ctypes.c_longlong
+                    lib.count_doubles.argtypes = [ctypes.c_char_p,
+                                                  ctypes.c_longlong]
+                    lib.count_rows.restype = ctypes.c_longlong
+                    lib.count_rows.argtypes = [ctypes.c_char_p,
+                                               ctypes.c_longlong]
+                    _lib = lib
+                except OSError:
+                    _lib = None
+    return _lib
+
+
+def fast_parse_doubles(data: bytes) -> np.ndarray | None:
+    """Parse all numeric tokens in ``data``; None if native lib unavailable
+    or a token is not numeric (caller falls back)."""
+    lib = get_fastio()
+    if lib is None:
+        return None
+    n = lib.count_doubles(data, len(data))
+    if n < 0:
+        return None
+    out = np.empty(int(n), dtype=np.float64)
+    got = lib.parse_doubles(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n)
+    if got != n:
+        return None
+    return out
+
+
+def fast_count_rows(data: bytes) -> int | None:
+    lib = get_fastio()
+    if lib is None:
+        return None
+    n = lib.count_rows(data, len(data))
+    return None if n < 0 else int(n)

@@ -1,0 +1,63 @@
+"""Offline coefficient generator parity + native IO parser."""
+
+import numpy as np
+import pytest
+
+from is3d_tpu.io import pdg
+from is3d_tpu.io.deltaf import load_deltaf_tables
+from is3d_tpu.tools.deltaf_generator import (compute_coefficient_tables,
+                                             write_tables, generate)
+from is3d_tpu.native import fast_parse_doubles, fast_count_rows, get_fastio
+
+
+def test_generator_matches_shipped_tables(reference_dir):
+    """Regenerate the smash coefficient tables on a sparse (T, muB) subgrid
+    and compare against the reference's shipped files (which store 6
+    decimals).  Full-grid parity was verified offline at <= 5e-5 of scale."""
+    table = pdg.read_resonances(f"{reference_dir}/PDG", 2)
+    T, muB, tabs = compute_coefficient_tables(table, T_min=0.1, T_max=0.2,
+                                              nT=6, muB_min=0.0, muB_max=0.8,
+                                              nmuB=5)
+    Tref, muBref, ref = load_deltaf_tables(
+        f"{reference_dir}/deltaf_coefficients", 2)
+    iT = np.round((T - 0.1) / 0.001).astype(int)
+    imu = np.round(muB / 0.01).astype(int)
+    np.testing.assert_allclose(Tref[iT], T, atol=1e-12)
+    for name in ref:
+        sub_ref = ref[name][np.ix_(imu, iT)]
+        scale = np.max(np.abs(ref[name]))
+        np.testing.assert_allclose(tabs[name], sub_ref, atol=1e-4 * scale,
+                                   err_msg=name)
+
+
+def test_generator_roundtrip_through_loader(reference_dir, tmp_path):
+    """Files written by write_tables load back through the runtime loader."""
+    table = pdg.read_resonances(f"{reference_dir}/PDG", 2)
+    T, muB, tabs = compute_coefficient_tables(table, nT=4, nmuB=3)
+    out = tmp_path / "vh" / "smash"
+    write_tables(T, muB, tabs, str(out))
+    T2, muB2, loaded = load_deltaf_tables(str(tmp_path), 2)
+    np.testing.assert_allclose(T2, T, atol=1e-6)
+    np.testing.assert_allclose(muB2, muB, atol=1e-6)
+    for name in tabs:
+        np.testing.assert_allclose(loaded[name], tabs[name], atol=1e-6)
+
+
+def test_native_parser_matches_python():
+    if get_fastio() is None:
+        pytest.skip("no native toolchain")
+    data = b"1.5 2 3e-4  # trailing comment 99\n4 -5 6\n# comment line\n7 8 9.25\n"
+    np.testing.assert_array_equal(
+        fast_parse_doubles(data),
+        [1.5, 2, 3e-4, 4, -5, 6, 7, 8, 9.25])
+    assert fast_count_rows(data) == 3
+    assert fast_parse_doubles(b"1.0 abc") is None
+
+
+def test_native_parser_in_surface_loader():
+    from is3d_tpu.io.surface import load_float_matrix
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(37, 8))
+    text = "\n".join(" ".join(f"{v:.17e}" for v in r) for r in m)
+    got = load_float_matrix(text, ncols=8)
+    np.testing.assert_array_equal(got, m)
