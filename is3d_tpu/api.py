@@ -147,9 +147,15 @@ class IS3D:
                                     avg.net_baryon_density)
         return particle_table, df_data, species, chosen_mcids, grid, plasma
 
-    def run_particlization(self, write_files: bool = True) -> RunResult:
+    def run_particlization(self, write_files: bool = True,
+                           timer=None) -> RunResult:
+        from .utils import PhaseTimer
+        timer = timer or PhaseTimer(verbose=False)
         cfg = self.cfg
-        (particle_table, df_data, species, mcids, grid, plasma) = self._prepare()
+        with timer.phase("prepare (io, pdg, deltaf)"):
+            (particle_table, df_data, species, mcids, grid,
+             plasma) = self._prepare()
+        self.timer = timer
 
         result = RunResult(mcids=np.asarray(mcids), averages=self.averages)
 
@@ -167,8 +173,9 @@ class IS3D:
             return result
 
         if cfg.operation == 1:
-            spectra = self._smooth_spectra(species, grid, df_data)
-            result.spectra = np.asarray(spectra)
+            with timer.phase("smooth spectra"):
+                spectra = self._smooth_spectra(species, grid, df_data)
+                result.spectra = np.asarray(spectra)
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
                 writers.write_dN_pTdpTdphidy(spectra, grid, mcids,
@@ -179,9 +186,10 @@ class IS3D:
                                     self.results_dir)
             if cfg.do_resonance_decays:
                 from .kernels.decays import do_resonance_decays
-                decayed = do_resonance_decays(
-                    np.asarray(result.spectra), particle_table,
-                    np.asarray(mcids), grid, cfg)
+                with timer.phase("resonance decays"):
+                    decayed = do_resonance_decays(
+                        np.asarray(result.spectra), particle_table,
+                        np.asarray(mcids), grid, cfg)
                 result.spectra = decayed
                 if write_files:
                     writers.write_dN_pTdpTdphidy(
@@ -189,17 +197,19 @@ class IS3D:
                         self.results_dir, suffix="_resonance_decays")
         elif cfg.operation == 0:
             from .kernels.dndx import spacetime_distributions
-            result.dN_dX = spacetime_distributions(
-                self.surface, species, grid, df_data, cfg)
+            with timer.phase("dN/dX spacetime"):
+                result.dN_dX = spacetime_distributions(
+                    self.surface, species, grid, df_data, cfg)
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
                 writers.write_spacetime_distributions(result.dN_dX, mcids,
                                                       self.results_dir)
         elif cfg.operation == 2:
             from .kernels.sample import sample_particles, calculate_total_yield
-            result.events = sample_particles(
-                self.surface, species, np.asarray(mcids), grid, df_data,
-                cfg, plasma, particle_table)
+            with timer.phase("sampler"):
+                result.events = sample_particles(
+                    self.surface, species, np.asarray(mcids), grid, df_data,
+                    cfg, plasma, particle_table)
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
                 if cfg.test_sampler:

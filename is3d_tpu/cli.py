@@ -25,16 +25,19 @@ def main(argv=None):
 
     from .api import IS3D
 
+    from .utils import PhaseTimer
+
     t0 = time.time()
     run = IS3D.from_run_dir(run_dir, overrides=overrides)
     print(f"is3d_tpu: operation={run.cfg.operation} mode={run.cfg.mode} "
           f"df_mode={run.cfg.df_mode} dimension={run.cfg.dimension}")
-    result = run.run_particlization()
+    result = run.run_particlization(timer=PhaseTimer(verbose=True))
     dt = time.time() - t0
     if result.spectra is not None:
         print(f"spectra shape {result.spectra.shape}")
     if result.events is not None:
         print(f"sampled {len(result.events)} event(s)")
+    print(run.timer.summary())
     print(f"done in {dt:.2f} s; output in {run.results_dir}")
     return 0
 

@@ -103,25 +103,57 @@ def _pointwise_contribution(c: dict, valid, species: SpeciesArrays,
                             grid: MomentumGrid, cfg: Config):
     """Masked p.dsigma * f at every (cell, species, pT, phi, rapidity-node)
     point: (C, S, PT, PHI, R).  No quadrature weights, no prefactor/degeneracy
-    -- shared by the spectra reduction and the dN/dX spacetime kernel."""
+    -- shared by the spectra reduction and the dN/dX spacetime kernel.
+
+    TPU op-count optimization: every contraction that is linear or quadratic
+    in (p^tau, tau p^eta) = mT (cosh, sinh)(y - eta) is factored into
+    per-(cell, rapidity-node) composites, and the purely transverse parts
+    into per-(cell, pT, phi) composites, so the full-rank block touches each
+    point with a handful of fused multiply-adds instead of re-deriving the
+    four-momentum contractions (profiled VPU-bound; exp is not the limiter).
+    """
     cc = lambda x: x[:, None, None, None, None]        # (C,) -> broadcast
-    mT, px, py = _momentum_monomials(species, grid)
-    mT_b = mT[None, :, :, None, None]
-    px_b = px[None, None, :, :, None]
-    py_b = py[None, None, :, :, None]
+    cr = lambda x: x[:, None, None, None, :]           # (C,R)
+    cpf = lambda x: x[:, None, :, :, None]             # (C,P,F)
+    sp = lambda x: x[None, :, :, None, None]           # (S,P)
+    spf = lambda x: x[None, :, :, :, None]             # (S,P,F)
 
-    ch, sh = _rapidity_factors(c, grid, cfg.dimension)
-    ch_b = ch[:, None, None, None, :]
-    sh_b = sh[:, None, None, None, :]
-
-    pt = mT_b * ch_b            # p^tau
-    taupn = mT_b * sh_b         # tau * p^eta
+    mT, px, py = _momentum_monomials(species, grid)    # (S,P), (P,F), (P,F)
+    ch, sh = _rapidity_factors(c, grid, cfg.dimension)  # (C,R)
 
     tau = c["tau"]
-    pds = (pt * cc(c["dat"]) + px_b * cc(c["dax"]) + py_b * cc(c["day"])
-           + taupn * cc(c["dan"] / tau))                       # p.dsigma
-    pdotu = (pt * cc(c["ut"]) - px_b * cc(c["ux"]) - py_b * cc(c["uy"])
-             - taupn * cc(tau * c["un"]))                      # u.p
+    t_sh = sh * tau[:, None]                           # tau * sh, (C,R)
+
+    # --- per-(cell, rapidity) composites (coefficients of mT / mT^2)
+    A1 = ch * c["dat"][:, None] + sh * (c["dan"] / tau)[:, None]
+    B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
+    C1 = (ch * ch * c["pitt"][:, None] + t_sh * t_sh * c["pinn"][:, None]
+          - 2.0 * ch * t_sh * c["pitn"][:, None])
+    C2 = -2.0 * (ch * c["pitx"][:, None] - t_sh * c["pixn"][:, None])
+    C3 = -2.0 * (ch * c["pity"][:, None] - t_sh * c["piyn"][:, None])
+    D1 = ch * c["Vt"][:, None] - t_sh * c["Vn"][:, None]
+
+    # --- per-(cell, pT, phi) transverse composites
+    pxx = px * px
+    pyy = py * py
+    pxy = px * py
+    W1 = (c["dax"][:, None, None] * px[None] + c["day"][:, None, None] * py[None])
+    W2 = (c["ux"][:, None, None] * px[None] + c["uy"][:, None, None] * py[None])
+    C4 = (c["pixx"][:, None, None] * pxx[None] + c["piyy"][:, None, None] * pyy[None]
+          + 2.0 * c["pixy"][:, None, None] * pxy[None])
+    D2 = (c["Vx"][:, None, None] * px[None] + c["Vy"][:, None, None] * py[None])
+
+    # --- species-side composites
+    mT2 = mT * mT                                      # (S,P)
+    mTpx = mT[:, :, None] * px[None]                   # (S,P,F)
+    mTpy = mT[:, :, None] * py[None]
+
+    # --- full-rank block: few fmas per point
+    pds = sp(mT) * cr(A1) + cpf(W1)
+    pdotu = sp(mT) * cr(B1) - cpf(W2)
+    pipp = (sp(mT2) * cr(C1) + spf(mTpx) * cr(C2) + spf(mTpy) * cr(C3)
+            + cpf(C4))
+    Vp = sp(mT) * cr(D1) - cpf(D2)
 
     sign_b = species.sign[None, :, None, None, None]
     baryon_b = species.baryon[None, :, None, None, None]
@@ -130,21 +162,6 @@ def _pointwise_contribution(c: dict, valid, species: SpeciesArrays,
 
     feq = 1.0 / (jnp.exp(pdotu / cc(c["T"]) - chem) + sign_b)
     feqbar = 1.0 - sign_b * feq
-
-    # pi^munu p_mu p_nu with tau factors absorbed cell-side
-    q3 = taupn
-    Ptq = c["pitn"] * tau
-    Pxq = c["pixn"] * tau
-    Pyq = c["piyn"] * tau
-    Pqq = c["pinn"] * tau * tau
-    pipp = (cc(c["pitt"]) * pt * pt + cc(c["pixx"]) * px_b * px_b
-            + cc(c["piyy"]) * py_b * py_b + cc(Pqq) * q3 * q3
-            + 2.0 * (-(cc(c["pitx"]) * px_b + cc(c["pity"]) * py_b) * pt
-                     + cc(c["pixy"]) * px_b * py_b
-                     + q3 * (cc(Pxq) * px_b + cc(Pyq) * py_b - cc(Ptq) * pt)))
-
-    Vp = (cc(c["Vt"]) * pt - cc(c["Vx"]) * px_b - cc(c["Vy"]) * py_b
-          - cc(c["Vn"] * tau) * q3)                            # V.p
 
     df = _linear_df(cfg, c["df"], c, pdotu, pipp, Vp, mass2_b, baryon_b, feqbar)
     f = feq * (1.0 + df)
@@ -159,17 +176,121 @@ def _pointwise_contribution(c: dict, valid, species: SpeciesArrays,
 
 def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
                         grid: MomentumGrid, cfg: Config):
-    """Spectra contribution of one cell chunk: (S, PT, PHI, Y_out)."""
-    contrib = _pointwise_contribution(c, valid, species, grid, cfg)
+    """Spectra contribution of one cell chunk: (S, PT, PHI, Y_out).
+
+    TPU layout optimization: the elementwise block is computed as
+    (C, R, S, M) with the transverse momentum grid flattened to
+    M = PT * PHI, so the two minor dims (S, M) map onto full
+    (sublane, lane) tiles -- the naive (..., PHI=24, Y=21) layout leaves
+    ~5/6 of the 128 vector lanes idle, which profiling showed to be the
+    actual limiter (not transcendentals)."""
+    S = species.n_species
+    P, F = grid.n_pT, grid.n_phi
+    M = P * F
+    cr = lambda x: x[:, :, None, None]                 # (C,R)
+    cm = lambda x: x[:, None, None, :]                 # (C,M)
+    sm = lambda x: x[None, None, :, :]                 # (S,M)
+
+    mT, px, py = _momentum_monomials(species, grid)    # (S,P),(P,F),(P,F)
+    pxf = px.reshape(M)
+    pyf = py.reshape(M)
+    mTf = jnp.broadcast_to(mT[:, :, None], (S, P, F)).reshape(S, M)
+    mT2f = mTf * mTf
+    mTpxf = mTf * pxf[None, :]
+    mTpyf = mTf * pyf[None, :]
+
+    ch, sh = _rapidity_factors(c, grid, cfg.dimension)  # (C,R)
+    tau = c["tau"]
+    t_sh = sh * tau[:, None]
+
+    A1 = ch * c["dat"][:, None] + sh * (c["dan"] / tau)[:, None]
+    B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
+    C1 = (ch * ch * c["pitt"][:, None] + t_sh * t_sh * c["pinn"][:, None]
+          - 2.0 * ch * t_sh * c["pitn"][:, None])
+    C2 = -2.0 * (ch * c["pitx"][:, None] - t_sh * c["pixn"][:, None])
+    C3 = -2.0 * (ch * c["pity"][:, None] - t_sh * c["piyn"][:, None])
+    D1 = ch * c["Vt"][:, None] - t_sh * c["Vn"][:, None]
+
+    W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
+    W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
+    C4 = (c["pixx"][:, None] * (pxf * pxf)[None]
+          + c["piyy"][:, None] * (pyf * pyf)[None]
+          + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])
+    D2 = c["Vx"][:, None] * pxf[None] + c["Vy"][:, None] * pyf[None]
+
+    # ---- (C, R, S, M) block
+    pds = sm(mTf) * cr(A1) + cm(W1)
+    pdotu = sm(mTf) * cr(B1) - cm(W2)
+    pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2) + sm(mTpyf) * cr(C3)
+            + cm(C4))
+    Vp = sm(mTf) * cr(D1) - cm(D2)
+
+    sb = lambda x: x[None, None, :, None]              # (S,)
+    sign_b = sb(species.sign)
+    baryon_b = sb(species.baryon)
+    mass2_b = sb(species.mass ** 2)
+    cb = lambda x: x[:, None, None, None]              # (C,)
+    chem = baryon_b * cb(c["alphaB"])
+
+    feq = 1.0 / (jnp.exp(pdotu / cb(c["T"]) - chem) + sign_b)
+    feqbar = 1.0 - sign_b * feq
+
+    df = _linear_df_flat(cfg, c["df"], c, pdotu, pipp, Vp, mass2_b, baryon_b,
+                         feqbar)
+    f = feq * (1.0 + df)
+
+    contrib = pds * f
+    if cfg.outflow:
+        contrib = jnp.where(pds > 0.0, contrib, 0.0)
+    mask = (valid & c["valid"]).astype(contrib.dtype)
+    contrib = contrib * cb(mask)
+
     if cfg.dimension == 2:
-        # weighted eta quadrature collapses R -> 1
-        contrib = contrib * grid.eta_weight[None, None, None, None, :]
-        out = jnp.sum(contrib, axis=(0, 4), keepdims=False)[..., None]
+        w = grid.eta_weight[None, :, None, None]
+        out = jnp.sum(contrib * w, axis=(0, 1))        # (S,M)
+        out = out.reshape(S, P, F, 1)
     else:
-        out = jnp.sum(contrib, axis=0)
+        out = jnp.sum(contrib, axis=0)                 # (R,S,M)
+        out = jnp.transpose(out, (1, 2, 0)).reshape(S, P, F, grid.n_y)
 
     deg = species.degeneracy[:, None, None, None]
     return CF_PREFACTOR * deg * out
+
+
+def _linear_df_flat(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b,
+                    feqbar):
+    """_linear_df with (C, R, S, M) broadcasting (cell axis first)."""
+    cb = lambda x: x[:, None, None, None]
+    T = cb(c["T"])
+    bulkPi = cb(c["bulkPi"])
+
+    if cfg.df_mode == 1:
+        shear_coeff = cb(0.5 / (c["T"] ** 2 * (c["E"] + c["P"])))
+        bulk0 = cb(df.c0 - df.c2)
+        bulk1 = cb(df.c1)
+        bulk2 = cb(4.0 * df.c2 - df.c0)
+        df_shear = shear_coeff * pipp
+        df_bulk = (bulk0 * mass2_b + (bulk1 * baryon_b + bulk2 * pdotu) * pdotu) * bulkPi
+        df_diff = (cb(df.c3) * baryon_b + cb(df.c4) * pdotu) * Vp
+    elif cfg.df_mode == 2:
+        # single reciprocal instead of three divisions per point
+        r = 1.0 / pdotu
+        shear_coeff = cb(0.5 / (df.betapi * c["T"]))
+        bulk0 = cb(df.F / (c["T"] ** 2 * df.betabulk))
+        bulk1 = cb(df.G / df.betabulk)
+        bulk2 = cb(1.0 / (3.0 * c["T"] * df.betabulk))
+        inv_betaV = cb(1.0 / df.betaV)
+        df_shear = shear_coeff * pipp * r
+        df_bulk = (bulk0 * pdotu + bulk1 * baryon_b
+                   + bulk2 * (pdotu - mass2_b * r)) * bulkPi
+        df_diff = (cb(c["baryon_enthalpy_ratio"]) - baryon_b * r) * Vp * inv_betaV
+    else:
+        raise ValueError("linear df kernel supports df_mode 1 or 2")
+
+    out = feqbar * (df_shear + df_bulk + df_diff)
+    if cfg.regulate_deltaf:
+        out = jnp.clip(out, -1.0, 1.0)
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
