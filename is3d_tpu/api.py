@@ -184,6 +184,10 @@ class IS3D:
                                             cfg.dimension, self.results_dir)
                 writers.write_dN_dy(spectra, grid, mcids, cfg.dimension,
                                     self.results_dir)
+                writers.write_dN_dphidy(spectra, grid, mcids, cfg.dimension,
+                                        self.results_dir)
+                writers.write_dN_twopipTdpTdy(spectra, grid, mcids,
+                                              cfg.dimension, self.results_dir)
             if cfg.do_resonance_decays:
                 from .kernels.decays import do_resonance_decays
                 with timer.phase("resonance decays"):

@@ -397,9 +397,11 @@ def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
         cost = jnp.where(acc, ct, cost)
         return (done | acc, pbar, Ebar, phi, cost, rounds + 1, k, nsamp)
 
-    z = jnp.zeros(n_cap, dtype=dtype)
+    # seed the carry from shard-varying data so the while_loop carry types
+    # match under shard_map as well as plain jit
+    z = 0.0 * T_eff
     st0 = (~slot, z, z + 1.0, z, z, jnp.int32(0), ks[3],
-           jnp.zeros((), jnp.int32))
+           (0 * n).astype(jnp.int32))
     done, pbar, Ebar, phi, cost, rounds, _, nsamp = lax.while_loop(cond, body, st0)
     sampled_ok = done & slot
 
@@ -582,4 +584,99 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     if total_samp:
         eff = 100.0 * total_acc / total_samp
         print(f"Momentum sampling efficiency = {eff:.2f} %")
+    return events
+
+# ======================================================================
+# Multi-chip sampling: shard the cell axis over a device mesh
+# ======================================================================
+
+def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
+                             df_data: DeltafData, cfg: Config, plasma, mesh,
+                             nevents: int = 1, seed: Optional[int] = None,
+                             laguerre=None) -> list:
+    """Cell-sharded multi-chip sampling.
+
+    By Poisson superposition the union of hadrons emitted by disjoint cell
+    subsets IS an exact sample of the full surface, so each device runs the
+    complete two-phase sampler on its own cell shard (local categorical,
+    local Poisson total) for every event, and the per-event lists are
+    concatenated on the host.  No collectives are needed beyond the final
+    gather -- the TPU-native analog of the reference's share-nothing
+    process ensemble (SURVEY.md parallelism inventory).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = cfg.mesh_axis
+    n_dev = mesh.shape[axis]
+    dtype = surface.tau.dtype
+    if laguerre is None:
+        laguerre = _laguerre_device(dtype)
+    cols = _sampler_cols(surface, cfg)
+
+    # pad to a multiple of n_dev with inert cells (dsigma = 0 => dn_tot = 0)
+    n = cols["tau"].shape[0]
+    per_dev = -(-n // n_dev)
+    pad = per_dev * n_dev - n
+    if pad:
+        out_cols = {}
+        for k, v in cols.items():
+            fill = 1.0 if k in ("tau", "T", "E", "P") else 0.0
+            out_cols[k] = jnp.concatenate(
+                [v, jnp.full((pad,), fill, dtype=v.dtype)])
+        for k in ("dat", "dax", "day", "dan"):
+            out_cols[k] = out_cols[k].at[n:].set(0.0)
+        cols = out_cols
+
+    plasma_avg = (jnp.asarray(plasma.temperature, dtype),
+                  jnp.asarray(plasma.baryon_chemical_potential, dtype))
+    mcid_arr = jnp.asarray(np.asarray(mcids), dtype=jnp.int32)
+
+    # per-device lambda for capacity planning (cheap full-surface pass)
+    cell_probe = _cell_data_jit(cols, species, df_data, laguerre, plasma_avg,
+                                cfg)
+    dn_tot = np.asarray(cell_probe["dn_tot"]).reshape(n_dev, per_dev)
+    lam_max = float(dn_tot.sum(axis=1).max())
+    if lam_max <= 0.0:
+        return [{} for _ in range(nevents)]
+    n_cap = int(lam_max + 10.0 * math.sqrt(lam_max) + 64.0)
+    n_cap = -(-n_cap // 128) * 128
+
+    if seed is None:
+        seed = cfg.sampler_seed
+    if seed < 0:
+        seed = int(np.random.SeedSequence().entropy % (2**31))
+    base_key = jax.random.key(seed)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+        jnp.arange(nevents))
+
+    in_specs = ({k: P(axis) for k in cols}, P(), P(), P(), P(), P())
+    out_specs = P(axis)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=out_specs)
+    def run(cols_shard, species_r, df_r, lag_r, plasma_r, keys_r):
+        cell = _cell_data_jit(cols_shard, species_r, df_r, lag_r, plasma_r,
+                              cfg)
+        lam_local = cell["cum_dn"][-1]
+        dev = jax.lax.axis_index(axis)
+
+        def one(k):
+            return _one_event(cell, species_r, mcid_arr,
+                              jax.random.fold_in(k, dev), lam_local, n_cap,
+                              cfg)
+
+        out = jax.vmap(one)(keys_r)
+        return jax.tree.map(lambda a: a[None], out)   # leading device axis
+
+    out = run(cols, species, df_data, laguerre, plasma_avg, keys)
+    out = {k: np.asarray(v) for k, v in out.items()}   # (D, B, n_cap)
+
+    events = []
+    for e in range(nevents):
+        ev = {}
+        for k in ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
+                  "E", "px", "py", "pz", "yp"):
+            ev[k] = np.concatenate([out[k][d, e][out["keep"][d, e]]
+                                    for d in range(n_dev)])
+        events.append(ev)
     return events

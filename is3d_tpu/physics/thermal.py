@@ -38,54 +38,65 @@ def gauss_thermal(integrand, roots, weights, mbar, alphaB, baryon, sign):
 
 
 # ---- integrands (reference: gaussThermal.cpp:19-85); quadrature alpha noted
+#
+# All forms are algebraically identical to the reference but written with
+# exp() of non-positive arguments only, so they do not overflow in float32
+# (Gauss-Laguerre roots reach pbar ~ 114; exp(114) = inf in f32):
+#   e^pbar f_eq          = e^{pbar - x} / (1 + sign e^{-x}),   x = Ebar - chem
+#   e^pbar f_eq f_eqbar  = e^{pbar - x} / (1 + sign e^{-x})^2
+# with pbar - x <= chem bounded.
+
+def _feq_w(pbar, mbar, alphaB, baryon, sign):
+    """e^pbar / (e^{Ebar - chem} + sign), overflow-safe."""
+    x = _ebar(pbar, mbar) - baryon * alphaB
+    return jnp.exp(pbar - x) / (1.0 + sign * jnp.exp(-x))
+
+
+def _ff_w(pbar, mbar, alphaB, baryon, sign):
+    """e^{pbar + Ebar - chem} / (e^{Ebar - chem} + sign)^2, overflow-safe."""
+    x = _ebar(pbar, mbar) - baryon * alphaB
+    d = 1.0 + sign * jnp.exp(-x)
+    return jnp.exp(pbar - x) / (d * d)
+
 
 def neq_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 1
-    return pbar * jnp.exp(pbar) / (jnp.exp(_ebar(pbar, mbar) - baryon * alphaB) + sign)
+    return pbar * _feq_w(pbar, mbar, alphaB, baryon, sign)
 
 
 def J10_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 1
-    e = _ebar(pbar, mbar)
-    q = jnp.exp(e - baryon * alphaB) + sign
-    return pbar * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+    return pbar * _ff_w(pbar, mbar, alphaB, baryon, sign)
 
 
 def J11_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 1
     e = _ebar(pbar, mbar)
-    q = jnp.exp(e - baryon * alphaB) + sign
-    return pbar**3 / (e * e) * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+    return pbar**3 / (e * e) * _ff_w(pbar, mbar, alphaB, baryon, sign)
 
 
 def J20_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 2
-    e = _ebar(pbar, mbar)
-    q = jnp.exp(e - baryon * alphaB) + sign
-    return e * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+    return _ebar(pbar, mbar) * _ff_w(pbar, mbar, alphaB, baryon, sign)
 
 
 def J30_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 3
     e = _ebar(pbar, mbar)
-    q = jnp.exp(e - baryon * alphaB) + sign
-    return e * e / pbar * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+    return e * e / pbar * _ff_w(pbar, mbar, alphaB, baryon, sign)
 
 
 def J31_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 3
-    e = _ebar(pbar, mbar)
-    q = jnp.exp(e - baryon * alphaB) + sign
-    return pbar * jnp.exp(pbar + e - baryon * alphaB) / (q * q)
+    return pbar * _ff_w(pbar, mbar, alphaB, baryon, sign)
 
 
 # ---- Jonah's isotropically-scaled moments (reference: gaussThermal.cpp:93-116)
 
 def E_mod_int(pbar, mbar, lam, sign):              # alpha = 2
     scale2 = (1.0 + lam) ** 2
-    e = _ebar(pbar, mbar)
-    return jnp.sqrt(pbar * pbar * scale2 + mbar * mbar) * jnp.exp(pbar) / (jnp.exp(e) + sign)
+    return (jnp.sqrt(pbar * pbar * scale2 + mbar * mbar)
+            * _feq_w(pbar, mbar, 0.0, 0.0, sign))
 
 
 def P_mod_int(pbar, mbar, lam, sign):              # alpha = 2
     scale2 = (1.0 + lam) ** 2
-    e = _ebar(pbar, mbar)
     return (pbar * pbar * scale2 / jnp.sqrt(pbar * pbar * scale2 + mbar * mbar)
-            * jnp.exp(pbar) / (jnp.exp(e) + sign))
+            * _feq_w(pbar, mbar, 0.0, 0.0, sign))
 
 
 def gauss_mod(integrand, roots, weights, mbar, lam, sign):
