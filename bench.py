@@ -21,8 +21,7 @@ import jax.numpy as jnp
 
 def main():
     from is3d_tpu.config import Config
-    from is3d_tpu.kernels.smooth import _smooth_spectra_jit
-    from is3d_tpu.kernels.common import surface_columns
+    from is3d_tpu.kernels.smooth import smooth_spectra
     from is3d_tpu.io.tables import native_momentum_grid
     from is3d_tpu.testing import (synthetic_surface, synthetic_species,
                                   synthetic_deltaf_data)
@@ -40,15 +39,20 @@ def main():
     grid = native_momentum_grid(dimension=3, n_pT=32, n_phi=24, n_y=21,
                                 dtype=dtype)
     df_data = synthetic_deltaf_data(dtype=dtype)
-    cols = surface_columns(surface, cfg)
 
-    run = lambda: _smooth_spectra_jit(cols, species, grid, df_data, cfg)
-    run().block_until_ready()            # compile + warm up
+    # dispatches to the Pallas TPU kernel (f32); vary the surface each rep
+    # so no dispatch layer can serve a cached result
+
+    def run(eps):
+        s = surface.replace(T=surface.T * (1.0 + eps))
+        return smooth_spectra(s, species, grid, df_data, cfg)
+
+    run(0.0).block_until_ready()         # compile + warm up
     t0 = time.perf_counter()
     reps = 3
-    for _ in range(reps):
-        out = run()
-    out.block_until_ready()
+    for i in range(reps):
+        out = run(1e-6 * (i + 1))
+        out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 
     evals = n_cells * n_species * 32 * 24 * 21

@@ -271,6 +271,74 @@ def _three_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
     return jnp.einsum("spfy,s->pfy", outs, sw)
 
 
+# ---- batched (per-parent) wrappers: one dispatch for all channel-groups
+
+@partial(jax.jit, static_argnames=("dimension", "K"))
+def _two_body_batch(logdN, tc, ts, pT, phi, y_grid, MT_grids, m2s, Estars,
+                    pstars, Ms, dimension: int, K: int):
+    f = lambda MTg, m2, Es, ps, M: _two_body_integral(
+        logdN, tc, ts, MTg, pT, phi, y_grid, m2, Es, ps, M, dimension)
+    return jax.vmap(f)(MT_grids, m2s, Estars, pstars, Ms)
+
+
+@partial(jax.jit, static_argnames=("dimension", "K"))
+def _three_body_batch(logdN, tc, ts, pT, phi, y_grid, MT_grids, m2s, Ms,
+                      s_minus, s_plus, ds, dimension: int, K: int):
+    f = lambda MTg, m2, M, sm, sp_, d_: _three_body_integral(
+        logdN, tc, ts, MTg, pT, phi, y_grid, m2, M, sm, sp_, d_, dimension)
+    return jax.vmap(f)(MT_grids, m2s, Ms, s_minus, s_plus, ds)
+
+
+TASK_BUCKET = 8   # fixed vmap width: exactly one compiled shape per topology
+
+
+def _run_two_body_tasks(tasks, logdN, tc, ts, pT, phi, y_grid, dimension,
+                        spectra):
+    """tasks: list of (target_row, prefactor, MT_grid, m2, Estar, pstar, M).
+    Dispatched in fixed-size buckets (padding repeats task 0 with zero
+    prefactor applied host-side), so only one jit specialization exists."""
+    B = TASK_BUCKET
+    for lo in range(0, len(tasks), B):
+        chunk = tasks[lo:lo + B]
+        pad = B - len(chunk)
+        full = chunk + [chunk[0]] * pad
+        MTg = np.stack([t[2] for t in full])
+        m2 = np.array([t[3] for t in full])
+        Es = np.array([t[4] for t in full])
+        ps = np.array([t[5] for t in full])
+        Ms = np.array([t[6] for t in full])
+        out = np.asarray(_two_body_batch(
+            jnp.asarray(logdN), jnp.asarray(tc), jnp.asarray(ts),
+            jnp.asarray(pT), jnp.asarray(phi), jnp.asarray(y_grid),
+            jnp.asarray(MTg), jnp.asarray(m2), jnp.asarray(Es),
+            jnp.asarray(ps), jnp.asarray(Ms), dimension, B))
+        for k, t in enumerate(chunk):
+            spectra[t[0]] += t[1] * out[k]
+
+
+def _run_three_body_tasks(tasks, logdN, tc, ts, pT, phi, y_grid, dimension,
+                          spectra):
+    """tasks: (target_row, prefactor, MT_grid, m2, M, s_minus, s_plus, d)."""
+    B = TASK_BUCKET
+    for lo in range(0, len(tasks), B):
+        chunk = tasks[lo:lo + B]
+        pad = B - len(chunk)
+        full = chunk + [chunk[0]] * pad
+        MTg = np.stack([t[2] for t in full])
+        m2 = np.array([t[3] for t in full])
+        Ms = np.array([t[4] for t in full])
+        sm = np.array([t[5] for t in full])
+        sp_ = np.array([t[6] for t in full])
+        ds = np.array([t[7] for t in full])
+        out = np.asarray(_three_body_batch(
+            jnp.asarray(logdN), jnp.asarray(tc), jnp.asarray(ts),
+            jnp.asarray(pT), jnp.asarray(phi), jnp.asarray(y_grid),
+            jnp.asarray(MTg), jnp.asarray(m2), jnp.asarray(Ms),
+            jnp.asarray(sm), jnp.asarray(sp_), jnp.asarray(ds), dimension, B))
+        for k, t in enumerate(chunk):
+            spectra[t[0]] += t[1] * out[k]
+
+
 # ======================================================================
 # driver (host)
 # ======================================================================
@@ -326,6 +394,8 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
         if not np.any(parent > 0.0):
             continue
         logdN, tc, ts, MT_grid0 = _prepare_parent(parent, pT, mass_parent0)
+        tasks2 = []            # batched per parent: one dispatch for all
+        tasks3 = []            # 2-body / 3-body channel-groups
 
         nch = len(table.decays_branch[ti])
         for ch in range(nch):
@@ -367,12 +437,8 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
                         continue
                     pstar = math.sqrt(pstar2)
                     pref = mult * M * branch / (8.0 * pstar)
-                    out = _two_body_integral(
-                        jnp.asarray(logdN), jnp.asarray(tc), jnp.asarray(ts),
-                        jnp.asarray(MT_grid), jnp.asarray(pT),
-                        jnp.asarray(phi), jnp.asarray(y_grid),
-                        ma * ma, Estar, pstar, M, dimension)
-                    spectra[chosen_pos[di]] += pref * np.asarray(out)
+                    tasks2.append((chosen_pos[di], pref, MT_grid, ma * ma,
+                                   Estar, pstar, M))
                     n_channels_done += 1
             else:  # nd == 3
                 M = mass_parent0
@@ -390,13 +456,15 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
                         continue
                     MT_grid = np.sqrt(pT ** 2 + M ** 2)
                     pref = mult * M * M * (s_plus - s_minus) * branch / (8.0 * Q)
-                    out = _three_body_integral(
-                        jnp.asarray(logdN), jnp.asarray(tc), jnp.asarray(ts),
-                        jnp.asarray(MT_grid), jnp.asarray(pT),
-                        jnp.asarray(phi), jnp.asarray(y_grid),
-                        ma * ma, M, s_minus, s_plus, d_, dimension)
-                    spectra[chosen_pos[di]] += pref * np.asarray(out)
+                    tasks3.append((chosen_pos[di], pref, MT_grid, ma * ma,
+                                   M, s_minus, s_plus, d_))
                     n_channels_done += 1
+
+        # one batched dispatch per parent for each decay topology
+        _run_two_body_tasks(tasks2, logdN, tc, ts, pT, phi, y_grid,
+                            dimension, spectra)
+        _run_three_body_tasks(tasks3, logdN, tc, ts, pT, phi, y_grid,
+                              dimension, spectra)
 
     print(f"Resonance decays: {n_channels_done} channel-contributions added")
     return spectra

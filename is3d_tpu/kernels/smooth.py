@@ -317,9 +317,16 @@ def _smooth_spectra_jit(cols, species, grid, df_data, cfg: Config):
 def smooth_spectra(surface, species: SpeciesArrays, grid: MomentumGrid,
                    df_data: DeltafData, cfg: Config) -> jnp.ndarray:
     """dN/(pT dpT dphi dy) with linear df (modes 1-2), shape
-    (S, n_pT, n_phi, n_y_out)."""
+    (S, n_pT, n_phi, n_y_out).
+
+    On TPU in float32 this dispatches to the hand-written Pallas kernel
+    (kernels/pallas_smooth.py, ~18x the XLA path); float64 parity runs and
+    CPU use the XLA kernel."""
     if cfg.df_mode not in (1, 2):
         raise ValueError("smooth_spectra handles df modes 1-2; use "
                          "smooth_spectra_feqmod for modes 3-4")
     cols = surface_columns(surface, cfg)
+    from .pallas_smooth import pallas_available, smooth_spectra_pallas
+    if pallas_available(cfg, surface.tau.dtype):
+        return smooth_spectra_pallas(cols, species, grid, df_data, cfg)
     return _smooth_spectra_jit(cols, species, grid, df_data, cfg)
