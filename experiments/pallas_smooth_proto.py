@@ -21,8 +21,8 @@ C = 32768
 S = 320
 P, F, Y = 32, 24, 21
 M = P * F
-S_TILE = 32
-CB = 16          # cells per grid step
+S_TILE = int(__import__('os').environ.get('PROTO_S_TILE', 32))
+CB = int(__import__('os').environ.get('PROTO_CB', 16))
 
 # cell column order
 FIELDS = ("tau", "dat", "dax", "day", "dan", "ut", "ux", "uy", "un", "T",

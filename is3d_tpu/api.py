@@ -78,13 +78,20 @@ class IS3D:
                           overrides=overrides)
         return cls(cfg, data_dir=run_dir, **kw)
 
-    def read_fo_surf_from_file(self, path: Optional[str] = None):
+    def read_fo_surf_from_file(self, path: Optional[str] = None,
+                               write_averages: bool = True):
         path = path or os.path.join(self.data_dir, "input/surface.dat")
         self.surface, self.averages = read_surface(
             path, mode=self.cfg.mode, dimension=self.cfg.dimension,
             include_baryon=bool(self.cfg.include_baryon),
             include_baryondiff=bool(self.cfg.include_baryondiff_deltaf),
             dtype=self._dtype)
+        if write_averages and self.averages is not None \
+                and self.cfg.mode in (0, 1, 4, 6, 7):
+            # side-channel file compatibility (reference:
+            # readindata.cpp:313-316 <-> Plasma::load_thermodynamic_averages)
+            self.averages.write(os.path.join(
+                self.data_dir, "average_thermodynamic_quantities.dat"))
         return self
 
     def read_fo_surf_from_memory(self, **columns):

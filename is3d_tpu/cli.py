@@ -29,8 +29,10 @@ def main(argv=None):
 
     t0 = time.time()
     run = IS3D.from_run_dir(run_dir, overrides=overrides)
-    print(f"is3d_tpu: operation={run.cfg.operation} mode={run.cfg.mode} "
-          f"df_mode={run.cfg.df_mode} dimension={run.cfg.dimension}")
+    # full config echo (reference: paraRdr->echo() at iS3D.cpp:84)
+    import dataclasses
+    for f in dataclasses.fields(run.cfg):
+        print(f"  {f.name} = {getattr(run.cfg, f.name)}")
     result = run.run_particlization(timer=PhaseTimer(verbose=True))
     dt = time.time() - t0
     if result.spectra is not None:

@@ -148,7 +148,14 @@ def load_float_matrix(path_or_text, ncols: Optional[int] = None) -> np.ndarray:
         flat = np.array(text.split(), dtype=np.float64)
     if ncols is not None:
         if flat.size % ncols:
-            raise ValueError(f"token count {flat.size} not divisible by ncols={ncols}")
+            first = next((l for l in text.splitlines() if l.split()), "")
+            raise ValueError(
+                f"token count {flat.size} not divisible by the {ncols} "
+                f"columns this surface mode expects (file rows have "
+                f"{len(first.split())} columns -- wrong `mode` for this "
+                f"file? see SURVEY Appendix A / README for the mode-to-"
+                f"format table; the reference's ifstream would silently "
+                f"read past EOF here)")
         return flat.reshape(-1, ncols)
     # infer columns from the first data line
     first = next(l for l in text.splitlines() if l.split())

@@ -304,12 +304,151 @@ def _pointwise_contribution_feqmod(c, valid, species: SpeciesArrays,
 
 def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
                                grid: MomentumGrid, cfg: Config):
-    contrib = _pointwise_contribution_feqmod(c, valid, species, grid, cfg)
+    """Spectra contribution of one cell chunk, (S, PT, PHI, Y_out).
+
+    Computed in the TPU-friendly (C, R, S, M = PT*PHI) layout (full lane
+    tiles; see kernels/smooth._chunk_contribution) with the same factored
+    composites; both the feqmod and the linearized-fallback branches are
+    evaluated and masked per cell."""
+    S = species.n_species
+    P, F = grid.n_pT, grid.n_phi
+    M = P * F
+    cr = lambda x: x[:, :, None, None]
+    cb = lambda x: x[:, None, None, None]
+    cm = lambda x: x[:, None, None, :]
+    sm = lambda x: x[None, None, :, :]
+    sb = lambda x: x[None, None, :, None]
+
+    mT, px, py = _momentum_monomials(species, grid)
+    pxf = px.reshape(M)
+    pyf = py.reshape(M)
+    mTf = jnp.broadcast_to(mT[:, :, None], (S, P, F)).reshape(S, M)
+    mT2f = mTf * mTf
+    mTpxf = mTf * pxf[None, :]
+    mTpyf = mTf * pyf[None, :]
+
+    C = c["tau"].shape[0]
+    tau = c["tau"]
+    sign_b = sb(species.sign)
+    baryon_b = sb(species.baryon)
+    mass2_b = sb(species.mass ** 2)
+
+    # rapidity factors: unscaled (fallback) and detA-scaled (feqmod)
     if cfg.dimension == 2:
-        contrib = contrib * grid.eta_weight[None, None, None, None, :]
-        out = jnp.sum(contrib, axis=(0, 4))[..., None]
+        delta_u = jnp.broadcast_to(-grid.eta[None, :], (C, grid.n_eta))
+        delta_s = -c["eta_scale"][:, None] * grid.eta[None, :]
     else:
-        out = jnp.sum(contrib, axis=0)
+        delta_u = grid.y[None, :] - c["eta"][:, None]
+        delta_s = delta_u
+    ch_u, sh_u = jnp.cosh(delta_u), jnp.sinh(delta_u)
+    ch_s, sh_s = jnp.cosh(delta_s), jnp.sinh(delta_s)
+
+    W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
+    W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
+    C4 = (c["pixx"][:, None] * (pxf * pxf)[None]
+          + c["piyy"][:, None] * (pyf * pyf)[None]
+          + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])
+    D2 = c["Vx"][:, None] * pxf[None] + c["Vy"][:, None] * pyf[None]
+
+    def lin_factors(ch, sh):
+        t_sh = sh * tau[:, None]
+        A1 = ch * c["dat"][:, None] + sh * (c["dan"] / tau)[:, None]
+        B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
+        return A1, B1, t_sh
+
+    # ---- fallback branch (linearized df at unscaled rapidity) ------------
+    A1u, B1u, t_sh_u = lin_factors(ch_u, sh_u)
+    pds_u = sm(mTf) * cr(A1u) + cm(W1)
+    pdotu = sm(mTf) * cr(B1u) - cm(W2)
+    C1 = (ch_u * ch_u * c["pitt"][:, None] + t_sh_u * t_sh_u * c["pinn"][:, None]
+          - 2.0 * ch_u * t_sh_u * c["pitn"][:, None])
+    C2 = -2.0 * (ch_u * c["pitx"][:, None] - t_sh_u * c["pixn"][:, None])
+    C3 = -2.0 * (ch_u * c["pity"][:, None] - t_sh_u * c["piyn"][:, None])
+    D1 = ch_u * c["Vt"][:, None] - t_sh_u * c["Vn"][:, None]
+    pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2) + sm(mTpyf) * cr(C3)
+            + cm(C4))
+    Vp = sm(mTf) * cr(D1) - cm(D2)
+
+    chem = baryon_b * cb(c["alphaB"])
+    if cfg.df_mode == 4:
+        chem = jnp.zeros_like(chem)   # Jonah fallback feq has no chem (:861)
+    feq = 1.0 / (jnp.exp(pdotu / cb(c["T"]) - chem) + sign_b)
+    feqbar = 1.0 - sign_b * feq
+
+    df = c["df"]
+    r = 1.0 / pdotu
+    if cfg.df_mode == 3:
+        out_df = feqbar * (
+            cb(0.5 / (df.betapi * c["T"])) * pipp * r
+            + (cb(df.F / (c["T"] ** 2 * df.betabulk)) * pdotu
+               + cb(df.G / df.betabulk) * baryon_b
+               + cb(1.0 / (3.0 * c["T"] * df.betabulk))
+               * (pdotu - mass2_b * r)) * cb(c["bulkPi"])
+            + (cb(c["baryon_enthalpy_ratio"]) - baryon_b * r)
+            * Vp * cb(1.0 / df.betaV))
+    else:
+        out_df = (feqbar * cb(0.5 / (df.betapi * c["T"])) * pipp * r
+                  + cb(df.delta_z) - 3.0 * cb(df.delta_lambda)
+                  + feqbar * cb(df.delta_lambda)
+                  * (pdotu - mass2_b * r) / cb(c["T"]))
+    if cfg.regulate_deltaf:
+        out_df = jnp.clip(out_df, -1.0, 1.0)
+    f_fallback = feq * (1.0 + out_df)
+
+    # ---- feqmod branch (momentum transform at scaled rapidity) -----------
+    A1s, _, t_sh_s = lin_factors(ch_s, sh_s)
+    pds_s = sm(mTf) * cr(A1s) + cm(W1)
+    b = c["basis"]
+    # LRF components factored over (c, r) x (c, m):
+    #   px_LRF = mT E1 + E2,  py_LRF = F2,  pz_LRF = mT G1
+    E1 = -b.Xt[:, None] * ch_s + (b.Xn * tau)[:, None] * sh_s
+    E2 = b.Xx[:, None] * pxf[None] + b.Xy[:, None] * pyf[None]
+    F2 = b.Yx[:, None] * pxf[None] + b.Yy[:, None] * pyf[None]
+    G1 = -b.Zt[:, None] * ch_s + (b.Zn * tau)[:, None] * sh_s
+
+    px_LRF = sm(mTf) * cr(E1) + cm(E2)
+    py_LRF = jnp.broadcast_to(cm(F2), px_LRF.shape)
+    pz_LRF = sm(mTf) * cr(G1)
+
+    A = tuple(cb(a) for a in c["A"])
+    A_inv = tuple(cb(a) for a in c["A_inv"])
+    p = (px_LRF, py_LRF, pz_LRF)
+    x = _sym_matvec(A_inv, p)
+    for _ in range(2):  # residual refinement (reference does <= 5 passes)
+        Ax = _sym_matvec(A, x)
+        rres = tuple(pi - Axi for pi, Axi in zip(p, Ax))
+        dx = _sym_matvec(A_inv, rres)
+        x = tuple(xi + dxi for xi, dxi in zip(x, dx))
+    E_mod = jnp.sqrt(mass2_b + x[0] ** 2 + x[1] ** 2 + x[2] ** 2)
+
+    chem_mod = baryon_b * cb(c["alphaB_mod"])
+    f_mod = (jnp.abs(c["renorm"])[:, None, :, None]      # (C,1,S,1)
+             / (jnp.exp(E_mod / cb(c["T_mod"]) - chem_mod) + sign_b))
+
+    # ---- branch selection -------------------------------------------------
+    breakdown = c["breakdown"][:, None, None, None]
+    if cfg.dimension == 3:
+        narrow = ((c["detA"][:, None] < 0.01)
+                  & (jnp.abs(delta_u) < c["detA"][:, None]))
+        breakdown = breakdown | narrow[:, :, None, None]
+
+    pds = jnp.where(breakdown, pds_u, pds_s)
+    f = jnp.where(breakdown, f_fallback, f_mod)
+
+    contrib = pds * f
+    if cfg.outflow:
+        contrib = jnp.where(pds > 0.0, contrib, 0.0)
+
+    mask = (valid & c["valid"]).astype(contrib.dtype)
+    ok = c["renorm_ok"].astype(contrib.dtype)[:, None, :, None]
+    contrib = contrib * cb(mask) * ok
+
+    if cfg.dimension == 2:
+        w = grid.eta_weight[None, :, None, None]
+        out = jnp.sum(contrib * w, axis=(0, 1)).reshape(S, P, F, 1)
+    else:
+        out = jnp.sum(contrib, axis=0)                 # (R,S,M)
+        out = jnp.transpose(out, (1, 2, 0)).reshape(S, P, F, grid.n_y)
 
     deg = species.degeneracy[:, None, None, None]
     return CF_PREFACTOR * deg * out
