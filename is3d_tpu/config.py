@@ -71,6 +71,8 @@ class Config:
     # --- TPU-native knobs (no reference counterpart) ---
     precision: str = "f64"      # "f64" for parity runs, "f32"/"bf16" fast path
     cell_chunk: int = 65536     # cells per scan step (reference FO_chunk=10000)
+    cell_slab: int = 262144     # cells per device dispatch (bounds single-call
+                                # runtime; results are summed host-side)
     mesh_axis: str = "cells"    # sharded axis name for multi-chip runs
 
     def replace(self, **kw) -> "Config":

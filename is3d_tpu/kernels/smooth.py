@@ -327,6 +327,17 @@ def smooth_spectra(surface, species: SpeciesArrays, grid: MomentumGrid,
                          "smooth_spectra_feqmod for modes 3-4")
     cols = surface_columns(surface, cfg)
     from .pallas_smooth import pallas_available, smooth_spectra_pallas
-    if pallas_available(cfg, surface.tau.dtype):
-        return smooth_spectra_pallas(cols, species, grid, df_data, cfg)
-    return _smooth_spectra_jit(cols, species, grid, df_data, cfg)
+    kern = (smooth_spectra_pallas if pallas_available(cfg, surface.tau.dtype)
+            else lambda c, s, g, d, cf: _smooth_spectra_jit(c, s, g, d, cf))
+
+    # split very large surfaces into slabs: bounds single-dispatch runtime
+    # (serving layers may cap per-call duration) and gives progress points
+    n = cols["tau"].shape[0]
+    if n <= cfg.cell_slab:
+        return kern(cols, species, grid, df_data, cfg)
+    acc = None
+    for lo in range(0, n, cfg.cell_slab):
+        part = {k: v[lo:lo + cfg.cell_slab] for k, v in cols.items()}
+        out = kern(part, species, grid, df_data, cfg)
+        acc = out if acc is None else acc + out
+    return acc

@@ -106,10 +106,9 @@ def synthetic_deltaf_data(dtype=jnp.float64, T_avg: float = 0.155) -> DeltafData
     splines = {name: build_natural_cubic(T, raw[name][0], dtype=dtype)
                for name in ("c0", "c2", "c3", "F", "betabulk", "betaV", "betapi")}
 
-    sp = synthetic_species(11)
-    x, lam2, z = compute_jonah_arrays(np.asarray(sp.mass),
-                                      np.asarray(sp.degeneracy),
-                                      np.asarray(sp.sign), T_avg)
+    seed_rows = np.asarray(_SPECIES_SEED, dtype=np.float64)
+    x, lam2, z = compute_jonah_arrays(seed_rows[:, 0], seed_rows[:, 2],
+                                      seed_rows[:, 1], T_avg)
     return DeltafData(
         T_grid=jnp.asarray(T, dtype=dtype),
         muB_grid=jnp.asarray(muB, dtype=dtype),

@@ -204,3 +204,21 @@ def test_chunking_invariance(smash_table, df_data):
     b = np.asarray(smooth_spectra(surf, species, grid, df_data,
                                   BASE_CFG.replace(cell_chunk=8)))
     np.testing.assert_allclose(a, b, rtol=1e-13)
+
+
+def test_slab_split_matches_single_dispatch(smash_table, df_data,
+                                            scipy_df_eval):
+    """Host-side slab splitting must be exactly a sum of partial spectra."""
+    rng = np.random.default_rng(91)
+    cells = random_cells(53, rng, dimension=2)
+    species_j = pikp_species(smash_table)
+    grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=8)
+    cfg = Config(operation=1, mode=1, dimension=2, df_mode=2,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, cell_chunk=8)
+    one = smooth_spectra(to_surface(cells), species_j, grid, df_data,
+                         cfg.replace(cell_slab=1 << 20))
+    split = smooth_spectra(to_surface(cells), species_j, grid, df_data,
+                           cfg.replace(cell_slab=16))
+    np.testing.assert_allclose(np.asarray(split), np.asarray(one),
+                               rtol=1e-12, atol=1e-22)
