@@ -40,20 +40,28 @@ def main():
                                 dtype=dtype)
     df_data = synthetic_deltaf_data(dtype=dtype)
 
-    # dispatches to the Pallas TPU kernel (f32); vary the surface each rep
-    # so no dispatch layer can serve a cached result
+    # a FRESH host-generated surface per repetition: the serving layer
+    # caches repeated dispatches (even on-device-perturbed inputs have been
+    # observed to hit it), which silently inflates naive benchmarks
 
-    def run(eps):
-        s = surface.replace(T=surface.T * (1.0 + eps))
+    def run(seed):
+        s = synthetic_surface(n_cells, dimension=3, seed=seed, dtype=dtype)
         return smooth_spectra(s, species, grid, df_data, cfg)
 
-    run(0.0).block_until_ready()         # compile + warm up
-    t0 = time.perf_counter()
+    float(jnp.sum(run(0)))               # compile + warm up
     reps = 3
+    dts = []
+    checks = []
     for i in range(reps):
-        out = run(1e-6 * (i + 1))
-        out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+        s = synthetic_surface(n_cells, dimension=3, seed=100 + i, dtype=dtype)
+        t0 = time.perf_counter()
+        out = smooth_spectra(s, species, grid, df_data, cfg)
+        # force a device-to-host readback: async dispatch layers have been
+        # observed to return from block_until_ready before execution
+        checks.append(float(jnp.sum(out)))
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
+    assert len(set(checks)) == reps, "distinct inputs must give distinct sums"
 
     evals = n_cells * n_species * 32 * 24 * 21
     value = evals / dt

@@ -438,6 +438,10 @@ _BARYON_EXTRA = {0: (1, 5), 1: (1, 4), 3: (2, 5), 5: (1, 5)}
 
 
 def expected_columns(mode, include_baryon, include_baryondiff) -> int:
+    if mode not in _EXPECTED_BASE_COLS:
+        raise ValueError(f"unknown surface mode {mode}; valid modes are "
+                         f"{sorted(_EXPECTED_BASE_COLS)} "
+                         f"(reference: readindata.cpp:133-144)")
     n = _EXPECTED_BASE_COLS[mode]
     extra = _BARYON_EXTRA.get(mode, (0, 0))
     if include_baryon:
