@@ -432,7 +432,7 @@ def _maybe_baryon(d, include_baryon, include_baryondiff, muB, nB, Vx, Vy, Vn, n)
 
 _EXPECTED_BASE_COLS = {
     # mode: columns without optional baryon blocks
-    0: 26, 1: 20, 2: 31, 3: 29, 4: 27, 5: 26, 6: 29, 7: 26,
+    0: 26, 1: 20, 2: 31, 3: 33, 4: 27, 5: 26, 6: 29, 7: 26,
 }
 _BARYON_EXTRA = {0: (1, 5), 1: (1, 4), 3: (2, 5), 5: (1, 5)}
 

@@ -61,7 +61,7 @@ MT_FIT_THRESHOLD2 = 2.73   # mT^2 > 2.73 M^2 for tail-fit points (ref :2063)
 # parent-spectrum preparation (host, numpy)
 # ======================================================================
 
-def _tail_fit_and_patch(logdN, MT_grid):
+def _tail_fit_and_patch(logdN, MT_grid, mT_min):
     """Per (phi[, y]) column: least-squares fit log dN = c + s MT on the
     relativistic, positive part; patch non-finite grid entries with the fit.
 
@@ -75,7 +75,7 @@ def _tail_fit_and_patch(logdN, MT_grid):
         for y in range(Y):
             col = logdN[:, f, y]
             finite = np.isfinite(col)
-            pts = finite & (MT_grid > _tail_fit_and_patch.mT_min)
+            pts = finite & (MT_grid > mT_min)
             if pts.sum() < 2:
                 pts = finite.copy()
                 if pts.sum() > 2:        # use the last two finite points
@@ -94,17 +94,14 @@ def _tail_fit_and_patch(logdN, MT_grid):
     return patched, const, slope
 
 
-_tail_fit_and_patch.mT_min = 0.0
-
-
 def _prepare_parent(parent_spectra, pT, mass_parent):
     """(P, F, Y) parent spectra -> (patched log, tail const/slope, MT grid)."""
     MT_grid = np.sqrt(pT ** 2 + mass_parent ** 2)
     with np.errstate(divide="ignore", invalid="ignore"):
         logdN = np.where(parent_spectra > 0.0, np.log(
             np.where(parent_spectra > 0.0, parent_spectra, 1.0)), -np.inf)
-    _tail_fit_and_patch.mT_min = MT_FIT_THRESHOLD2 ** 0.5 * mass_parent
-    return (*_tail_fit_and_patch(logdN, MT_grid), MT_grid)
+    mT_min = MT_FIT_THRESHOLD2 ** 0.5 * mass_parent
+    return (*_tail_fit_and_patch(logdN, MT_grid, mT_min), MT_grid)
 
 
 # ======================================================================
@@ -365,6 +362,15 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
     (reference do_resonance_decays loop order, :143-203).
     Returns the updated spectra array.
     """
+    # the decay quadrature is float64 and latency- rather than
+    # throughput-bound; run it on the host CPU device even when a TPU is
+    # attached (f64 is emulated on TPU)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return _do_resonance_decays_impl(spectra, table, mcids, grid, cfg)
+
+
+def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg) -> np.ndarray:
     spectra = np.array(spectra, dtype=np.float64, copy=True)
     mcids = np.asarray(mcids)
     S = spectra.shape[0]

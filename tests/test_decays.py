@@ -197,3 +197,94 @@ def test_driver_rho_feeds_pions(reference_dir):
     assert abs(got_pim - w_parent) < 0.02 * w_parent
     # parent spectrum itself unchanged
     np.testing.assert_allclose(out[2], spectra[2])
+
+
+def test_three_body_shape_vs_monte_carlo():
+    """omega -> pi+ pi- pi0: integral feed-down pT shape vs a phase-space
+    Monte-Carlo decay simulation (flat matrix element, like the kernel)."""
+    rng = np.random.default_rng(12)
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=6.0, n_phi=24,
+                                n_eta=8)
+    M, m1, m2, m3 = 0.783, 0.138, 0.138, 0.135
+    b, c, v2 = 3.2, 3.0, 0.0
+
+    spec = parent_spectrum(grid, M, b=b, c=c, v2=v2)
+    pT_grid = np.asarray(grid.pT)
+    logdN, tc, ts, MT_grid = dk._prepare_parent(spec[0], pT_grid, M)
+    s_plus = (M - m1) ** 2
+    s_minus = (m2 + m3) ** 2
+    d_ = (m2 - m3) ** 2
+    Q = dk._q_factor(M, m1, m2, m3)
+    pref = 1.0 * M * M * (s_plus - s_minus) * 1.0 / (8.0 * Q)
+    feed = pref * np.asarray(dk._three_body_integral(
+        jnp.asarray(logdN), jnp.asarray(tc), jnp.asarray(ts),
+        jnp.asarray(MT_grid), jnp.asarray(pT_grid), jnp.asarray(grid.phi),
+        jnp.asarray(grid.y), m1 * m1, M, s_minus, s_plus, d_, 2))
+
+    # ---- MC: sample parents, decay via s-distribution g(s), isotropic
+    N = 1_000_000
+    Yr = 8.0
+    Y = rng.uniform(-Yr, Yr, N)
+    MT = np.empty(N)
+    got = 0
+    while got < N:
+        k = (N - got) * 2
+        cand = M + rng.exponential(1.0 / b, k)
+        acc = rng.uniform(0, 1, k) < (cand / (M + 40.0 / b))
+        sel = cand[acc][: N - got]
+        MT[got:got + len(sel)] = sel
+        got += len(sel)
+    Phi = rng.uniform(0, 2 * np.pi, N)
+
+    # invariant mass^2 of the (2,3) pair from the Dalitz phase-space density
+    # rho(s) ~ p*(s) q*(s) sqrt(s)/s = sqrt((a-s)(b-s)(s-c)(s-d))/(2s)
+    # (the Q-factor integrand; p* from sqrt((a-s)(b-s)) = 2 M p*)
+    a_ = (M + m1) ** 2
+    sgrid = np.linspace(s_minus, s_plus, 2000)[1:-1]
+    rho = lambda s: np.sqrt(np.maximum(
+        (a_ - s) * (s_plus - s) * (s - s_minus) * (s - d_), 0.0)) / s
+    rho_max = rho(sgrid).max()
+    svals = np.empty(N)
+    got = 0
+    while got < N:
+        k = (N - got) * 3
+        cand = rng.uniform(s_minus, s_plus, k)
+        acc = rng.uniform(0, rho_max, k) < rho(cand)
+        sel = cand[acc][: N - got]
+        svals[got:got + len(sel)] = sel
+        got += len(sel)
+
+    Estar = (M * M + m1 * m1 - svals) / (2 * M)
+    pstar = np.sqrt(np.maximum(Estar**2 - m1 * m1, 0))
+    cth = rng.uniform(-1, 1, N)
+    ph = rng.uniform(0, 2 * np.pi, N)
+    sth = np.sqrt(1 - cth**2)
+    ps = pstar[:, None] * np.stack([sth * np.cos(ph), sth * np.sin(ph), cth], 1)
+
+    PT = np.sqrt(MT**2 - M**2)
+    P0 = MT * np.cosh(Y)
+    Pvec = np.stack([PT * np.cos(Phi), PT * np.sin(Phi), MT * np.sinh(Y)], 1)
+    psP = np.einsum("ni,ni->n", ps, Pvec)
+    coef = psP / (M * (P0 + M)) + Estar / M
+    plab = ps + coef[:, None] * Pvec
+    E = np.sqrt(m1 * m1 + np.einsum("ni,ni->n", plab, plab))
+    yd = 0.5 * np.log((E + plab[:, 2]) / (E - plab[:, 2]))
+    pTd = np.hypot(plab[:, 0], plab[:, 1])
+
+    from scipy.integrate import quad
+    nY = 2 * np.pi * np.exp(c) * quad(lambda x: x * np.exp(-b * x), M, np.inf)[0]
+    w = nY * (2 * Yr) / N
+
+    sel = np.abs(yd) < 0.5
+    edges = np.array([0.05, 0.15, 0.25, 0.35, 0.5, 0.7, 1.0])
+    counts, _ = np.histogram(pTd[sel], bins=edges)
+    mc = counts * w / np.diff(edges)
+
+    phiw = np.asarray(grid.phi_weight)
+    dphi_int = np.einsum("pf,f->p", feed[:, :, 0], phiw) * pT_grid
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    integ = np.interp(centers, pT_grid, dphi_int)
+    stat = np.sqrt(np.maximum(counts, 1)) * w / np.diff(edges)
+    for i in range(len(centers)):
+        assert abs(mc[i] - integ[i]) < 5 * stat[i] + 0.05 * integ[i], \
+            (i, centers[i], mc[i], integ[i])

@@ -210,3 +210,50 @@ def test_particle_densities(reference_dir, smash_table, df_data_smash):
     # particle/antiparticle symmetric at muB = 0
     ip, ia = t.index_of_mcid(2212), t.index_of_mcid(-2212)
     assert t.equilibrium_density[ip] == pytest.approx(t.equilibrium_density[ia])
+
+
+def test_mode4_music_old_conversions():
+    """mode 4 (old MUSIC): dsigma x tau, u^eta / tau, P = T s - E,
+    pi^{. eta} / tau (readindata.cpp:552-686)."""
+    import numpy as np
+    from is3d_tpu.io.surface import read_surface, expected_columns
+    hbarC = 0.197327053
+    ncols = expected_columns(4, False, False)
+    row = np.arange(1.0, ncols + 1.0)  # tau=1? use tau=2 for visible scaling
+    row[0] = 2.0          # tau
+    text = " ".join(f"{v:.17e}" for v in row)
+    s, avg = read_surface(text, mode=4, dimension=2)
+    tau = 2.0
+    np.testing.assert_allclose(np.asarray(s.dat)[0], row[4] * tau)
+    np.testing.assert_allclose(np.asarray(s.dan)[0], 0.0)   # 2+1D forced 0
+    np.testing.assert_allclose(np.asarray(s.un)[0], row[11] / tau)
+    E = row[12] * hbarC
+    T = row[13] * hbarC
+    muB = row[14] * hbarC
+    sdens = row[15]
+    np.testing.assert_allclose(np.asarray(s.E)[0], E)
+    np.testing.assert_allclose(np.asarray(s.P)[0], sdens * T - E, rtol=1e-12)
+    # pi^{xeta} and pi^{yeta} divided by tau (pi block starts at col 16)
+    np.testing.assert_allclose(np.asarray(s.pixn)[0], row[22] * hbarC / tau)
+    np.testing.assert_allclose(np.asarray(s.piyn)[0], row[24] * hbarC / tau)
+    assert avg is not None   # mode 4 writes the averages (readindata.cpp:680)
+
+
+def test_mode3_vah_plpt_layout():
+    """mode 3: anisotropic variables read directly, x hbarC
+    (readindata.cpp:930-1056)."""
+    import numpy as np
+    from is3d_tpu.io.surface import read_surface, expected_columns
+    hbarC = 0.197327053
+    ncols = expected_columns(3, False, False)
+    row = np.arange(1.0, ncols + 1.0)
+    row[7] = 0.0           # dan = 0 (2+1D)
+    text = " ".join(f"{v:.17e}" for v in row)
+    s, avg = read_surface(text, mode=3, dimension=2)
+    np.testing.assert_allclose(np.asarray(s.E)[0], row[12] * hbarC)
+    np.testing.assert_allclose(np.asarray(s.PL)[0], row[14] * hbarC)
+    np.testing.assert_allclose(np.asarray(s.PT)[0], row[15] * hbarC)
+    np.testing.assert_allclose(np.asarray(s.Wt)[0], row[26] * hbarC)
+    np.testing.assert_allclose(np.asarray(s.Lambda)[0], row[30] * hbarC)
+    np.testing.assert_allclose(np.asarray(s.aL)[0], row[32])
+    assert avg is None     # mode 3 does not write the averages file
