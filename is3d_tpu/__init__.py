@@ -10,3 +10,4 @@ __version__ = "0.1.0"
 
 from .config import Config, load_config  # noqa: F401
 from .units import HBARC  # noqa: F401
+from .api import IS3D, RunResult  # noqa: F401

@@ -230,3 +230,83 @@ def test_sampler_3d(smash_table, df_data):
                               nevents=20)
     allE = np.concatenate([e["E"] for e in events])
     assert allE.size > 0 and np.isfinite(allE).all()
+
+
+def test_sampled_dNdX_matches_smooth(smash_table, df_data):
+    """Sampled spacetime histograms vs the smooth dN/dX kernel (the
+    reference's spacetime cross-validation, compare_sampling_smooth)."""
+    from is3d_tpu.kernels.dndx import spacetime_distributions
+    from is3d_tpu.histograms import sampler_test_histograms
+
+    surf = small_surface(n=24, seed=11)
+    y_cut = 4.0
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 y_cut=y_cut, sampler_seed=19,
+                 tau_min=0.0, tau_max=12.0, tau_bins=12,
+                 r_min=0.0, r_max=12.0, r_bins=12,
+                 pT_lower_cut=0.0, pT_upper_cut=3.0, pT_bins=30,
+                 y_bins=40, eta_bins=40, eta_cut=7.0)
+    sp = species_with_densities(smash_table, 0.155)
+
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=5.0, n_phi=24,
+                                n_eta=48)
+    dX = spacetime_distributions(surf, sp, grid, df_data,
+                                 cfg.replace(operation=0, cell_chunk=32))
+
+    nev = 400
+    events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                              nevents=nev)
+    hist = sampler_test_histograms(events, MCIDS, cfg)
+
+    # compare the pion tau-distribution bin contents where populated
+    pi_idx = 0
+    smooth_tau = dX["dN_taudtaudy"][pi_idx]      # per (tau_mid dtau) per y
+    sampled_tau = hist["dN_taudtaudy"][pi_idx]
+    tau_mid = hist["tau_mid"]
+    dtau = tau_mid[1] - tau_mid[0]
+    counts = sampled_tau * tau_mid * dtau * nev * 2 * y_cut
+    for i in range(len(tau_mid)):
+        if smooth_tau[i] <= 0 and counts[i] == 0:
+            continue
+        sig = np.sqrt(max(counts[i], 1)) / (tau_mid[i] * dtau * nev * 2 * y_cut)
+        assert abs(sampled_tau[i] - smooth_tau[i]) < 5 * sig + 0.02 * smooth_tau[i], \
+            (i, sampled_tau[i], smooth_tau[i])
+
+    smooth_r = dX["dN_twopirdrdy"][pi_idx]
+    sampled_r = hist["dN_twopirdrdy"][pi_idx]
+    r_mid = hist["r_mid"]
+    dr = r_mid[1] - r_mid[0]
+    counts_r = sampled_r * 2 * np.pi * r_mid * dr * nev * 2 * y_cut
+    for i in range(len(r_mid)):
+        if smooth_r[i] <= 0 and counts_r[i] == 0:
+            continue
+        sig = np.sqrt(max(counts_r[i], 1)) / (2 * np.pi * r_mid[i] * dr * nev
+                                              * 2 * y_cut)
+        assert abs(sampled_r[i] - smooth_r[i]) < 5 * sig + 0.02 * smooth_r[i], \
+            (i, sampled_r[i], smooth_r[i])
+
+
+def test_sampler_3d_yield_vs_smooth(smash_table, df_data):
+    """3+1D: event-averaged total pion yield vs the smooth dN/dy integral."""
+    surf = small_surface(n=24, seed=21, dimension=3)
+    cfg = Config(operation=2, dimension=3, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 sampler_seed=6)
+    sp = species_with_densities(smash_table, 0.155)
+    grid = native_momentum_grid(dimension=3, n_pT=48, pT_max=5.0, n_phi=24,
+                                n_y=41, y_max=6.0)
+    spectra = smooth_spectra(surf, sp, grid, df_data,
+                             cfg.replace(operation=1, cell_chunk=32))
+    # total yield = int dy dN/dy (trapezoid over the y grid)
+    dNdy = np.asarray(observables.dN_dy(spectra, grid))
+    yw = np.asarray(grid.y_weight)
+    want = float(np.einsum("sy,y->", dNdy, yw))
+
+    nev = 300
+    events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                              nevents=nev)
+    n_tot = sum(len(e["mcid"]) for e in events)
+    got = n_tot / nev
+    sigma = np.sqrt(n_tot) / nev
+    assert abs(got - want) < 5 * sigma + 0.03 * want, (got, want)
