@@ -1,0 +1,108 @@
+"""Golden parity against the ACTUAL reference C++ binary.
+
+The reference is built out-of-tree with the minimal GSL shim
+(tools_oracle/gslshim) and run single-threaded on a 50-cell random mode-1
+surface.  OMP_NUM_THREADS=1 is essential: the reference's feqmod kernel has
+a data race -- A_copy / A_inv are heap-allocated once before the
+``#pragma omp parallel for`` over cells and overwritten by every thread
+(emissionfunction_smooth_kernels.cpp:479-486 vs :685-692), so its own
+multi-threaded df-mode-3/4 output differs from single-threaded by O(100%).
+Our kernels reproduce the correct single-threaded behavior.
+
+Measured parity (this test asserts 1e-6; observed):
+  df 1, 2: exact to all printed digits      df 3, 4: ~5e-9 relative
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE_BIN = "/tmp/is3d_oracle/iS3D.e"
+MCIDS = (211, -211, 321, -321, 2212, -2212)
+
+
+@pytest.fixture(scope="module")
+def oracle_binary(reference_dir):
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    r = subprocess.run([os.path.join(REPO, "tools_oracle/build_reference.sh")],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not os.path.exists(ORACLE_BIN):
+        pytest.skip(f"reference build failed: {r.stderr[-400:]}")
+    return ORACLE_BIN
+
+
+@pytest.fixture(scope="module")
+def sandbox(tmp_path_factory, reference_dir):
+    d = tmp_path_factory.mktemp("oracle_run")
+    (d / "input").mkdir()
+    (d / "PDG").mkdir()
+    for f in os.listdir(f"{reference_dir}/PDG"):
+        os.symlink(f"{reference_dir}/PDG/{f}", d / "PDG" / f)
+    os.remove(d / "PDG" / "chosen_particles.dat")
+    (d / "PDG" / "chosen_particles.dat").write_text(
+        "\n".join(str(m) for m in MCIDS) + "\n")
+    os.symlink(f"{reference_dir}/tables", d / "tables")
+    os.symlink(f"{reference_dir}/deltaf_coefficients", d / "deltaf_coefficients")
+
+    rng = np.random.default_rng(123)
+    n = 50
+    hbarC = 0.197327053
+    cells = np.zeros((n, 20))
+    cells[:, 0] = rng.uniform(1, 8, n)
+    cells[:, 1] = rng.uniform(-5, 5, n)
+    cells[:, 2] = rng.uniform(-5, 5, n)
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)
+    cells[:, 5] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 6] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 8] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 9] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 10] = rng.uniform(-0.05, 0.05, n)
+    cells[:, 11] = rng.uniform(0.25, 0.40, n) / hbarC
+    cells[:, 12] = rng.uniform(0.148, 0.162, n) / hbarC
+    cells[:, 13] = rng.uniform(0.04, 0.08, n) / hbarC
+    cells[:, 14:19] = rng.normal(0, 0.004, (n, 5)) / hbarC
+    cells[:, 19] = rng.normal(0, 0.003, n) / hbarC
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    return d
+
+
+def _write_params(d, df_mode):
+    with open("/root/reference/iS3D_parameters.dat") as f:
+        text = f.read()
+    import re
+    text = re.sub(r"^operation.*$", "operation = 1", text, flags=re.M)
+    text = re.sub(r"^mode .*$", "mode = 1", text, flags=re.M)
+    text = re.sub(r"^hrg_eos.*$", "hrg_eos = 1", text, flags=re.M)
+    text = re.sub(r"^df_mode.*$", f"df_mode = {df_mode}", text, flags=re.M)
+    (d / "iS3D_parameters.dat").write_text(text)
+
+
+@pytest.mark.parametrize("df_mode", [1, 2, 3, 4])
+def test_parity_vs_reference_binary(oracle_binary, sandbox, df_mode):
+    d = sandbox
+    _write_params(d, df_mode)
+    shutil.rmtree(d / "results", ignore_errors=True)
+    (d / "results").mkdir()
+    env = dict(os.environ, OMP_NUM_THREADS="1")   # see module docstring
+    r = subprocess.run([oracle_binary], cwd=d, env=env, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+
+    from is3d_tpu.api import IS3D
+    run = IS3D.from_run_dir(str(d), results_dir=str(d / "results_ours"),
+                            chosen_file="chosen_particles.dat")
+    res = run.run_particlization(write_files=False)
+
+    for mcid in MCIDS:
+        ref = np.loadtxt(d / "results" / f"dN_pTdpTdphidy_{mcid}.dat",
+                         skiprows=1)[:, 3]
+        i = list(res.mcids).index(mcid)
+        ours = np.transpose(res.spectra[i][:, :, 0], (1, 0)).ravel()
+        scale = np.abs(ref).max()
+        rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6 * scale)
+        assert rel.max() < 1e-6, (df_mode, mcid, float(rel.max()))
