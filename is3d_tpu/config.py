@@ -68,6 +68,12 @@ class Config:
     r_max: float = 12.0
     r_bins: int = 60
 
+    # --- reference compatibility quirks (no reference counterpart) ---
+    # reproduce the reference's dN/dy and dN/dX momentum integrals, which
+    # omit the pT Jacobian (write_dN_dy_toFile, calculate_dN_dX); default
+    # is the physically correct integral
+    reference_compat_dndy: int = 0
+
     # --- TPU-native knobs (no reference counterpart) ---
     precision: str = "f64"      # "f64" for parity runs, "f32"/"bf16" fast path
     cell_chunk: int = 65536     # cells per scan step (reference FO_chunk=10000)

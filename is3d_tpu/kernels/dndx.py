@@ -41,8 +41,10 @@ def _cell_dNdy(contrib, species, grid, cfg):
     """(C, S, P, F, R) -> per-cell momentum-integrated dN/dy (C, S) and the
     eta-node distribution contribution (S, R)."""
     # include the pT Jacobian (the reference's dN_dX momentum integral omits
-    # it, :1372 -- same quirk as its write_dN_dy_toFile; see observables.dN_dy)
-    wp = grid.pT_weight * grid.pT
+    # it, :1372 -- same quirk as its write_dN_dy_toFile; see observables.dN_dy);
+    # cfg.reference_compat_dndy reproduces the reference
+    wp = (grid.pT_weight if cfg.reference_compat_dndy
+          else grid.pT_weight * grid.pT)
     wf = grid.phi_weight
     # dN/dy/deta: no eta weight (reference divides it back out, :1366)
     dydeta = jnp.einsum("cspfr,p,f->sr", contrib, wp, wf)

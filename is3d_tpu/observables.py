@@ -27,15 +27,18 @@ def dN_twopipTdpTdy(spectra: jnp.ndarray, grid: MomentumGrid) -> jnp.ndarray:
     return jnp.einsum("spfy,f->spy", spectra, grid.phi_weight) / (2.0 * jnp.pi)
 
 
-def dN_dy(spectra: jnp.ndarray, grid: MomentumGrid) -> jnp.ndarray:
+def dN_dy(spectra: jnp.ndarray, grid: MomentumGrid,
+          include_pT_jacobian: bool = True) -> jnp.ndarray:
     """(S, PT, PHI, Y) -> (S, Y): full transverse-momentum integral
     dN/dy = int pT dpT dphi dN/(pT dpT dphi dy).
 
     Note: the reference's write_dN_dy_toFile (emissionfunction.cpp:745-768)
     omits the pT Jacobian, inconsistently with its own write_dN_dphidy_toFile
-    (:620-630) which includes it.  We include it (the physically correct
-    integral; also required for sampler-vs-smooth parity)."""
-    w = grid.pT_weight * grid.pT
+    (:620-630) which includes it.  Default is the physically correct
+    integral (also required for sampler-vs-smooth parity); pass
+    include_pT_jacobian=False (cfg.reference_compat_dndy) to reproduce the
+    reference's files exactly."""
+    w = grid.pT_weight * grid.pT if include_pT_jacobian else grid.pT_weight
     return jnp.einsum("spfy,p,f->sy", spectra, w, grid.phi_weight)
 
 

@@ -106,3 +106,158 @@ def test_parity_vs_reference_binary(oracle_binary, sandbox, df_mode):
         scale = np.abs(ref).max()
         rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6 * scale)
         assert rel.max() < 1e-6, (df_mode, mcid, float(rel.max()))
+
+
+def _run_ours(d, **kw):
+    from is3d_tpu.api import IS3D
+    run = IS3D.from_run_dir(str(d), results_dir=str(d / "results_ours"),
+                            chosen_file="chosen_particles.dat", **kw)
+    return run, run.run_particlization(write_files=False)
+
+
+def _run_ref(oracle_binary, d):
+    shutil.rmtree(d / "results", ignore_errors=True)
+    (d / "results").mkdir()
+    # the reference's ofstreams do not create subdirectories
+    (d / "results" / "spacetime_distribution").mkdir()
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+    r = subprocess.run([oracle_binary], cwd=d, env=env, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+
+
+def _compare_spectra(d, res, rtol=1e-6):
+    for mcid in MCIDS:
+        ref = np.loadtxt(d / "results" / f"dN_pTdpTdphidy_{mcid}.dat",
+                         skiprows=1)[:, 3]
+        i = list(res.mcids).index(mcid)
+        ours = np.transpose(res.spectra[i], (2, 1, 0)).ravel()  # (Y,F,P)
+        scale = np.abs(ref).max()
+        rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6 * scale)
+        assert rel.max() < rtol, (mcid, float(rel.max()))
+
+
+@pytest.mark.parametrize("df_mode", [2, 3])
+def test_parity_3plus1d(oracle_binary, sandbox, df_mode):
+    """3+1D (dimension 3): mode-1 surface with eta and dsigma_eta."""
+    d = sandbox
+    rng = np.random.default_rng(7)
+    n = 20
+    hbarC = 0.197327053
+    cells = np.zeros((n, 20))
+    cells[:, 0] = rng.uniform(1, 8, n)
+    cells[:, 1] = rng.uniform(-5, 5, n)
+    cells[:, 2] = rng.uniform(-5, 5, n)
+    cells[:, 3] = rng.uniform(-2, 2, n)                    # eta
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)
+    cells[:, 5] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 6] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 7] = rng.uniform(-0.1, 0.1, n)                # dan
+    cells[:, 8] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 9] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 10] = rng.uniform(-0.05, 0.05, n)
+    cells[:, 11] = rng.uniform(0.25, 0.40, n) / hbarC
+    cells[:, 12] = rng.uniform(0.148, 0.162, n) / hbarC
+    cells[:, 13] = rng.uniform(0.04, 0.08, n) / hbarC
+    cells[:, 14:19] = rng.normal(0, 0.004, (n, 5)) / hbarC
+    cells[:, 19] = rng.normal(0, 0.003, n) / hbarC
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_params(d, df_mode)
+    text = (d / "iS3D_parameters.dat").read_text()
+    import re
+    text = re.sub(r"^dimension.*$", "dimension = 3", text, flags=re.M)
+    (d / "iS3D_parameters.dat").write_text(text)
+
+    _run_ref(oracle_binary, d)
+    run, res = _run_ours(d)
+    _compare_spectra(d, res)
+
+
+def test_parity_mode6_music(oracle_binary, sandbox):
+    """Mode 6 (public MUSIC format): tau Jacobians, P = Ts - E."""
+    d = sandbox
+    rng = np.random.default_rng(9)
+    n = 30
+    cells = np.zeros((n, 29))
+    tau = rng.uniform(1, 8, n)
+    cells[:, 0] = tau
+    cells[:, 1] = rng.uniform(-5, 5, n)
+    cells[:, 2] = rng.uniform(-5, 5, n)
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n) / tau          # da_tau / tau
+    cells[:, 5] = rng.uniform(-0.5, 0.5, n) / tau
+    cells[:, 6] = rng.uniform(-0.5, 0.5, n) / tau
+    cells[:, 9] = rng.uniform(-0.7, 0.7, n)                # ux
+    cells[:, 10] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 11] = rng.uniform(-0.05, 0.05, n) * tau       # u^eta tau
+    cells[:, 8] = np.sqrt(1 + cells[:, 9]**2 + cells[:, 10]**2
+                          + cells[:, 11]**2)               # ut (recomputed anyway)
+    hbarC = 0.197327053
+    cells[:, 12] = rng.uniform(0.25, 0.40, n) / hbarC      # E
+    cells[:, 13] = rng.uniform(0.148, 0.162, n) / hbarC    # T
+    cells[:, 14] = 0.0                                     # muB
+    cells[:, 15] = 0.0                                     # muS
+    cells[:, 16] = 0.0                                     # muC
+    cells[:, 17] = rng.uniform(2.0, 3.0, n)                # s (fm^-3)
+    pis = rng.normal(0, 0.004, (n, 10)) / hbarC
+    cells[:, 18:28] = pis
+    cells[:, 28] = rng.normal(0, 0.003, n) / hbarC         # Pi
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_params(d, 2)
+    import re
+    text = (d / "iS3D_parameters.dat").read_text()
+    text = re.sub(r"^mode .*$", "mode = 6", text, flags=re.M)
+    (d / "iS3D_parameters.dat").write_text(text)
+
+    _run_ref(oracle_binary, d)
+    run, res = _run_ours(d)
+    _compare_spectra(d, res)
+
+
+def test_parity_dndx_operation0(oracle_binary, sandbox):
+    """Operation 0 spacetime distributions, reference-compat integrals."""
+    d = sandbox
+    _write_params(d, 2)
+    import re
+    text = (d / "iS3D_parameters.dat").read_text()
+    text = re.sub(r"^operation.*$", "operation = 0", text, flags=re.M)
+    (d / "iS3D_parameters.dat").write_text(text)
+    # restore the 2+1D 50-cell surface
+    rng = np.random.default_rng(123)
+    n = 50
+    hbarC = 0.197327053
+    cells = np.zeros((n, 20))
+    cells[:, 0] = rng.uniform(1, 8, n)
+    cells[:, 1] = rng.uniform(-5, 5, n)
+    cells[:, 2] = rng.uniform(-5, 5, n)
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)
+    cells[:, 5] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 6] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 8] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 9] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 10] = rng.uniform(-0.05, 0.05, n)
+    cells[:, 11] = rng.uniform(0.25, 0.40, n) / hbarC
+    cells[:, 12] = rng.uniform(0.148, 0.162, n) / hbarC
+    cells[:, 13] = rng.uniform(0.04, 0.08, n) / hbarC
+    cells[:, 14:19] = rng.normal(0, 0.004, (n, 5)) / hbarC
+    cells[:, 19] = rng.normal(0, 0.003, n) / hbarC
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+
+    _run_ref(oracle_binary, d)
+    # run ours with the reference-compat integral knob
+    from is3d_tpu.api import IS3D
+    runner = IS3D.from_run_dir(str(d), results_dir=str(d / "results_ours"),
+                               chosen_file="chosen_particles.dat")
+    runner.cfg = runner.cfg.replace(reference_compat_dndy=1)
+    res = runner.run_particlization(write_files=False)
+    dX = res.dN_dX
+
+    for k, mcid in enumerate(MCIDS):
+        ref = np.loadtxt(d / "results" / "spacetime_distribution"
+                         / f"dN_taudtaudy_{mcid}.dat")
+        i = list(res.mcids).index(mcid)
+        ours = dX["dN_taudtaudy"][i]
+        scale = np.abs(ref[:, 1]).max()
+        ok = np.abs(ref[:, 1]) > 1e-10 * scale
+        rel = np.abs(ours - ref[:, 1]) / np.maximum(np.abs(ref[:, 1]),
+                                                    1e-6 * scale)
+        assert rel.max() < 1e-6, (mcid, float(rel.max()))
