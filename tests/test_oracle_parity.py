@@ -261,3 +261,76 @@ def test_parity_dndx_operation0(oracle_binary, sandbox):
         rel = np.abs(ours - ref[:, 1]) / np.maximum(np.abs(ref[:, 1]),
                                                     1e-6 * scale)
         assert rel.max() < 1e-6, (mcid, float(rel.max()))
+
+
+def test_sampler_statistical_parity_vs_reference(oracle_binary, sandbox):
+    """Both samplers (different RNGs) must agree statistically: per-species
+    event-averaged dN/dy within 5 sigma on the same surface."""
+    d = sandbox
+    # restore the standard 50-cell 2+1D surface
+    rng = np.random.default_rng(123)
+    n = 50
+    hbarC = 0.197327053
+    cells = np.zeros((n, 20))
+    cells[:, 0] = rng.uniform(1, 8, n)
+    cells[:, 1] = rng.uniform(-5, 5, n)
+    cells[:, 2] = rng.uniform(-5, 5, n)
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)
+    cells[:, 5] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 6] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 8] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 9] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 10] = rng.uniform(-0.05, 0.05, n)
+    cells[:, 11] = rng.uniform(0.25, 0.40, n) / hbarC
+    cells[:, 12] = rng.uniform(0.148, 0.162, n) / hbarC
+    cells[:, 13] = rng.uniform(0.04, 0.08, n) / hbarC
+    cells[:, 14:19] = rng.normal(0, 0.004, (n, 5)) / hbarC
+    cells[:, 19] = rng.normal(0, 0.003, n) / hbarC
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+
+    _write_params(d, 2)
+    import re
+    text = (d / "iS3D_parameters.dat").read_text()
+    text = re.sub(r"^operation.*$", "operation = 2", text, flags=re.M)
+    text = re.sub(r"^oversample.*$", "oversample = 1", text, flags=re.M)
+    text = re.sub(r"^min_num_hadrons.*$", "min_num_hadrons = 200000",
+                  text, flags=re.M)
+    text = re.sub(r"^max_num_samples.*$", "max_num_samples = 300",
+                  text, flags=re.M)
+    text = re.sub(r"^test_sampler.*$", "test_sampler = 1", text, flags=re.M)
+    text = re.sub(r"^sampler_seed.*$", "sampler_seed = 1", text, flags=re.M)
+    (d / "iS3D_parameters.dat").write_text(text)
+
+    shutil.rmtree(d / "results", ignore_errors=True)
+    for sub in ("", "dN_dy", "dN_deta", "momentum_distribution", "vn",
+                "spacetime_distribution"):
+        (d / "results" / sub).mkdir(parents=True, exist_ok=True)
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+    r = subprocess.run([oracle_binary], cwd=d, env=env, capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    m = re.search(r"Sampling (\d+) event", r.stdout)
+    nev_ref = int(m.group(1))
+
+    from is3d_tpu.api import IS3D
+    run = IS3D.from_run_dir(str(d), results_dir=str(d / "results_ours"),
+                            chosen_file="chosen_particles.dat")
+    res = run.run_particlization(write_files=False)
+    nev_ours = len(res.events)
+
+    y_cut = run.cfg.y_cut
+    mc_all = np.concatenate([e["mcid"] for e in res.events])
+    yp_all = np.concatenate([e["yp"] for e in res.events])
+    for mcid in MCIDS:
+        ref_avg = float(open(
+            d / "results" / "dN_dy" / f"dN_dy_{mcid}_average_test.dat"
+        ).read())
+        sel = (mc_all == mcid) & (np.abs(yp_all) <= y_cut)
+        n_ours = int(sel.sum())
+        ours_avg = n_ours / (2 * y_cut * nev_ours)
+        # combined Poisson errors of both samplers
+        n_ref = ref_avg * 2 * y_cut * nev_ref
+        sigma = np.sqrt(max(n_ref, 1.0)) / (2 * y_cut * nev_ref) \
+            + np.sqrt(max(n_ours, 1)) / (2 * y_cut * nev_ours)
+        assert abs(ours_avg - ref_avg) < 5 * sigma + 0.02 * ref_avg, \
+            (mcid, ours_avg, ref_avg, nev_ref, nev_ours)
