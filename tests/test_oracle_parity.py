@@ -334,3 +334,59 @@ def test_sampler_statistical_parity_vs_reference(oracle_binary, sandbox):
             + np.sqrt(max(n_ours, 1)) / (2 * y_cut * nev_ours)
         assert abs(ours_avg - ref_avg) < 5 * sigma + 0.02 * ref_avg, \
             (mcid, ours_avg, ref_avg, nev_ref, nev_ours)
+
+
+FIXED_BIN = "/tmp/is3d_oracle/iS3D_fixedbilinear.e"
+
+
+@pytest.mark.parametrize("df_mode", [1, 2])
+def test_parity_baryon_sector(oracle_binary, sandbox, df_mode):
+    """Nonzero muB with baryon diffusion, against the bilinear-corrected
+    oracle build.
+
+    The unpatched reference cannot compute this sector: its bilinear
+    interpolation indexes f_data[iT][imuB] on arrays stored [imuB][iT]
+    (deltafReader.cpp:404-407 vs the fill loop :168-198), reading out of
+    bounds for iT >= points_muB.  The oracle build script compiles a
+    second binary with only those four index expressions corrected."""
+    if not os.path.exists(FIXED_BIN):
+        pytest.skip("fixed-bilinear oracle not built")
+    d = sandbox
+    rng = np.random.default_rng(44)
+    n = 30
+    hbarC = 0.197327053
+    cells = np.zeros((n, 25))
+    cells[:, 0] = rng.uniform(1, 8, n)
+    cells[:, 1:3] = rng.uniform(-5, 5, (n, 2))
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)
+    cells[:, 5:7] = rng.uniform(-0.5, 0.5, (n, 2))
+    cells[:, 8:10] = rng.uniform(-0.7, 0.7, (n, 2))
+    cells[:, 10] = rng.uniform(-0.05, 0.05, n)
+    cells[:, 11] = rng.uniform(0.25, 0.40, n) / hbarC
+    cells[:, 12] = rng.uniform(0.148, 0.162, n) / hbarC
+    cells[:, 13] = rng.uniform(0.04, 0.08, n) / hbarC
+    cells[:, 14:19] = rng.normal(0, 0.004, (n, 5)) / hbarC
+    cells[:, 19] = rng.normal(0, 0.003, n) / hbarC
+    cells[:, 20] = rng.uniform(0.05, 0.3, n) / hbarC       # muB
+    cells[:, 21] = rng.uniform(0.01, 0.1, n)               # nB (fm^-3)
+    cells[:, 22:25] = rng.normal(0, 0.01, (n, 3))          # Vx Vy Vn
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+
+    _write_params(d, df_mode)
+    import re
+    text = (d / "iS3D_parameters.dat").read_text()
+    text = re.sub(r"^include_baryon\s.*$", "include_baryon = 1", text,
+                  flags=re.M)
+    text = re.sub(r"^include_baryondiff_deltaf.*$",
+                  "include_baryondiff_deltaf = 1", text, flags=re.M)
+    (d / "iS3D_parameters.dat").write_text(text)
+
+    shutil.rmtree(d / "results", ignore_errors=True)
+    (d / "results").mkdir()
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+    r = subprocess.run([FIXED_BIN], cwd=d, env=env, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+
+    run, res = _run_ours(d)
+    _compare_spectra(d, res)

@@ -257,3 +257,46 @@ def test_mode3_vah_plpt_layout():
     np.testing.assert_allclose(np.asarray(s.Lambda)[0], row[30] * hbarC)
     np.testing.assert_allclose(np.asarray(s.aL)[0], row[32])
     assert avg is None     # mode 3 does not write the averages file
+
+
+def test_bilinear_df_evaluation_vs_scipy(reference_dir):
+    """Nonzero-muB coefficient path vs scipy's RegularGridInterpolator.
+    (Our bilinear fixes the reference's transposed indexing, which reads
+    out of bounds for points_T != points_muB; deltafReader.cpp:404-407.)"""
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy.interpolate import RegularGridInterpolator
+    from is3d_tpu.io import deltaf
+
+    T, muB, raw = deltaf.load_deltaf_tables(
+        f"{reference_dir}/deltaf_coefficients", 1)
+    data = deltaf.build_deltaf_data(f"{reference_dir}/deltaf_coefficients",
+                                    1, include_jonah=False)
+    rng = np.random.default_rng(3)
+    Tq = jnp.asarray(rng.uniform(T[1], T[-2], 40))
+    muBq = jnp.asarray(rng.uniform(muB[1], muB[-2], 40))
+    E = jnp.asarray(rng.uniform(0.2, 0.4, 40))
+    P = jnp.asarray(rng.uniform(0.04, 0.08, 40))
+
+    out = deltaf.evaluate_df_coefficients(data, 1, True, Tq, muBq, E, P,
+                                          jnp.zeros(40))
+    T4 = np.asarray(Tq) ** 4
+    for name, got, unscale in (("c0", out.c0, T4),
+                               ("c2", out.c2, T4),
+                               ("c3", out.c3, T4),
+                               ("c4", out.c4, np.asarray(Tq) ** 5)):
+        interp = RegularGridInterpolator((muB, T), raw[name])
+        want = interp(np.stack([np.asarray(muBq), np.asarray(Tq)], 1)) / unscale
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10,
+                                   err_msg=name)
+
+    out2 = deltaf.evaluate_df_coefficients(data, 2, True, Tq, muBq, E, P,
+                                           jnp.zeros(40))
+    for name, got, unscale in (("G", out2.G, np.ones(40)),
+                               ("F", out2.F, np.asarray(Tq)),
+                               ("betaV", out2.betaV, np.asarray(Tq) ** 3),
+                               ("betapi", out2.betapi, T4)):
+        interp = RegularGridInterpolator((muB, T), raw[name])
+        want = interp(np.stack([np.asarray(muBq), np.asarray(Tq)], 1)) * unscale
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10,
+                                   err_msg=name)
