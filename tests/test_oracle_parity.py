@@ -263,9 +263,12 @@ def test_parity_dndx_operation0(oracle_binary, sandbox):
         assert rel.max() < 1e-6, (mcid, float(rel.max()))
 
 
-def test_sampler_statistical_parity_vs_reference(oracle_binary, sandbox):
+@pytest.mark.parametrize("df_mode", [2, 3])
+def test_sampler_statistical_parity_vs_reference(oracle_binary, sandbox,
+                                                 df_mode):
     """Both samplers (different RNGs) must agree statistically: per-species
-    event-averaged dN/dy within 5 sigma on the same surface."""
+    event-averaged dN/dy within 5 sigma on the same surface (df 2 linear,
+    df 3 exercises the feqmod sampling + momentum-rescale path)."""
     d = sandbox
     # restore the standard 50-cell 2+1D surface
     rng = np.random.default_rng(123)
@@ -288,7 +291,7 @@ def test_sampler_statistical_parity_vs_reference(oracle_binary, sandbox):
     cells[:, 19] = rng.normal(0, 0.003, n) / hbarC
     np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
 
-    _write_params(d, 2)
+    _write_params(d, df_mode)
     import re
     text = (d / "iS3D_parameters.dat").read_text()
     text = re.sub(r"^operation.*$", "operation = 2", text, flags=re.M)
