@@ -39,7 +39,6 @@ Divergences from the reference (documented):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from functools import partial
 from typing import Optional
 
@@ -78,9 +77,60 @@ def pion_thermal_weight_max(x):
 # Phase A: per-cell data
 # ======================================================================
 
-def _species_yields_exact(c, species, laguerre, cfg):
+def _species_yields_exact(c, species, laguerre, cfg, max_block=None):
     """Per-(cell, species) max densities dn for the categorical draw
-    (reference max_particle_number, sampling_kernels.cpp:282-357)."""
+    (reference max_particle_number, sampling_kernels.cpp:282-357).
+
+    Chunked over cells with lax.map so the (cells, species, quadrature)
+    block stays within a fixed element budget -- 1M-cell surfaces would
+    otherwise materialize hundreds of GB here."""
+    from .common import effective_chunk
+    C = c["T"].shape[0]
+    S = species.n_species
+    Q = laguerre[1][0].shape[0]
+    B = effective_chunk(C, C, S * Q)
+    if max_block is not None:
+        B = min(B, max_block)
+    if B < C:
+        nB = -(-C // B)
+        pad = nB * B - C
+
+        def prep(v, fill=0.0):
+            if pad:
+                v = jnp.concatenate(
+                    [v, jnp.full((pad,), fill, dtype=v.dtype)])
+            return v.reshape(nB, B)
+
+        stacked = dict(
+            T=prep(c["T"], fill=1.0),
+            alphaB=prep(c["alphaB"]),
+            bulkPi=prep(c["bulkPi"]),
+            breakdown=prep(c["breakdown"], fill=False),
+        )
+        dfc = c["df"]
+        for k in ("G", "F", "z"):
+            stacked["df_" + k] = prep(getattr(dfc, k))
+        stacked["df_betabulk"] = prep(dfc.betabulk, fill=1.0)
+
+        def one(chunk):
+            cc = dict(T=chunk["T"], alphaB=chunk["alphaB"],
+                      bulkPi=chunk["bulkPi"], breakdown=chunk["breakdown"])
+            from ..io.deltaf import DeltafCoefficients
+            z0 = jnp.zeros_like(chunk["T"])
+            cc["df"] = DeltafCoefficients(
+                c0=z0, c1=z0, c2=z0, c3=z0, c4=z0, shear14=z0,
+                F=chunk["df_F"], G=chunk["df_G"],
+                betabulk=chunk["df_betabulk"], betaV=jnp.ones_like(z0),
+                betapi=z0, lam=z0, z=chunk["df_z"],
+                delta_lambda=z0, delta_z=z0)
+            return _species_yields_exact_block(cc, species, laguerre, cfg)
+
+        out = jax.lax.map(one, stacked)            # (nB, B, S)
+        return out.reshape(nB * B, S)[:C]
+    return _species_yields_exact_block(c, species, laguerre, cfg)
+
+
+def _species_yields_exact_block(c, species, laguerre, cfg):
     r1, w1 = laguerre[1]
     r2, w2 = laguerre[2]
     T = c["T"][:, None]

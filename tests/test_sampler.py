@@ -310,3 +310,30 @@ def test_sampler_3d_yield_vs_smooth(smash_table, df_data):
     got = n_tot / nev
     sigma = np.sqrt(n_tot) / nev
     assert abs(got - want) < 5 * sigma + 0.03 * want, (got, want)
+
+
+def test_exact_yields_chunked_equals_block(smash_table, df_data):
+    """The lax.map cell chunking of the exact per-cell yields is exact."""
+    import jax.numpy as jnp
+    from is3d_tpu.kernels import sample as smp
+    from is3d_tpu.kernels.common import prepare_cells
+    surf = small_surface(n=23, seed=31)
+    sp = species_with_densities(smash_table, 0.155)
+    for df_mode in (1, 3, 4):
+        cfg = Config(operation=2, dimension=2, df_mode=df_mode,
+                     include_shear_deltaf=1, include_bulk_deltaf=1,
+                     regulate_deltaf=1, outflow=1)
+        lag = smp._laguerre_device(jnp.float64)
+        cols = smp._sampler_cols(surf, cfg)
+        c = prepare_cells(cols, cfg, df_data)
+        if df_mode in (3, 4):
+            from is3d_tpu.kernels.feqmod import _adjugate_sym, _mode3_breakdown
+            import numpy as _np
+            c["breakdown"] = jnp.asarray(
+                _np.random.default_rng(1).random(23) < 0.3)
+        else:
+            c["breakdown"] = jnp.zeros(23, dtype=bool)
+        full = smp._species_yields_exact_block(c, sp, lag, cfg)
+        chunked = smp._species_yields_exact(c, sp, lag, cfg, max_block=7)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                                   rtol=1e-14)
