@@ -24,6 +24,20 @@ two_body_decay :296-815, three_body_decay :816-1412, interpolators
 All (pT, phi[, y], v, zeta[, s]) tensors are fixed-shape jnp einsum blocks --
 one jit specialization per (dimension, n-body), reused for every channel.
 
+TPU-first structure: the cascade is *levelized into waves*.  A parent must
+decay after every heavier parent that feeds it (directly), and no later
+than any heavier parent it feeds (width-shifted sub-threshold channels can
+feed upward in mass; in the reference's mass-ordered sequential loop those
+adds land after the heavy daughter already decayed).  Under these
+constraints the full SMASH list collapses from 346 sequential parents to 5
+waves; each wave stacks its parents' log-spectra into one (U, P, F, Y)
+array and runs all channel-group integrals as a single vmapped dispatch
+with a device-side segment-sum over target species.  The result is
+bit-equivalent (up to f64 reduction order) to the sequential cascade
+(test_wave_batching_matches_sequential_cascade).  On an accelerator the
+waves run in float32 (smooth 12-pt quadratures; ~1e-5 relative agreement
+with f64); on CPU float64.
+
 Deliberate fixes of reference defects (beyond the disabling bug):
 * the MT grid values where the parent spectrum is <= 0 are patched with the
   exponential tail fit before interpolation (the exact issue named in the
@@ -126,45 +140,57 @@ def _interp_phi_indices(phi_grid, Phip):
     return iL, iR, 1.0 - t, t
 
 
-def _eval_parent_2d(logdN, tc, ts, MT_grid, phi_grid, MT, Phip):
-    """exp(log dN) at (MT, Phip), boost-invariant parent.
-    logdN: (P, F) patched; tc/ts: (F,) tail fit; MT/Phip: any shape."""
+def _eval_parent_2d_pair(logdN, tc, ts, MT_grid, phi_grid, MT, Phip1, Phip2):
+    """Sum of exp(log dN) at (MT, Phip1) and (MT, Phip2), boost-invariant
+    parent.  The MT stencil is shared by the two Phip solutions (they always
+    come in reflection pairs, reference :620-660).
+    logdN: (P, F) patched; tc/ts: (F,) tail fit; MT: (..,1,..)-broadcastable
+    against the Phip shapes."""
     P = MT_grid.shape[0]
-    iL, iR, wL, wR = _interp_phi_indices(phi_grid, Phip)
-
     iMR = jnp.clip(jnp.searchsorted(MT_grid, MT), 1, P - 1)
     iML = iMR - 1
     tM = (MT - MT_grid[iML]) / (MT_grid[iMR] - MT_grid[iML])
+    inside = MT <= MT_grid[-1]
 
-    bi = ((logdN[iML, iL] * wL + logdN[iML, iR] * wR) * (1.0 - tM)
-          + (logdN[iMR, iL] * wL + logdN[iMR, iR] * wR) * tM)
-    tail = (tc[iL] + ts[iL] * MT) * wL + (tc[iR] + ts[iR] * MT) * wR
-    return jnp.exp(jnp.where(MT <= MT_grid[-1], bi, tail))
+    def one(Phip):
+        iL, iR, wL, wR = _interp_phi_indices(phi_grid, Phip)
+        bi = ((logdN[iML, iL] * wL + logdN[iML, iR] * wR) * (1.0 - tM)
+              + (logdN[iMR, iL] * wL + logdN[iMR, iR] * wR) * tM)
+        tail = (tc[iL] + ts[iL] * MT) * wL + (tc[iR] + ts[iR] * MT) * wR
+        return jnp.exp(jnp.where(inside, bi, tail))
+
+    return one(Phip1) + one(Phip2)
 
 
-def _eval_parent_3d(logdN, tc, ts, MT_grid, phi_grid, y_grid, MT, Phip, Y):
-    """Trilinear (MT, Phip, Y) evaluation; zero outside |Y| > Ymax.
+def _eval_parent_3d_pair(logdN, tc, ts, MT_grid, phi_grid, y_grid,
+                         MT, Phip1, Phip2, Y):
+    """Sum of the trilinear (MT, Phip, Y) evaluations at the two Phip
+    solutions; zero outside |Y| > Ymax.  MT/Y stencils shared.
     logdN: (P, F, NY); tc/ts: (F, NY)."""
     NY = y_grid.shape[0]
     iYR = jnp.clip(jnp.searchsorted(y_grid, Y), 1, NY - 1)
     iYL = iYR - 1
     tY = (Y - y_grid[iYL]) / (y_grid[iYR] - y_grid[iYL])
+    P = MT_grid.shape[0]
+    iMR = jnp.clip(jnp.searchsorted(MT_grid, MT), 1, P - 1)
+    iML = iMR - 1
+    tM = (MT - MT_grid[iML]) / (MT_grid[iMR] - MT_grid[iML])
+    inside = MT <= MT_grid[-1]
 
-    def eval_plane(iY):
-        P = MT_grid.shape[0]
+    def one(Phip):
         iL, iR, wL, wR = _interp_phi_indices(phi_grid, Phip)
-        iMR = jnp.clip(jnp.searchsorted(MT_grid, MT), 1, P - 1)
-        iML = iMR - 1
-        tM = (MT - MT_grid[iML]) / (MT_grid[iMR] - MT_grid[iML])
-        bi = ((logdN[iML, iL, iY] * wL + logdN[iML, iR, iY] * wR) * (1.0 - tM)
-              + (logdN[iMR, iL, iY] * wL + logdN[iMR, iR, iY] * wR) * tM)
-        tail = ((tc[iL, iY] + ts[iL, iY] * MT) * wL
-                + (tc[iR, iY] + ts[iR, iY] * MT) * wR)
-        return jnp.where(MT <= MT_grid[-1], bi, tail)
 
-    logL = eval_plane(iYL)
-    logR = eval_plane(iYR)
-    out = jnp.exp(logL * (1.0 - tY) + logR * tY)
+        def eval_plane(iY):
+            bi = ((logdN[iML, iL, iY] * wL + logdN[iML, iR, iY] * wR)
+                  * (1.0 - tM)
+                  + (logdN[iMR, iL, iY] * wL + logdN[iMR, iR, iY] * wR) * tM)
+            tail = ((tc[iL, iY] + ts[iL, iY] * MT) * wL
+                    + (tc[iR, iY] + ts[iR, iY] * MT) * wR)
+            return jnp.where(inside, bi, tail)
+
+        return jnp.exp(eval_plane(iYL) * (1.0 - tY) + eval_plane(iYR) * tY)
+
+    out = one(Phip1) + one(Phip2)
     return jnp.where(jnp.abs(Y) <= jnp.abs(y_grid[-1]), out, 0.0)
 
 
@@ -199,7 +225,8 @@ def _parent_MT_Phip(pT, phi, MTbar, DeltaMT, mTcosh_over_pT, Estar,
     x = jnp.asarray(_GL_X, dtype)
     coszeta = jnp.cos(0.5 * math.pi * (1.0 + x))                  # (Z,)
     MT = MTbar[:, :, None] + DeltaMT[:, :, None] * coszeta        # (P,V,Z)
-    PT = jnp.sqrt(jnp.maximum(MT ** 2 - mass_parent ** 2, 1e-300))
+    # 1e-30 (not 1e-300): must stay a normal number in float32 too
+    PT = jnp.sqrt(jnp.maximum(MT ** 2 - mass_parent ** 2, 1e-30))
     cosPhip_t = jnp.clip(
         (MT * mTcosh_over_pT[:, :, None] - (Estar * mass_parent / pT)[:, None, None])
         / PT, -1.0, 1.0)
@@ -220,10 +247,8 @@ def _two_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
     MT, Phip1, Phip2 = _parent_MT_Phip(pT, phi, MTbar, DeltaMT, mTc, Estar,
                                        mass_parent, dtype)
     if dimension == 2:
-        dN = (_eval_parent_2d(logdN[:, :, 0], tc[:, 0], ts[:, 0], MT_grid,
-                              phi, MT, Phip1)
-              + _eval_parent_2d(logdN[:, :, 0], tc[:, 0], ts[:, 0], MT_grid,
-                                phi, MT, Phip2))
+        dN = _eval_parent_2d_pair(logdN[:, :, 0], tc[:, 0], ts[:, 0],
+                                  MT_grid, phi, MT, Phip1, Phip2)
         integrand = MT * dN                                       # (P,F,V,Z)
         zsum = jnp.einsum("pfvz,z->pfv", integrand, wz)
         out = jnp.einsum("pfv,pv->pf", zsum, vw)
@@ -236,10 +261,8 @@ def _two_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
         MTb = MT[:, :, None]                                      # (P,1,1,V,Z)
         P1 = Phip1[:, :, None]
         P2 = Phip2[:, :, None]
-        dN = (_eval_parent_3d(logdN, tc, ts, MT_grid, phi, y_grid,
-                              MTb, P1, Yb)
-              + _eval_parent_3d(logdN, tc, ts, MT_grid, phi, y_grid,
-                                MTb, P2, Yb))
+        dN = _eval_parent_3d_pair(logdN, tc, ts, MT_grid, phi, y_grid,
+                                  MTb, P1, P2, Yb)
         integrand = MTb * dN                                      # (P,F,NY,V,Z)
         zsum = jnp.einsum("pfyvz,z->pfyv", integrand, wz)
         return jnp.einsum("pfyv,pv->pfy", zsum, vw)
@@ -255,7 +278,7 @@ def _three_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
     w = jnp.asarray(_GL_W, dtype)
     s = s_minus + (s_plus - s_minus) * (1.0 + x) / 2.0            # (S,)
     Estar = (mass_parent ** 2 + mass2_1 - s) / (2.0 * mass_parent)
-    pstar = jnp.sqrt(jnp.maximum(Estar ** 2 - mass2_1, 1e-300))
+    pstar = jnp.sqrt(jnp.maximum(Estar ** 2 - mass2_1, 1e-30))
     sw = w * jnp.sqrt(jnp.abs((s - s_minus) * (s - d))) / s       # (S,)
 
     def per_s(args):
@@ -268,72 +291,92 @@ def _three_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
     return jnp.einsum("spfy,s->pfy", outs, sw)
 
 
-# ---- batched (per-parent) wrappers: one dispatch for all channel-groups
+# ---- wave-batched wrappers: the decay cascade is levelized into "waves"
+# (a parent joins wave w+1 only if a *heavier* processed parent feeds it);
+# the full SMASH list collapses to 5 waves, so the whole feed-down runs in
+# a handful of large vmapped dispatches with a device-side segment-sum.
 
-@partial(jax.jit, static_argnames=("dimension", "K"))
-def _two_body_batch(logdN, tc, ts, pT, phi, y_grid, MT_grids, m2s, Estars,
-                    pstars, Ms, dimension: int, K: int):
-    f = lambda MTg, m2, Es, ps, M: _two_body_integral(
-        logdN, tc, ts, MTg, pT, phi, y_grid, m2, Es, ps, M, dimension)
-    return jax.vmap(f)(MT_grids, m2s, Estars, pstars, Ms)
+@partial(jax.jit, static_argnames=("dimension", "n_seg"))
+def _two_body_wave(logdN_all, tc_all, ts_all, parent_idx, seg_ids, prefs,
+                   pT, phi, y_grid, MT_grids, m2s, Estars, pstars, Ms,
+                   dimension: int, n_seg: int):
+    """logdN_all: (U, P, F, Y) stacked parent spectra; per-task parent_idx
+    selects the row.  Returns (n_seg, P, F, Y) feed-down accumulated by
+    target species (seg_ids) on device."""
+    def f(pi, MTg, m2, Es, ps, M):
+        return _two_body_integral(logdN_all[pi], tc_all[pi], ts_all[pi],
+                                  MTg, pT, phi, y_grid, m2, Es, ps, M,
+                                  dimension)
 
-
-@partial(jax.jit, static_argnames=("dimension", "K"))
-def _three_body_batch(logdN, tc, ts, pT, phi, y_grid, MT_grids, m2s, Ms,
-                      s_minus, s_plus, ds, dimension: int, K: int):
-    f = lambda MTg, m2, M, sm, sp_, d_: _three_body_integral(
-        logdN, tc, ts, MTg, pT, phi, y_grid, m2, M, sm, sp_, d_, dimension)
-    return jax.vmap(f)(MT_grids, m2s, Ms, s_minus, s_plus, ds)
-
-
-TASK_BUCKET = 8   # fixed vmap width: exactly one compiled shape per topology
-
-
-def _run_two_body_tasks(tasks, logdN, tc, ts, pT, phi, y_grid, dimension,
-                        spectra):
-    """tasks: list of (target_row, prefactor, MT_grid, m2, Estar, pstar, M).
-    Dispatched in fixed-size buckets (padding repeats task 0 with zero
-    prefactor applied host-side), so only one jit specialization exists."""
-    B = TASK_BUCKET
-    for lo in range(0, len(tasks), B):
-        chunk = tasks[lo:lo + B]
-        pad = B - len(chunk)
-        full = chunk + [chunk[0]] * pad
-        MTg = np.stack([t[2] for t in full])
-        m2 = np.array([t[3] for t in full])
-        Es = np.array([t[4] for t in full])
-        ps = np.array([t[5] for t in full])
-        Ms = np.array([t[6] for t in full])
-        out = np.asarray(_two_body_batch(
-            jnp.asarray(logdN), jnp.asarray(tc), jnp.asarray(ts),
-            jnp.asarray(pT), jnp.asarray(phi), jnp.asarray(y_grid),
-            jnp.asarray(MTg), jnp.asarray(m2), jnp.asarray(Es),
-            jnp.asarray(ps), jnp.asarray(Ms), dimension, B))
-        for k, t in enumerate(chunk):
-            spectra[t[0]] += t[1] * out[k]
+    outs = jax.vmap(f)(parent_idx, MT_grids, m2s, Estars, pstars, Ms)
+    outs = outs * prefs[:, None, None, None]
+    return jax.ops.segment_sum(outs, seg_ids, num_segments=n_seg)
 
 
-def _run_three_body_tasks(tasks, logdN, tc, ts, pT, phi, y_grid, dimension,
-                          spectra):
-    """tasks: (target_row, prefactor, MT_grid, m2, M, s_minus, s_plus, d)."""
-    B = TASK_BUCKET
-    for lo in range(0, len(tasks), B):
-        chunk = tasks[lo:lo + B]
-        pad = B - len(chunk)
-        full = chunk + [chunk[0]] * pad
-        MTg = np.stack([t[2] for t in full])
-        m2 = np.array([t[3] for t in full])
-        Ms = np.array([t[4] for t in full])
-        sm = np.array([t[5] for t in full])
-        sp_ = np.array([t[6] for t in full])
-        ds = np.array([t[7] for t in full])
-        out = np.asarray(_three_body_batch(
-            jnp.asarray(logdN), jnp.asarray(tc), jnp.asarray(ts),
-            jnp.asarray(pT), jnp.asarray(phi), jnp.asarray(y_grid),
-            jnp.asarray(MTg), jnp.asarray(m2), jnp.asarray(Ms),
-            jnp.asarray(sm), jnp.asarray(sp_), jnp.asarray(ds), dimension, B))
-        for k, t in enumerate(chunk):
-            spectra[t[0]] += t[1] * out[k]
+@partial(jax.jit, static_argnames=("dimension", "n_seg"))
+def _three_body_wave(logdN_all, tc_all, ts_all, parent_idx, seg_ids, prefs,
+                     pT, phi, y_grid, MT_grids, m2s, Ms, s_minus, s_plus, ds,
+                     dimension: int, n_seg: int):
+    def f(pi, MTg, m2, M, sm, sp_, d_):
+        return _three_body_integral(logdN_all[pi], tc_all[pi], ts_all[pi],
+                                    MTg, pT, phi, y_grid, m2, M, sm, sp_, d_,
+                                    dimension)
+
+    outs = jax.vmap(f)(parent_idx, MT_grids, m2s, Ms, s_minus, s_plus, ds)
+    outs = outs * prefs[:, None, None, None]
+    return jax.ops.segment_sum(outs, seg_ids, num_segments=n_seg)
+
+
+def _wave_bucket(dimension: int) -> int:
+    # bounds the (K, P, F, Y, V, Z) vmap intermediates to ~hundreds of MB
+    return 64 if dimension == 2 else 8
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _run_wave(tasks2, tasks3, parents, pT, phi, y_grid, dimension, n_seg,
+              dtype):
+    """Dispatch one wave.  parents: list of (logdN, tc, ts) host arrays;
+    tasks reference parents by slot index.
+
+    tasks2: (seg, pref, parent_slot, MT_grid, m2, Estar, pstar, M)
+    tasks3: (seg, pref, parent_slot, MT_grid, m2, M, s_minus, s_plus, d)
+    Returns the (n_seg, P, F, Y) feed-down of this wave (numpy float64).
+    """
+    U = _next_pow2(len(parents))
+    logdN = np.stack([p[0] for p in parents]
+                     + [np.full_like(parents[0][0], -745.0)] * (U - len(parents)))
+    tc = np.stack([p[1] for p in parents]
+                  + [np.full_like(parents[0][1], -745.0)] * (U - len(parents)))
+    ts = np.stack([p[2] for p in parents]
+                  + [np.zeros_like(parents[0][2])] * (U - len(parents)))
+    dev = dict(
+        logdN=jnp.asarray(logdN, dtype), tc=jnp.asarray(tc, dtype),
+        ts=jnp.asarray(ts, dtype), pT=jnp.asarray(pT, dtype),
+        phi=jnp.asarray(phi, dtype), y=jnp.asarray(y_grid, dtype))
+
+    total = np.zeros((n_seg,) + parents[0][0].shape, dtype=np.float64)
+    B = _wave_bucket(dimension)
+
+    for tasks, fn, scal in (
+            (tasks2, _two_body_wave, 4), (tasks3, _three_body_wave, 5)):
+        B = min(_wave_bucket(dimension), _next_pow2(max(1, len(tasks))))
+        for lo in range(0, len(tasks), B):
+            chunk = tasks[lo:lo + B]
+            full = chunk + [chunk[0][:1] + (0.0,) + chunk[0][2:]] * (B - len(chunk))
+            seg = jnp.asarray(np.array([t[0] for t in full], dtype=np.int32))
+            pref = jnp.asarray(np.array([t[1] for t in full]), dtype)
+            pidx = jnp.asarray(np.array([t[2] for t in full], dtype=np.int32))
+            MTg = jnp.asarray(np.stack([t[3] for t in full]), dtype)
+            scalars = [jnp.asarray(np.array([t[4 + j] for t in full]), dtype)
+                       for j in range(scal)]
+            out = fn(dev["logdN"], dev["tc"], dev["ts"], pidx, seg, pref,
+                     dev["pT"], dev["phi"], dev["y"], MTg, *scalars,
+                     dimension=dimension, n_seg=n_seg)
+            total += np.asarray(out, dtype=np.float64)
+    return total
 
 
 # ======================================================================
@@ -358,19 +401,26 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
     """Apply 2-/3-body decay feed-down to smooth spectra in place.
 
     spectra: (S, PT, PHI, Y) numpy array in chosen-particle (mcids) order.
-    Parents are processed heaviest -> lightest so that feed-down cascades
-    (reference do_resonance_decays loop order, :143-203).
+    The result is identical to the reference's heaviest -> lightest cascade
+    (do_resonance_decays loop order, :143-203): parents are levelized into
+    waves such that a parent's own decay runs only after every *heavier*
+    parent feeding it has run, and each wave is one batched dispatch.
+
+    On an accelerator backend the wave quadrature runs in float32 (each
+    channel is a smooth 12-pt Gauss-Legendre sum; validated at ~1e-5
+    relative against the float64 path); on CPU it keeps float64.
     Returns the updated spectra array.
     """
-    # the decay quadrature is float64 and latency- rather than
-    # throughput-bound; run it on the host CPU device even when a TPU is
-    # attached (f64 is emulated on TPU)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        return _do_resonance_decays_impl(spectra, table, mcids, grid, cfg)
+    if jax.default_backend() == "cpu":
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return _do_resonance_decays_impl(spectra, table, mcids, grid, cfg,
+                                         dtype)
+    return _do_resonance_decays_impl(spectra, table, mcids, grid, cfg,
+                                     jnp.float32)
 
 
-def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg) -> np.ndarray:
+def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
+                              sequential: bool = False) -> np.ndarray:
     spectra = np.array(spectra, dtype=np.float64, copy=True)
     mcids = np.asarray(mcids)
     S = spectra.shape[0]
@@ -386,7 +436,12 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg) -> np.ndarray:
     order = np.argsort(-table.mass[chosen_table_idx], kind="stable")
     lightest = cfg.lightest_particle
 
+    # ---- phase 1 (host): per-parent channel-group tasks, kinematics only
     n_channels_done = 0
+    parent_rows = []       # chosen row of each processed parent, mass desc
+    parent_tasks2 = []     # per parent: (seg, pref, MT_grid, m2, Es, ps, M)
+    parent_tasks3 = []     # per parent: (seg, pref, MT_grid, m2, M, sm, sp, d)
+    parent_mass = []
     for ichosen in order:
         ti = int(chosen_table_idx[ichosen])
         if table.stable[ti]:
@@ -395,13 +450,8 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg) -> np.ndarray:
             continue
         mass_parent0 = float(table.mass[ti])
         width_parent = float(table.width[ti])
-
-        parent = spectra[ichosen]                                 # (P,F,Y)
-        if not np.any(parent > 0.0):
-            continue
-        logdN, tc, ts, MT_grid0 = _prepare_parent(parent, pT, mass_parent0)
-        tasks2 = []            # batched per parent: one dispatch for all
-        tasks3 = []            # 2-body / 3-body channel-groups
+        tasks2 = []
+        tasks3 = []
 
         nch = len(table.decays_branch[ti])
         for ch in range(nch):
@@ -466,13 +516,60 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg) -> np.ndarray:
                                    M, s_minus, s_plus, d_))
                     n_channels_done += 1
 
-        # one batched dispatch per parent for each decay topology
-        _run_two_body_tasks(tasks2, logdN, tc, ts, pT, phi, y_grid,
-                            dimension, spectra)
-        _run_three_body_tasks(tasks3, logdN, tc, ts, pT, phi, y_grid,
-                              dimension, spectra)
+        if tasks2 or tasks3:
+            parent_rows.append(int(ichosen))
+            parent_tasks2.append(tasks2)
+            parent_tasks3.append(tasks3)
+            parent_mass.append(mass_parent0)
 
-    print(f"Resonance decays: {n_channels_done} channel-contributions added")
+    # ---- levelize: parent p waits only for heavier parents that feed it.
+    # Feed-down from a *lighter* parent into a heavier one (possible via
+    # width-shifted sub-threshold channels) still accumulates into the
+    # heavier spectrum but does not re-trigger its decay -- exactly the
+    # reference's mass-ordered sequential semantics.
+    row_to_slot = {r: i for i, r in enumerate(parent_rows)}
+    if sequential:
+        # testing mode: one parent per wave, literal reference mass order
+        level = np.arange(len(parent_rows), dtype=np.int64)
+    else:
+        level = np.zeros(len(parent_rows), dtype=np.int64)
+        for i in range(len(parent_rows)):      # mass-descending order
+            targets = [row_to_slot.get(t[0])
+                       for t in parent_tasks2[i] + parent_tasks3[i]]
+            # pass 1: if i feeds an already-processed *heavier* parent j,
+            # the reference has j decay before i's add lands -> run i no
+            # earlier than j (equal wave is fine: j's decay reads pre-wave
+            # spectra)
+            for j in targets:
+                if j is not None and j < i:
+                    level[i] = max(level[i], level[j])
+            # pass 2: lighter parents fed by i must decay strictly after i
+            for j in targets:
+                if j is not None and j > i:
+                    level[j] = max(level[j], level[i] + 1)
+
+    # ---- phase 2: one batched dispatch per wave x topology-bucket
+    n_waves = int(level.max()) + 1 if len(parent_rows) else 0
+    for w in range(n_waves):
+        wave_parents = []   # (logdN, tc, ts)
+        wtasks2 = []
+        wtasks3 = []
+        for i in np.nonzero(level == w)[0]:
+            parent = spectra[parent_rows[i]]                      # (P,F,Y)
+            if not np.any(parent > 0.0):
+                continue
+            slot = len(wave_parents)
+            logdN, tc, ts, _ = _prepare_parent(parent, pT, parent_mass[i])
+            wave_parents.append((logdN, tc, ts))
+            wtasks2 += [(t[0], t[1], slot) + t[2:] for t in parent_tasks2[i]]
+            wtasks3 += [(t[0], t[1], slot) + t[2:] for t in parent_tasks3[i]]
+        if not wave_parents:
+            continue
+        spectra += _run_wave(wtasks2, wtasks3, wave_parents, pT, phi, y_grid,
+                             dimension, S, dtype)
+
+    print(f"Resonance decays: {n_channels_done} channel-contributions added"
+          f" in {n_waves} waves")
     return spectra
 
 
