@@ -122,6 +122,111 @@ def _prepare_parent(parent_spectra, pT, mass_parent):
 # parent-spectrum evaluation (jnp, inside jit)
 # ======================================================================
 
+def _hat_weights(grid, x):
+    """(..., G) linear-interpolation hat weights on a sorted 1-D grid with
+    linear extrapolation beyond both ends -- numerically identical to an
+    index-clipped two-point stencil, but built from comparisons only so the
+    downstream table lookup is a dense contraction instead of a gather
+    (TPU gathers run near scalar speed; these feed the MXU/VPU)."""
+    g0 = grid[:-1]
+    g1 = grid[1:]
+    xe = x[..., None]
+    t = (xe - g0) / (g1 - g0)
+    inc = (xe >= g0) & (xe < g1)
+    below = (x < grid[0])[..., None]
+    above = (x >= grid[-1])[..., None]
+    zcols = jnp.zeros_like(inc[..., :1])
+
+    def edge(flag, at_start):
+        pads = [flag] + [zcols] * (inc.shape[-1] - 1)
+        return jnp.concatenate(pads if at_start else pads[::-1], -1)
+
+    inc = inc | edge(below, True) | edge(above, False)
+    wl = jnp.where(inc, 1.0 - t, 0.0)
+    wr = jnp.where(inc, t, 0.0)
+    zero = jnp.zeros_like(wl[..., :1])
+    return (jnp.concatenate([wl, zero], -1)
+            + jnp.concatenate([zero, wr], -1))
+
+
+def _phi_hat_weights(phi_grid, Phip):
+    """(..., F) wrap-around interpolation hat weights in Phip: interior
+    cells are linear; outside [phi_0, phi_{F-1}] the angle interpolates
+    between (phi_{F-1} - 2pi) and phi_0 (reference interpolator behavior)."""
+    F = phi_grid.shape[0]
+    inside = (Phip >= phi_grid[0]) & (Phip <= phi_grid[-1])
+    g0 = phi_grid[:-1]
+    g1 = phi_grid[1:]
+    xe = Phip[..., None]
+    t = (xe - g0) / (g1 - g0)
+    inc = (xe >= g0) & (xe < g1)
+    # Phip exactly at the last node falls in the last interior cell (t=1)
+    at_end = (Phip == phi_grid[-1])[..., None]
+    zcols = jnp.zeros_like(inc[..., :1])
+    inc = inc | jnp.concatenate([zcols] * (inc.shape[-1] - 1) + [at_end], -1)
+    wl = jnp.where(inc, 1.0 - t, 0.0)
+    wr = jnp.where(inc, t, 0.0)
+    zero = jnp.zeros_like(wl[..., :1])
+    W = (jnp.concatenate([wl, zero], -1)
+         + jnp.concatenate([zero, wr], -1))
+    # wrap cell: map the angle near 0 and interpolate (last node, first node)
+    out = ~inside
+    Phip_out = Phip - jnp.floor(Phip / math.pi) * TWO_PI
+    tw = ((Phip_out - (phi_grid[-1] - TWO_PI))
+          / (phi_grid[0] - (phi_grid[-1] - TWO_PI)))
+    wfirst = jnp.where(out, tw, 0.0)[..., None]
+    wlast = jnp.where(out, 1.0 - tw, 0.0)[..., None]
+    mid = jnp.zeros_like(W[..., : F - 2])
+    return W + jnp.concatenate([wfirst, mid, wlast], -1)
+
+
+def _eval_parent_2d_pair(logdN, tc, ts, MT_grid, phi_grid, MT, Phip1, Phip2):
+    """Sum of exp(log dN) at (MT, Phip1) and (MT, Phip2), boost-invariant
+    parent.  Gather-free: the bilinear log interpolation (with MT tail
+    switch) is two hat-weight contractions; the MT stencil is shared by the
+    two Phip solutions (reflection pairs, reference :620-660).
+    logdN: (Pg, Fg); tc/ts: (Fg,); MT: (p, 1, v, z); Phip: (p, F, v, z).
+    Returns (p, F, v, z)."""
+    MTq = MT[:, 0]                                      # (p, v, z)
+    hatM = _hat_weights(MT_grid, MTq)                   # (p, v, z, Pg)
+    tmp = jnp.einsum("pvzg,gf->pvzf", hatM, logdN)      # log dN at (MT, f)
+    tail = tc + ts * MTq[..., None]                     # (p, v, z, Fg)
+    inside = (MTq <= MT_grid[-1])[..., None]
+    tmp = jnp.where(inside, tmp, tail)
+
+    def one(Phip):
+        hatP = _phi_hat_weights(phi_grid, Phip)         # (p, F, v, z, Fg)
+        return jnp.exp(jnp.einsum("pFvzf,pvzf->pFvz", hatP, tmp))
+
+    return one(Phip1) + one(Phip2)
+
+
+def _eval_parent_3d_pair(logdN, tc, ts, MT_grid, phi_grid, y_grid,
+                         MT, Phip1, Phip2, Y):
+    """Sum of the trilinear (MT, Phip, Y) log interpolations at the two
+    Phip solutions, exponentiated; zero outside |Y| > Ymax.  Gather-free
+    hat-weight contractions; MT/Y stencils shared across the pair.
+    logdN: (Pg, Fg, Yg); tc/ts: (Fg, Yg); MT: (p, 1, 1, v, z);
+    Phip: (p, F, 1, v, z); Y: (p, 1, NY, v, 1).  Returns (p, F, NY, v, z)."""
+    MTq = MT[:, 0, 0]                                   # (p, v, z)
+    hatM = _hat_weights(MT_grid, MTq)                   # (p, v, z, Pg)
+    tmp = jnp.einsum("pvzg,gfy->pvzfy", hatM, logdN)    # (p, v, z, Fg, Yg)
+    tail = tc + ts * MTq[..., None, None]               # (p, v, z, Fg, Yg)
+    inside = (MTq <= MT_grid[-1])[..., None, None]
+    tmp = jnp.where(inside, tmp, tail)
+
+    Yq = Y[:, 0, :, :, 0]                               # (p, NY, v)
+    hatY = _hat_weights(y_grid, Yq)                     # (p, NY, v, Yg)
+    tmp = jnp.einsum("pvzfy,pYvy->pYvzf", tmp, hatY)    # (p, NY, v, z, Fg)
+
+    def one(Phip):
+        hatP = _phi_hat_weights(phi_grid, Phip[:, :, 0])  # (p, F, v, z, Fg)
+        return jnp.exp(jnp.einsum("pFvzf,pYvzf->pFYvz", hatP, tmp))
+
+    out = one(Phip1) + one(Phip2)                       # (p, F, NY, v, z)
+    return jnp.where(jnp.abs(Y) <= jnp.abs(y_grid[-1]), out, 0.0)
+
+
 def _interp_phi_indices(phi_grid, Phip):
     """Wrap-around linear interpolation stencil in Phip.
     Returns (iL, iR, wL, wR)."""
@@ -140,12 +245,11 @@ def _interp_phi_indices(phi_grid, Phip):
     return iL, iR, 1.0 - t, t
 
 
-def _eval_parent_2d_pair(logdN, tc, ts, MT_grid, phi_grid, MT, Phip1, Phip2):
-    """Sum of exp(log dN) at (MT, Phip1) and (MT, Phip2), boost-invariant
-    parent.  The MT stencil is shared by the two Phip solutions (they always
-    come in reflection pairs, reference :620-660).
-    logdN: (P, F) patched; tc/ts: (F,) tail fit; MT: (..,1,..)-broadcastable
-    against the Phip shapes."""
+def _eval_parent_2d_pair_gather(logdN, tc, ts, MT_grid, phi_grid,
+                                MT, Phip1, Phip2):
+    """Stencil-gather variant of _eval_parent_2d_pair (identical math).
+    Preferred on CPU, where gathers are cheap and the dense hat
+    contractions cost ~the grid size in extra flops per point."""
     P = MT_grid.shape[0]
     iMR = jnp.clip(jnp.searchsorted(MT_grid, MT), 1, P - 1)
     iML = iMR - 1
@@ -162,11 +266,9 @@ def _eval_parent_2d_pair(logdN, tc, ts, MT_grid, phi_grid, MT, Phip1, Phip2):
     return one(Phip1) + one(Phip2)
 
 
-def _eval_parent_3d_pair(logdN, tc, ts, MT_grid, phi_grid, y_grid,
-                         MT, Phip1, Phip2, Y):
-    """Sum of the trilinear (MT, Phip, Y) evaluations at the two Phip
-    solutions; zero outside |Y| > Ymax.  MT/Y stencils shared.
-    logdN: (P, F, NY); tc/ts: (F, NY)."""
+def _eval_parent_3d_pair_gather(logdN, tc, ts, MT_grid, phi_grid, y_grid,
+                                MT, Phip1, Phip2, Y):
+    """Stencil-gather variant of _eval_parent_3d_pair (identical math)."""
     NY = y_grid.shape[0]
     iYR = jnp.clip(jnp.searchsorted(y_grid, Y), 1, NY - 1)
     iYL = iYR - 1
@@ -236,9 +338,10 @@ def _parent_MT_Phip(pT, phi, MTbar, DeltaMT, mTcosh_over_pT, Estar,
     return MT[:, None], Phip1, Phip2                              # (P,1|F,V,Z)
 
 
-@partial(jax.jit, static_argnames=("dimension",))
+@partial(jax.jit, static_argnames=("dimension", "use_hat"))
 def _two_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
-                       mass2_1, Estar, pstar, mass_parent, dimension: int):
+                       mass2_1, Estar, pstar, mass_parent, dimension: int,
+                       use_hat: bool = False):
     """(P, F[, Y]) feed-down integral (without prefactor)."""
     dtype = logdN.dtype
     wz = jnp.asarray(_GL_W, dtype)
@@ -247,8 +350,9 @@ def _two_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
     MT, Phip1, Phip2 = _parent_MT_Phip(pT, phi, MTbar, DeltaMT, mTc, Estar,
                                        mass_parent, dtype)
     if dimension == 2:
-        dN = _eval_parent_2d_pair(logdN[:, :, 0], tc[:, 0], ts[:, 0],
-                                  MT_grid, phi, MT, Phip1, Phip2)
+        eval2 = _eval_parent_2d_pair if use_hat else _eval_parent_2d_pair_gather
+        dN = eval2(logdN[:, :, 0], tc[:, 0], ts[:, 0],
+                   MT_grid, phi, MT, Phip1, Phip2)
         integrand = MT * dN                                       # (P,F,V,Z)
         zsum = jnp.einsum("pfvz,z->pfv", integrand, wz)
         out = jnp.einsum("pfv,pv->pf", zsum, vw)
@@ -261,17 +365,17 @@ def _two_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
         MTb = MT[:, :, None]                                      # (P,1,1,V,Z)
         P1 = Phip1[:, :, None]
         P2 = Phip2[:, :, None]
-        dN = _eval_parent_3d_pair(logdN, tc, ts, MT_grid, phi, y_grid,
-                                  MTb, P1, P2, Yb)
+        eval3 = _eval_parent_3d_pair if use_hat else _eval_parent_3d_pair_gather
+        dN = eval3(logdN, tc, ts, MT_grid, phi, y_grid, MTb, P1, P2, Yb)
         integrand = MTb * dN                                      # (P,F,NY,V,Z)
         zsum = jnp.einsum("pfyvz,z->pfyv", integrand, wz)
         return jnp.einsum("pfyv,pv->pfy", zsum, vw)
 
 
-@partial(jax.jit, static_argnames=("dimension",))
+@partial(jax.jit, static_argnames=("dimension", "use_hat"))
 def _three_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
                          mass2_1, mass_parent, s_minus, s_plus, d,
-                         dimension: int):
+                         dimension: int, use_hat: bool = False):
     """Outer s-integral of the 2-body kernel (without prefactor)."""
     dtype = logdN.dtype
     x = jnp.asarray(_GL_X, dtype)
@@ -285,7 +389,7 @@ def _three_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
         Estar_k, pstar_k = args
         return _two_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
                                   mass2_1, Estar_k, pstar_k, mass_parent,
-                                  dimension)
+                                  dimension, use_hat)
 
     outs = jax.lax.map(per_s, (Estar, pstar))                     # (S,P,F,Y)
     return jnp.einsum("spfy,s->pfy", outs, sw)
@@ -296,31 +400,31 @@ def _three_body_integral(logdN, tc, ts, MT_grid, pT, phi, y_grid,
 # the full SMASH list collapses to 5 waves, so the whole feed-down runs in
 # a handful of large vmapped dispatches with a device-side segment-sum.
 
-@partial(jax.jit, static_argnames=("dimension", "n_seg"))
+@partial(jax.jit, static_argnames=("dimension", "n_seg", "use_hat"))
 def _two_body_wave(logdN_all, tc_all, ts_all, parent_idx, seg_ids, prefs,
                    pT, phi, y_grid, MT_grids, m2s, Estars, pstars, Ms,
-                   dimension: int, n_seg: int):
+                   dimension: int, n_seg: int, use_hat: bool):
     """logdN_all: (U, P, F, Y) stacked parent spectra; per-task parent_idx
     selects the row.  Returns (n_seg, P, F, Y) feed-down accumulated by
     target species (seg_ids) on device."""
     def f(pi, MTg, m2, Es, ps, M):
         return _two_body_integral(logdN_all[pi], tc_all[pi], ts_all[pi],
                                   MTg, pT, phi, y_grid, m2, Es, ps, M,
-                                  dimension)
+                                  dimension, use_hat)
 
     outs = jax.vmap(f)(parent_idx, MT_grids, m2s, Estars, pstars, Ms)
     outs = outs * prefs[:, None, None, None]
     return jax.ops.segment_sum(outs, seg_ids, num_segments=n_seg)
 
 
-@partial(jax.jit, static_argnames=("dimension", "n_seg"))
+@partial(jax.jit, static_argnames=("dimension", "n_seg", "use_hat"))
 def _three_body_wave(logdN_all, tc_all, ts_all, parent_idx, seg_ids, prefs,
                      pT, phi, y_grid, MT_grids, m2s, Ms, s_minus, s_plus, ds,
-                     dimension: int, n_seg: int):
+                     dimension: int, n_seg: int, use_hat: bool):
     def f(pi, MTg, m2, M, sm, sp_, d_):
         return _three_body_integral(logdN_all[pi], tc_all[pi], ts_all[pi],
                                     MTg, pT, phi, y_grid, m2, M, sm, sp_, d_,
-                                    dimension)
+                                    dimension, use_hat)
 
     outs = jax.vmap(f)(parent_idx, MT_grids, m2s, Ms, s_minus, s_plus, ds)
     outs = outs * prefs[:, None, None, None]
@@ -328,8 +432,10 @@ def _three_body_wave(logdN_all, tc_all, ts_all, parent_idx, seg_ids, prefs,
 
 
 def _wave_bucket(dimension: int) -> int:
-    # bounds the (K, P, F, Y, V, Z) vmap intermediates to ~hundreds of MB
-    return 64 if dimension == 2 else 8
+    # bounds the (K, P, F, Y, V, Z) vmap intermediates to a few GB of HBM;
+    # large enough that per-dispatch latency (~100 ms on a serving-layer
+    # TPU) amortizes over the wave
+    return 256 if dimension == 2 else 32
 
 
 def _next_pow2(n: int) -> int:
@@ -337,7 +443,7 @@ def _next_pow2(n: int) -> int:
 
 
 def _run_wave(tasks2, tasks3, parents, pT, phi, y_grid, dimension, n_seg,
-              dtype):
+              dtype, use_hat):
     """Dispatch one wave.  parents: list of (logdN, tc, ts) host arrays;
     tasks reference parents by slot index.
 
@@ -374,7 +480,7 @@ def _run_wave(tasks2, tasks3, parents, pT, phi, y_grid, dimension, n_seg,
                        for j in range(scal)]
             out = fn(dev["logdN"], dev["tc"], dev["ts"], pidx, seg, pref,
                      dev["pT"], dev["phi"], dev["y"], MTg, *scalars,
-                     dimension=dimension, n_seg=n_seg)
+                     dimension=dimension, n_seg=n_seg, use_hat=use_hat)
             total += np.asarray(out, dtype=np.float64)
     return total
 
@@ -420,7 +526,12 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
 
 
 def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
-                              sequential: bool = False) -> np.ndarray:
+                              sequential: bool = False,
+                              use_hat: bool | None = None) -> np.ndarray:
+    if use_hat is None:
+        # gathers run near scalar speed on TPU; dense hat contractions use
+        # the MXU/VPU instead.  On CPU the stencil gathers win by ~7x.
+        use_hat = jax.default_backend() != "cpu"
     spectra = np.array(spectra, dtype=np.float64, copy=True)
     mcids = np.asarray(mcids)
     S = spectra.shape[0]
@@ -566,7 +677,7 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
         if not wave_parents:
             continue
         spectra += _run_wave(wtasks2, wtasks3, wave_parents, pT, phi, y_grid,
-                             dimension, S, dtype)
+                             dimension, S, dtype, use_hat)
 
     print(f"Resonance decays: {n_channels_done} channel-contributions added"
           f" in {n_waves} waves")

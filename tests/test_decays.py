@@ -322,3 +322,29 @@ def test_wave_batching_matches_sequential_cascade(reference_dir):
                                     jnp.float64, sequential=False)
     scale = np.abs(seq).max()
     np.testing.assert_allclose(wav, seq, rtol=5e-13, atol=5e-13 * scale)
+
+
+def test_hat_contraction_matches_gather_interpolation():
+    """The gather-free hat-basis evaluation (TPU path) must equal the
+    stencil-gather interpolation (CPU path) for both decay topologies and
+    both dimensions, including MT-tail, phi-wraparound and |Y|-mask edges."""
+    rng = np.random.default_rng(5)
+    P, F, NY = 16, 12, 7
+    pT = np.sort(rng.uniform(0.05, 3.0, P))
+    phi = np.sort(rng.uniform(0.02, 2 * np.pi - 0.02, F))
+    for dim, Yn in ((2, 1), (3, NY)):
+        y = np.linspace(-3.0, 3.0, Yn) if Yn > 1 else np.array([0.0])
+        logdN = jnp.asarray(rng.normal(size=(P, F, Yn)) - 2.0)
+        tc = jnp.asarray(rng.normal(size=(F, Yn)))
+        ts = jnp.asarray(-np.abs(rng.normal(size=(F, Yn))) - 0.5)
+        MTg = jnp.asarray(np.sqrt(pT ** 2 + 0.775 ** 2))
+        args = (logdN, tc, ts, MTg, jnp.asarray(pT), jnp.asarray(phi),
+                jnp.asarray(y), 0.0196, 0.36, 0.31, 0.775)
+        a = np.asarray(dk._two_body_integral(*args, dim, False))
+        b = np.asarray(dk._two_body_integral(*args, dim, True))
+        np.testing.assert_allclose(b, a, rtol=5e-13, atol=1e-300)
+        args3 = (logdN, tc, ts, MTg, jnp.asarray(pT), jnp.asarray(phi),
+                 jnp.asarray(y), 0.0196, 0.775, 0.1, 0.36, 0.01)
+        a = np.asarray(dk._three_body_integral(*args3, dim, False))
+        b = np.asarray(dk._three_body_integral(*args3, dim, True))
+        np.testing.assert_allclose(b, a, rtol=5e-13, atol=1e-300)
