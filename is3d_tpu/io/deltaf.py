@@ -272,7 +272,21 @@ def compute_particle_densities(particle_table, df_mode: int, avg,
                                laguerre=None):
     """Fill equilibrium/bulk/diffusion densities per species at the surface-
     averaged state (reference: deltafReader.cpp:536-650).  Mutates and returns
-    the particle table (numpy, host-side)."""
+    the particle table (numpy, host-side).
+
+    Runs on the host CPU device: this is a handful of ~(species x 32)-point
+    quadratures, and dispatching them to an attached accelerator costs one
+    remote compile per integrand (~2 min of startup on a serving-layer TPU
+    for ~10k flops of work).  All results are returned as numpy."""
+    import jax
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _compute_particle_densities_cpu(
+            particle_table, df_mode, avg, deltaf_data, include_baryon,
+            laguerre)
+
+
+def _compute_particle_densities_cpu(particle_table, df_mode, avg,
+                                    deltaf_data, include_baryon, laguerre):
     if laguerre is None:
         laguerre = gauss_laguerre(32, alphas=(1, 2, 3))
     r1, w1 = laguerre[1]
