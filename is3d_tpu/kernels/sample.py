@@ -290,7 +290,13 @@ def _cell_data_jit(cols, species: SpeciesArrays, df_data: DeltafData,
         pixx=piL[0], pixy=piL[1], pixz=piL[2], piyy=piL[3], piyz=piL[4],
         pizz=piL[5],
         Vx=VL[0], Vy=VL[1], Vz=VL[2],
-        dn_list=dn_list, dn_tot=dn_tot, cum_dn=jnp.cumsum(dn_tot),
+        # per-cell species CDF: the per-slot species draw binary-searches
+        # rowcum (one scalar gather per step) instead of gathering a whole
+        # (n_cap, S) block of rows -- that block was both the HBM whale
+        # (n_cap x S x 4B per event) and, on TPU, the gather whale
+        rowcum=jnp.cumsum(dn_list, axis=1),
+        dn_row_tot=jnp.sum(dn_list, axis=1),
+        dn_tot=dn_tot, cum_dn=jnp.cumsum(dn_tot),
         mean_cell=mean_cell,
     )
     # per-cell df coefficients needed by the hadron-level viscous weight
@@ -406,16 +412,26 @@ def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
     cidx = jnp.clip(jnp.searchsorted(cell["cum_dn"], u_cell, side="right"),
                     0, cell["cum_dn"].shape[0] - 1)
 
-    # species assignment ~ Categorical(dn_list[cell])
-    rows = cell["dn_list"][cidx]                       # (n_cap, S)
-    cum = jnp.cumsum(rows, axis=1)
-    tot = cum[:, -1:]
-    u_s = jax.random.uniform(ks[2], (n_cap, 1), dtype=dtype) * tot
-    sidx = jnp.clip(jnp.sum((cum < u_s).astype(jnp.int32), axis=1),
-                    0, species.n_species - 1)
+    # species assignment ~ Categorical(dn_list[cell]) via binary search in
+    # the cell's cumulative row: sidx = first s with rowcum[c, s] >= v,
+    # identical to counting (cum < u_s) over a gathered row but using
+    # ceil(log2 S) scalar gathers per slot instead of an (n_cap, S) block
+    S = species.n_species
+    v = (jax.random.uniform(ks[2], (n_cap,), dtype=dtype)
+         * cell["dn_row_tot"][cidx])
+    flat_rowcum = cell["rowcum"].reshape(-1)
+    base = cidx * S
+    lo = jnp.zeros(n_cap, dtype=jnp.int32)
+    hi = jnp.full((n_cap,), S, dtype=jnp.int32)
+    for _ in range(max(1, (S - 1).bit_length())):
+        mid = (lo + hi) // 2
+        go_right = flat_rowcum[base + mid] < v
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    sidx = jnp.clip(lo, 0, S - 1)
 
     g = {k: cell[k][cidx] for k in cell if k not in
-         ("dn_list", "dn_tot", "cum_dn", "mean_cell")}
+         ("rowcum", "dn_row_tot", "dn_tot", "cum_dn", "mean_cell")}
     mass = species.mass[sidx]
     mass2 = mass * mass
     sign = species.sign[sidx]
@@ -521,10 +537,37 @@ def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
     )
 
 
+EVENT_FIELDS = ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
+                "E", "px", "py", "pz", "yp")
+
+
 @partial(jax.jit, static_argnames=("n_cap", "cfg"))
 def _event_batch_jit(cell, species, mcid_arr, keys, lam, n_cap: int, cfg: Config):
     f = lambda k: _one_event(cell, species, mcid_arr, k, lam, n_cap, cfg)
     return jax.vmap(f)(keys)
+
+
+@partial(jax.jit, static_argnames=("n_cap", "cap_total", "cfg"))
+def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
+                            cap_total: int, cfg: Config):
+    """Event batch with on-device stream compaction: only kept hadrons are
+    returned, packed event-major into (cap_total,) arrays.  The device to
+    host link is the sampler's bottleneck (tens of MB/s through a serving
+    tunnel), and typically <30% of slots survive the Poisson+flux+viscous
+    acceptance, so packing cuts the transfer by ~4x and removes the host-
+    side boolean compaction entirely."""
+    out = jax.vmap(
+        lambda k: _one_event(cell, species, mcid_arr, k, lam, n_cap, cfg)
+    )(keys)
+    keep = out["keep"].reshape(-1)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.where(keep, pos, cap_total)     # unkept -> OOB, dropped
+    packed = {
+        k: jnp.zeros((cap_total,), out[k].dtype)
+             .at[idx].set(out[k].reshape(-1), mode="drop")
+        for k in EVENT_FIELDS}
+    counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
+    return packed, counts, out["acceptances"], out["samples"]
 
 
 # ======================================================================
@@ -608,28 +651,50 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     base_key = jax.random.key(seed)
 
     if events_per_batch is None:
-        events_per_batch = max(1, min(nevents, (1 << 21) // n_cap))
+        b_max = max(1, min(nevents, (1 << 21) // n_cap))
+        # balance: equal-size batches avoid both a ragged-tail recompile
+        # and padded-batch waste
+        n_batches = -(-nevents // b_max)
+        events_per_batch = -(-nevents // n_batches)
 
     mcid_arr = jnp.asarray(np.asarray(mcids), dtype=jnp.int32)
     lam_dev = jnp.asarray(lam, dtype)
+
+    # packed-output capacity: the physical mean yield per event (ntot) times
+    # the batch width, plus 10 sigma and slack -- overflow probability is
+    # astronomically small and detected below
+    ntot_est = float(jnp.sum(cell["mean_cell"]))
+    if cfg.dimension == 2:
+        ntot_est *= 2.0 * cfg.y_cut
+    ntot_est = min(abs(ntot_est), lam) or lam
+    B = events_per_batch
+    cap_total = int(B * ntot_est + 10.0 * math.sqrt(B * ntot_est) + 1024.0)
+    cap_total = min(-(-cap_total // 128) * 128, B * n_cap)
 
     events = []
     total_acc = total_samp = 0
     for start in range(0, nevents, events_per_batch):
         b = min(events_per_batch, nevents - start)
+        # dispatch a full-width batch even for the ragged tail: one compiled
+        # shape total, and per-event statistics are unchanged because event
+        # i depends only on fold_in(base_key, i)
         keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-            jnp.arange(start, start + b))
-        out = _event_batch_jit(cell, species, mcid_arr, keys, lam_dev,
-                               n_cap, cfg)
-        out = {k: np.asarray(v) for k, v in out.items()}
-        total_acc += int(out["acceptances"].sum())
-        total_samp += int(out["samples"].sum())
+            jnp.arange(start, start + B))
+        packed, counts, acc, samp = _event_batch_packed_jit(
+            cell, species, mcid_arr, keys, lam_dev, n_cap, cap_total, cfg)
+        counts = np.asarray(counts)
+        if int(counts.sum()) > cap_total:
+            raise RuntimeError(
+                f"sampler packed-output overflow: {int(counts.sum())} kept "
+                f"hadrons > capacity {cap_total}; the mean-yield estimate "
+                "is inconsistent with the sampled yield")
+        packed = {k: np.asarray(v) for k, v in packed.items()}
+        total_acc += int(np.asarray(acc)[:b].sum())
+        total_samp += int(np.asarray(samp)[:b].sum())
+        offsets = np.concatenate([[0], np.cumsum(counts)])
         for e in range(b):
-            keep = out["keep"][e]
-            ev = {k: out[k][e][keep] for k in
-                  ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
-                   "E", "px", "py", "pz", "yp")}
-            events.append(ev)
+            lo, hi = int(offsets[e]), int(offsets[e + 1])
+            events.append({k: packed[k][lo:hi] for k in EVENT_FIELDS})
 
     if total_samp:
         eff = 100.0 * total_acc / total_samp
