@@ -206,6 +206,9 @@ class IS3D:
                     writers.write_dN_pTdpTdphidy(
                         jnp.asarray(decayed), grid, mcids, cfg.dimension,
                         self.results_dir, suffix="_resonance_decays")
+                    writers.write_dN_dpTdphidy(
+                        jnp.asarray(decayed), grid, mcids, cfg.dimension,
+                        self.results_dir, suffix="_resonance_decays")
         elif cfg.operation == 0:
             from .kernels.dndx import spacetime_distributions
             with timer.phase("dN/dX spacetime"):

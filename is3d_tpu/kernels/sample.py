@@ -430,15 +430,21 @@ def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
         hi = jnp.where(go_right, hi, mid)
     sidx = jnp.clip(lo, 0, S - 1)
 
-    g = {k: cell[k][cidx] for k in cell if k not in
-         ("rowcum", "dn_row_tot", "dn_tot", "cum_dn", "mean_cell")}
+    # one contiguous row gather for all ~52 per-cell scalars: separate (C,)
+    # gathers cost one index resolution each on TPU; the stack is event-
+    # independent so XLA hoists it out of the event vmap
+    gkeys = sorted(k for k in cell if k not in
+                   ("rowcum", "dn_row_tot", "dn_tot", "cum_dn", "mean_cell"))
+    packed = jnp.stack([cell[k].astype(dtype) for k in gkeys], axis=1)
+    rows = packed[cidx]                                # (n_cap, NF)
+    g = {k: rows[:, i] for i, k in enumerate(gkeys)}
     mass = species.mass[sidx]
     mass2 = mass * mass
     sign = species.sign[sidx]
     baryon = species.baryon[sidx]
 
     use_mod = jnp.zeros_like(slot) if cfg.df_mode in (1, 2) \
-        else ~g["breakdown"]
+        else ~(g["breakdown"] > 0.5)
     T_eff = jnp.where(use_mod, g["T_mod"], g["T"])
     if cfg.df_mode == 4:
         # Jonah's feqmod samples at zero chemical potential (:1111-1117)
@@ -539,6 +545,11 @@ def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
 
 EVENT_FIELDS = ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
                 "E", "px", "py", "pz", "yp")
+# fields actually transferred device->host; the rest are exact functions of
+# these and get rebuilt host-side (the tunnel link is the bottleneck):
+# mass = mass(mcid), t = tau cosh(eta), z = tau sinh(eta),
+# yp = atanh(pz / E)
+PACK_FIELDS = ("mcid", "tau", "x", "y", "eta", "E", "px", "py", "pz")
 
 
 @partial(jax.jit, static_argnames=("n_cap", "cfg"))
@@ -565,7 +576,7 @@ def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
     packed = {
         k: jnp.zeros((cap_total,), out[k].dtype)
              .at[idx].set(out[k].reshape(-1), mode="drop")
-        for k in EVENT_FIELDS}
+        for k in PACK_FIELDS}
     counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
     return packed, counts, out["acceptances"], out["samples"]
 
@@ -657,7 +668,9 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         n_batches = -(-nevents // b_max)
         events_per_batch = -(-nevents // n_batches)
 
-    mcid_arr = jnp.asarray(np.asarray(mcids), dtype=jnp.int32)
+    mcids_np = np.asarray(mcids, dtype=np.int64)
+    mass_np = np.asarray(species.mass, dtype=np.float64)
+    mcid_arr = jnp.asarray(mcids_np, dtype=jnp.int32)
     lam_dev = jnp.asarray(lam, dtype)
 
     # packed-output capacity: the physical mean yield per event (ntot) times
@@ -692,6 +705,17 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         total_acc += int(np.asarray(acc)[:b].sum())
         total_samp += int(np.asarray(samp)[:b].sum())
         offsets = np.concatenate([[0], np.cumsum(counts)])
+        # rebuild the derived fields host-side (see PACK_FIELDS)
+        order = np.argsort(mcids_np, kind="stable")
+        pos = np.clip(np.searchsorted(mcids_np[order], packed["mcid"]),
+                      0, len(order) - 1)
+        packed["mass"] = mass_np[order[pos]].astype(packed["E"].dtype)
+        packed["t"] = packed["tau"] * np.cosh(packed["eta"])
+        packed["z"] = packed["tau"] * np.sinh(packed["eta"])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            packed["yp"] = 0.5 * np.log(
+                (packed["E"] + packed["pz"])
+                / np.maximum(packed["E"] - packed["pz"], 1e-45))
         for e in range(b):
             lo, hi = int(offsets[e]), int(offsets[e + 1])
             events.append({k: packed[k][lo:hi] for k in EVENT_FIELDS})

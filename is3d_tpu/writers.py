@@ -62,6 +62,79 @@ def write_dN_pTdpTdphidy(spectra, grid, mcids, dimension, results_dir="results",
                     f.write("\n")
 
 
+def write_dN_dpTdphidy(spectra, grid, mcids, dimension, results_dir="results",
+                       suffix=""):
+    """results/dN_dpTdphidy[_resonance_decays].dat
+    (reference: emissionfunction.cpp:490-553 and the with-decays variant at
+    :555-591, which is called whenever do_resonance_decays is on).  Same
+    block layout as dN_pTdpTdphidy but the value carries the pT Jacobian
+    (value = dN/pTdpTdphidy * pT) and the file starts with a header row."""
+    spectra = np.asarray(spectra)
+    ys = _y_values(grid, dimension)
+    pTs = np.asarray(grid.pT)
+    phis = np.asarray(grid.phi)
+    path = f"{results_dir}/dN_dpTdphidy{suffix}.dat"
+    _ensure_dir(path)
+    with open(path, "a") as f:
+        f.write("y\tphip\tpT\tdN_dpTdphidy\n")
+        for s in range(spectra.shape[0]):
+            for iy, y in enumerate(ys):
+                for ifp, phip in enumerate(phis):
+                    for ipT, pT in enumerate(pTs):
+                        f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(pT)}\t"
+                                f"{_sci(spectra[s, ipT, ifp, iy] * pT)}\n")
+                    f.write("\n")
+
+
+def write_dN_twopidpTdy(spectra, grid, mcids, dimension, results_dir="results"):
+    """results/dN_twopidpTdy_MCID.dat (reference: emissionfunction.cpp:684-727,
+    call site commented out upstream): phi-integrated dN/(2pi dpT dy),
+    i.e. the twopipTdpTdy observable times pT."""
+    vals = np.asarray(dN_twopipTdpTdy(spectra, grid))
+    ys = _y_values(grid, dimension)
+    pTs = np.asarray(grid.pT)
+    for s, mcid in enumerate(mcids):
+        path = f"{results_dir}/dN_twopidpTdy_{int(mcid)}.dat"
+        _ensure_dir(path)
+        with open(path, "a") as f:
+            for iy, y in enumerate(ys):
+                for ipT, pT in enumerate(pTs):
+                    f.write(f"{_sci(y)}\t{_sci(pT)}\t{_sci(vals[s, ipT, iy] * pT)}\n")
+                f.write("\n")
+
+
+def write_sampled_pT_pdf(events, mcids, cfg, results_dir="results"):
+    """results/momentum_distribution/pT_pdf_MCID_test.dat (reference:
+    emissionfunction.cpp:1008-1051; dead code upstream -- the whole writer
+    sits inside a comment block -- reimplemented from its layout):
+    per-species event-averaged (1/N) dN/dpT histogram, header = total count."""
+    nbins = int(cfg.pT_bins)
+    lo, hi = float(cfg.pT_lower_cut), float(cfg.pT_upper_cut)
+    width = (hi - lo) / nbins
+    mids = lo + width * (np.arange(nbins) + 0.5)
+    mcids = np.asarray(mcids)
+    counts = np.zeros((len(mcids), nbins))
+    totals = np.zeros(len(mcids), dtype=np.int64)
+    for ev in events:
+        if not ev:
+            continue
+        pT = np.hypot(np.asarray(ev["px"]), np.asarray(ev["py"]))
+        ids = np.asarray(ev["mcid"])
+        for s, mcid in enumerate(mcids):
+            sel = ids == int(mcid)
+            totals[s] += int(sel.sum())
+            h, _ = np.histogram(pT[sel], bins=nbins, range=(lo, hi))
+            counts[s] += h
+    for s, mcid in enumerate(mcids):
+        path = f"{results_dir}/momentum_distribution/pT_pdf_{int(mcid)}_test.dat"
+        _ensure_dir(path)
+        with open(path, "w") as f:
+            f.write(f"{totals[s]}\n")
+            norm = width * max(totals[s], 1)
+            for ipT in range(nbins):
+                f.write(f"{mids[ipT]:.6e}\t{counts[s, ipT] / norm:.6e}\n")
+
+
 def write_dN_dphidy(spectra, grid, mcids, dimension, results_dir="results"):
     """results/dN_dphidy_MCID.dat (reference: emissionfunction.cpp:593-637)."""
     vals = np.asarray(dN_dphidy(spectra, grid))

@@ -135,3 +135,35 @@ def test_oscar_writer(tmp_path):
     assert lines[0] == "# 2"
     assert lines[1].startswith("211 ")
     assert len(lines) == 3  # empty event skipped
+
+
+def test_new_writer_variants(tmp_path):
+    """dN_dpTdphidy (+decays variant), dN_twopidpTdy, sampled pT PDF."""
+    from is3d_tpu.config import Config
+    grid = native_momentum_grid(dimension=2, n_pT=2, n_phi=2, n_eta=4)
+    spectra = jnp.asarray(np.arange(4, dtype=float).reshape(1, 2, 2, 1) + 1.0)
+    d = str(tmp_path)
+    writers.write_dN_dpTdphidy(spectra, grid, [211], 2, d)
+    writers.write_dN_dpTdphidy(spectra, grid, [211], 2, d,
+                               suffix="_resonance_decays")
+    writers.write_dN_twopidpTdy(spectra, grid, [211], 2, d)
+
+    lines = open(f"{d}/dN_dpTdphidy.dat").read().splitlines()
+    assert lines[0] == "y\tphip\tpT\tdN_dpTdphidy"
+    y, phip, pT, val = (float(t) for t in lines[1].split("\t"))
+    # value carries the pT Jacobian relative to the invariant spectra
+    np.testing.assert_allclose(val, float(spectra[0, 0, 0, 0]) * pT)
+    assert open(f"{d}/dN_dpTdphidy_resonance_decays.dat").read().splitlines()[0] \
+        == lines[0]
+    tw = open(f"{d}/dN_twopidpTdy_211.dat").read().split()
+    assert len(tw) == 2 * 3  # 2 pT rows x (y, pT, value)
+
+    cfg = Config(pT_bins=4, pT_lower_cut=0.0, pT_upper_cut=2.0)
+    ev = dict(mcid=np.array([211, 211, -211]),
+              px=np.array([0.3, 1.1, 0.2]), py=np.array([0.0, 0.0, 0.0]))
+    writers.write_sampled_pT_pdf([ev, {}], [211], cfg, d)
+    pdf = open(f"{d}/momentum_distribution/pT_pdf_211_test.dat").read().splitlines()
+    assert pdf[0] == "2"
+    rows = np.array([[float(x) for x in r.split("\t")] for r in pdf[1:]])
+    # integral of the pdf over the binned range is 1 (both hadrons in range)
+    np.testing.assert_allclose((rows[:, 1] * 0.5).sum(), 1.0)
