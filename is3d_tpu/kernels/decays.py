@@ -464,7 +464,6 @@ def _run_wave(tasks2, tasks3, parents, pT, phi, y_grid, dimension, n_seg,
         phi=jnp.asarray(phi, dtype), y=jnp.asarray(y_grid, dtype))
 
     total = np.zeros((n_seg,) + parents[0][0].shape, dtype=np.float64)
-    B = _wave_bucket(dimension)
 
     for tasks, fn, scal in (
             (tasks2, _two_body_wave, 4), (tasks3, _three_body_wave, 5)):
@@ -548,7 +547,6 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
     lightest = cfg.lightest_particle
 
     # ---- phase 1 (host): per-parent channel-group tasks, kinematics only
-    n_channels_done = 0
     parent_rows = []       # chosen row of each processed parent, mass desc
     parent_tasks2 = []     # per parent: (seg, pref, MT_grid, m2, Es, ps, M)
     parent_tasks3 = []     # per parent: (seg, pref, MT_grid, m2, M, sm, sp, d)
@@ -606,7 +604,6 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
                     pref = mult * M * branch / (8.0 * pstar)
                     tasks2.append((chosen_pos[di], pref, MT_grid, ma * ma,
                                    Estar, pstar, M))
-                    n_channels_done += 1
             else:  # nd == 3
                 M = mass_parent0
                 for di, mult, others in _group_daughters(d_idx, chosen_pos):
@@ -625,7 +622,6 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
                     pref = mult * M * M * (s_plus - s_minus) * branch / (8.0 * Q)
                     tasks3.append((chosen_pos[di], pref, MT_grid, ma * ma,
                                    M, s_minus, s_plus, d_))
-                    n_channels_done += 1
 
         if tasks2 or tasks3:
             parent_rows.append(int(ichosen))
@@ -661,6 +657,7 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
 
     # ---- phase 2: one batched dispatch per wave x topology-bucket
     n_waves = int(level.max()) + 1 if len(parent_rows) else 0
+    n_channels_done = 0      # counted at dispatch, like the reference
     for w in range(n_waves):
         wave_parents = []   # (logdN, tc, ts)
         wtasks2 = []
@@ -676,6 +673,7 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
             wtasks3 += [(t[0], t[1], slot) + t[2:] for t in parent_tasks3[i]]
         if not wave_parents:
             continue
+        n_channels_done += len(wtasks2) + len(wtasks3)
         spectra += _run_wave(wtasks2, wtasks3, wave_parents, pT, phi, y_grid,
                              dimension, S, dtype, use_hat)
 

@@ -295,7 +295,6 @@ def _cell_data_jit(cols, species: SpeciesArrays, df_data: DeltafData,
         # (n_cap, S) block of rows -- that block was both the HBM whale
         # (n_cap x S x 4B per event) and, on TPU, the gather whale
         rowcum=jnp.cumsum(dn_list, axis=1),
-        dn_row_tot=jnp.sum(dn_list, axis=1),
         dn_tot=dn_tot, cum_dn=jnp.cumsum(dn_tot),
         mean_cell=mean_cell,
     )
@@ -398,6 +397,25 @@ def _propose(key, mbar, sign, chem, pending):
     return accept, pbar, Ebar, phi, cost
 
 
+def _row_categorical(rowcum, cidx, v):
+    """First s with rowcum[cidx, s] >= v, by vectorized binary search --
+    one scalar gather per halving instead of gathering whole rows.  The
+    search interval has width S, so pinning lo needs ceil(log2(S+1)) <=
+    S.bit_length() halvings (one fewer mis-assigns species whenever S is
+    a power of two)."""
+    S = rowcum.shape[1]
+    flat = rowcum.reshape(-1)
+    base = cidx * S
+    lo = jnp.zeros(cidx.shape, dtype=jnp.int32)
+    hi = jnp.full(cidx.shape, S, dtype=jnp.int32)
+    for _ in range(S.bit_length()):
+        mid = (lo + hi) // 2
+        go_right = flat[base + mid] < v
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return jnp.clip(lo, 0, S - 1)
+
+
 def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
                cfg: Config):
     """Sample one event into fixed-capacity arrays + keep mask."""
@@ -418,23 +436,14 @@ def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
     # ceil(log2 S) scalar gathers per slot instead of an (n_cap, S) block
     S = species.n_species
     v = (jax.random.uniform(ks[2], (n_cap,), dtype=dtype)
-         * cell["dn_row_tot"][cidx])
-    flat_rowcum = cell["rowcum"].reshape(-1)
-    base = cidx * S
-    lo = jnp.zeros(n_cap, dtype=jnp.int32)
-    hi = jnp.full((n_cap,), S, dtype=jnp.int32)
-    for _ in range(max(1, (S - 1).bit_length())):
-        mid = (lo + hi) // 2
-        go_right = flat_rowcum[base + mid] < v
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    sidx = jnp.clip(lo, 0, S - 1)
+         * cell["rowcum"][cidx, S - 1])
+    sidx = _row_categorical(cell["rowcum"], cidx, v)
 
     # one contiguous row gather for all ~52 per-cell scalars: separate (C,)
     # gathers cost one index resolution each on TPU; the stack is event-
     # independent so XLA hoists it out of the event vmap
     gkeys = sorted(k for k in cell if k not in
-                   ("rowcum", "dn_row_tot", "dn_tot", "cum_dn", "mean_cell"))
+                   ("rowcum", "dn_tot", "cum_dn", "mean_cell"))
     packed = jnp.stack([cell[k].astype(dtype) for k in gkeys], axis=1)
     rows = packed[cidx]                                # (n_cap, NF)
     g = {k: rows[:, i] for i, k in enumerate(gkeys)}
@@ -552,12 +561,6 @@ EVENT_FIELDS = ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
 PACK_FIELDS = ("mcid", "tau", "x", "y", "eta", "E", "px", "py", "pz")
 
 
-@partial(jax.jit, static_argnames=("n_cap", "cfg"))
-def _event_batch_jit(cell, species, mcid_arr, keys, lam, n_cap: int, cfg: Config):
-    f = lambda k: _one_event(cell, species, mcid_arr, k, lam, n_cap, cfg)
-    return jax.vmap(f)(keys)
-
-
 @partial(jax.jit, static_argnames=("n_cap", "cap_total", "cfg"))
 def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
                             cap_total: int, cfg: Config):
@@ -670,6 +673,8 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
 
     mcids_np = np.asarray(mcids, dtype=np.int64)
     mass_np = np.asarray(species.mass, dtype=np.float64)
+    mcid_order = np.argsort(mcids_np, kind="stable")
+    mcids_sorted = mcids_np[mcid_order]
     mcid_arr = jnp.asarray(mcids_np, dtype=jnp.int32)
     lam_dev = jnp.asarray(lam, dtype)
 
@@ -681,7 +686,11 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         ntot_est *= 2.0 * cfg.y_cut
     ntot_est = min(abs(ntot_est), lam) or lam
     B = events_per_batch
-    cap_total = int(B * ntot_est + 10.0 * math.sqrt(B * ntot_est) + 1024.0)
+    # 25% systematic headroom on top of 10 sigma: the linearized mean-yield
+    # estimate can run a few percent off the sampled yield (clipped df
+    # weights, feqmod breakdown branches), and overflow aborts the run
+    cap_total = int(1.25 * B * ntot_est + 10.0 * math.sqrt(B * ntot_est)
+                    + 1024.0)
     cap_total = min(-(-cap_total // 128) * 128, B * n_cap)
 
     events = []
@@ -706,10 +715,9 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         total_samp += int(np.asarray(samp)[:b].sum())
         offsets = np.concatenate([[0], np.cumsum(counts)])
         # rebuild the derived fields host-side (see PACK_FIELDS)
-        order = np.argsort(mcids_np, kind="stable")
-        pos = np.clip(np.searchsorted(mcids_np[order], packed["mcid"]),
-                      0, len(order) - 1)
-        packed["mass"] = mass_np[order[pos]].astype(packed["E"].dtype)
+        pos = np.clip(np.searchsorted(mcids_sorted, packed["mcid"]),
+                      0, len(mcid_order) - 1)
+        packed["mass"] = mass_np[mcid_order[pos]].astype(packed["E"].dtype)
         packed["t"] = packed["tau"] * np.cosh(packed["eta"])
         packed["z"] = packed["tau"] * np.sinh(packed["eta"])
         with np.errstate(divide="ignore", invalid="ignore"):

@@ -327,7 +327,6 @@ def test_exact_yields_chunked_equals_block(smash_table, df_data):
         cols = smp._sampler_cols(surf, cfg)
         c = prepare_cells(cols, cfg, df_data)
         if df_mode in (3, 4):
-            from is3d_tpu.kernels.feqmod import _adjugate_sym, _mode3_breakdown
             import numpy as _np
             c["breakdown"] = jnp.asarray(
                 _np.random.default_rng(1).random(23) < 0.3)
@@ -337,3 +336,24 @@ def test_exact_yields_chunked_equals_block(smash_table, df_data):
         chunked = smp._species_yields_exact(c, sp, lag, cfg, max_block=7)
         np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                    rtol=1e-14)
+
+
+def test_row_categorical_matches_count_draw():
+    """The binary-search species draw equals the count formula
+    sum(cum < v) for every S, including powers of two (a one-iteration-
+    short search mis-assigns ~1/4 of draws at S = 2^k)."""
+    import jax.numpy as jnp
+    from is3d_tpu.kernels.sample import _row_categorical
+    rng = np.random.default_rng(3)
+    for S in (2, 3, 4, 7, 8, 16, 739):
+        C = 5
+        rows = rng.random((C, S)) + 1e-3
+        rowcum = np.cumsum(rows, axis=1)
+        N = 4096
+        cidx = rng.integers(0, C, N)
+        v = rng.random(N) * rowcum[cidx, -1]
+        want = (rowcum[cidx] < v[:, None]).sum(axis=1)
+        got = np.asarray(_row_categorical(
+            jnp.asarray(rowcum), jnp.asarray(cidx, dtype=jnp.int32),
+            jnp.asarray(v)))
+        np.testing.assert_array_equal(got, want), S
