@@ -695,16 +695,11 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
 
     events = []
     total_acc = total_samp = 0
-    for start in range(0, nevents, events_per_batch):
-        b = min(events_per_batch, nevents - start)
-        # dispatch a full-width batch even for the ragged tail: one compiled
-        # shape total, and per-event statistics are unchanged because event
-        # i depends only on fold_in(base_key, i)
-        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-            jnp.arange(start, start + B))
-        packed, counts, acc, samp = _event_batch_packed_jit(
-            cell, species, mcid_arr, keys, lam_dev, n_cap, cap_total, cfg)
-        counts = np.asarray(counts)
+
+    def drain(item):
+        nonlocal total_acc, total_samp
+        b, packed, counts, acc, samp = item
+        counts = np.asarray(counts)      # blocks on this batch's transfer
         if int(counts.sum()) > cap_total:
             raise RuntimeError(
                 f"sampler packed-output overflow: {int(counts.sum())} kept "
@@ -727,6 +722,25 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         for e in range(b):
             lo, hi = int(offsets[e]), int(offsets[e + 1])
             events.append({k: packed[k][lo:hi] for k in EVENT_FIELDS})
+
+    # keep a few batches in flight: dispatch is async, so the device
+    # computes batch k+1..k+3 while the host blocks on batch k's transfer
+    # (the device-to-host link and the compute are comparable costs)
+    in_flight = []
+    for start in range(0, nevents, events_per_batch):
+        b = min(events_per_batch, nevents - start)
+        # dispatch a full-width batch even for the ragged tail: one compiled
+        # shape total, and per-event statistics are unchanged because event
+        # i depends only on fold_in(base_key, i)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+            jnp.arange(start, start + B))
+        packed, counts, acc, samp = _event_batch_packed_jit(
+            cell, species, mcid_arr, keys, lam_dev, n_cap, cap_total, cfg)
+        in_flight.append((b, packed, counts, acc, samp))
+        if len(in_flight) > 3:
+            drain(in_flight.pop(0))
+    while in_flight:
+        drain(in_flight.pop(0))
 
     if total_samp:
         eff = 100.0 * total_acc / total_samp
