@@ -168,7 +168,13 @@ class IS3D:
 
         if cfg.mode == 5:
             # thermal-vorticity spin polarization (reference:
-            # emissionfunction.cpp:1675 and polzn_kernels.cpp)
+            # emissionfunction.cpp:1675 and polzn_kernels.cpp).  The
+            # reference's MODE-5 polarization call is dead code -- MODE 5 is
+            # swallowed by the VH branch at emissionfunction.cpp:1503, so the
+            # reference actually runs the ordinary operation (smooth spectra /
+            # dN_dX / sampler) on the vorticity surface.  We do both: compute
+            # the polarization the paper advertises, then fall through to the
+            # operation dispatch for reference parity.
             from .kernels.polzn import spin_polarization
             pol = spin_polarization(self.surface, species, grid, cfg, plasma)
             result.polarization = {k: np.asarray(v) for k, v in pol.items()}
@@ -177,7 +183,6 @@ class IS3D:
                 writers.write_polarization(pol["St"], pol["Sx"], pol["Sy"],
                                            pol["Sn"], pol["Snorm"], grid,
                                            cfg.dimension, self.results_dir)
-            return result
 
         if cfg.operation == 1:
             with timer.phase("smooth spectra"):

@@ -393,3 +393,145 @@ def test_parity_baryon_sector(oracle_binary, sandbox, df_mode):
 
     run, res = _run_ours(d)
     _compare_spectra(d, res)
+
+
+# ---------------------------------------------------------------------------
+# Reader parity for the remaining VH-family surface formats (modes 0, 4, 5, 7)
+# through the full smooth-spectra pipeline.  The VAH formats (modes 2-3) have
+# no oracle: the reference's VAH kernel call site is commented out
+# (emissionfunction.cpp:1650-1656), so those readers are validated by
+# roundtrip tests in test_vah.py instead.
+
+def _write_mode_params(d, mode, df_mode=2):
+    _write_params(d, df_mode)
+    import re
+    text = (d / "iS3D_parameters.dat").read_text()
+    text = re.sub(r"^mode .*$", f"mode = {mode}", text, flags=re.M)
+    (d / "iS3D_parameters.dat").write_text(text)
+
+
+def test_parity_mode0_vh_old(oracle_binary, sandbox):
+    """Mode 0 (old CPU-VH): u^mu(4) + all 10 pi components in the file.
+    The kernel re-derives u^tau from normalization and rebuilds the
+    dependent pi components, so only (ux, uy, un) and the 5 independent
+    pi entries matter (readindata.cpp:148-318)."""
+    d = sandbox
+    rng = np.random.default_rng(21)
+    n = 40
+    hbarC = 0.197327053
+    cells = np.zeros((n, 26))
+    cells[:, 0] = rng.uniform(1, 8, n)                     # tau
+    cells[:, 1:3] = rng.uniform(-5, 5, (n, 2))             # x y
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)                # dat
+    cells[:, 5:7] = rng.uniform(-0.5, 0.5, (n, 2))         # dax day
+    cells[:, 9:11] = rng.uniform(-0.7, 0.7, (n, 2))        # ux uy
+    cells[:, 11] = rng.uniform(-0.05, 0.05, n)             # un
+    cells[:, 8] = np.sqrt(1 + cells[:, 9]**2 + cells[:, 10]**2
+                          + (cells[:, 0] * cells[:, 11])**2)  # ut (recomputed)
+    cells[:, 12] = rng.uniform(0.25, 0.40, n) / hbarC      # E
+    cells[:, 13] = rng.uniform(0.148, 0.162, n) / hbarC    # T
+    cells[:, 14] = rng.uniform(0.04, 0.08, n) / hbarC      # P
+    cells[:, 15:25] = rng.normal(0, 0.004, (n, 10)) / hbarC  # pi^munu (10)
+    cells[:, 25] = rng.normal(0, 0.003, n) / hbarC         # Pi
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_mode_params(d, mode=0)
+
+    _run_ref(oracle_binary, d)
+    run, res = _run_ours(d)
+    _compare_spectra(d, res)
+
+
+def test_parity_mode4_music_old(oracle_binary, sandbox):
+    """Mode 4 (old MUSIC): tau Jacobians on dsigma, u^eta*tau in file,
+    E T muB s ordering, P = T s - E (readindata.cpp:552-686)."""
+    d = sandbox
+    rng = np.random.default_rng(22)
+    n = 30
+    hbarC = 0.197327053
+    cells = np.zeros((n, 27))
+    tau = rng.uniform(1, 8, n)
+    cells[:, 0] = tau
+    cells[:, 1:3] = rng.uniform(-5, 5, (n, 2))
+    cells[:, 3] = rng.uniform(-2, 2, n)                    # eta (forced 0)
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n) / tau          # da_tau / tau
+    cells[:, 5:7] = rng.uniform(-0.5, 0.5, (n, 2)) / tau[:, None]
+    cells[:, 9:11] = rng.uniform(-0.7, 0.7, (n, 2))        # ux uy
+    un = rng.uniform(-0.05, 0.05, n)
+    cells[:, 11] = un * tau                                # u^eta * tau
+    cells[:, 8] = np.sqrt(1 + cells[:, 9]**2 + cells[:, 10]**2
+                          + (tau * un)**2)
+    cells[:, 12] = rng.uniform(0.25, 0.40, n) / hbarC      # E
+    cells[:, 13] = rng.uniform(0.148, 0.162, n) / hbarC    # T
+    cells[:, 14] = 0.0                                     # muB
+    cells[:, 15] = rng.uniform(2.0, 3.0, n)                # s (fm^-3)
+    cells[:, 16:26] = rng.normal(0, 0.004, (n, 10)) / hbarC
+    cells[:, 26] = rng.normal(0, 0.003, n) / hbarC         # Pi
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_mode_params(d, mode=4)
+
+    _run_ref(oracle_binary, d)
+    run, res = _run_ours(d)
+    _compare_spectra(d, res)
+
+
+def test_parity_mode5_vorticity(oracle_binary, sandbox):
+    """Mode 5 (VH + thermal vorticity): mode-1 layout plus 6 vorticity
+    columns.  The reference's MODE-5 run computes ordinary smooth spectra
+    (the polarization call at emissionfunction.cpp:1675 is dead code), and
+    its reader does NOT write average_thermodynamic_quantities.dat, so the
+    unconditional Plasma load would fscanf through a NULL FILE* -- the test
+    pre-writes the file (readindata.cpp:95-98 latent quirk)."""
+    d = sandbox
+    rng = np.random.default_rng(23)
+    n = 40
+    hbarC = 0.197327053
+    cells = np.zeros((n, 26))
+    cells[:, 0] = rng.uniform(1, 8, n)
+    cells[:, 1:3] = rng.uniform(-5, 5, (n, 2))
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)
+    cells[:, 5:7] = rng.uniform(-0.5, 0.5, (n, 2))
+    cells[:, 8:10] = rng.uniform(-0.7, 0.7, (n, 2))        # ux uy
+    cells[:, 10] = rng.uniform(-0.05, 0.05, n)             # un
+    cells[:, 11] = rng.uniform(0.25, 0.40, n) / hbarC      # E
+    cells[:, 12] = rng.uniform(0.148, 0.162, n) / hbarC    # T
+    cells[:, 13] = rng.uniform(0.04, 0.08, n) / hbarC      # P
+    cells[:, 14:19] = rng.normal(0, 0.004, (n, 5)) / hbarC
+    cells[:, 19] = rng.normal(0, 0.003, n) / hbarC         # Pi
+    cells[:, 20:26] = rng.normal(0, 0.01, (n, 6))          # vorticity
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_mode_params(d, mode=5)
+    (d / "average_thermodynamic_quantities.dat").write_text(
+        "0.155\n0.3\n0.06\n0.0\n0.0")
+
+    _run_ref(oracle_binary, d)
+    run, res = _run_ours(d)
+    _compare_spectra(d, res)
+    assert res.polarization is not None       # our mode-5 fix also runs polzn
+
+
+def test_parity_mode7_hiceventgen(oracle_binary, sandbox):
+    """Mode 7 (hic-eventgen): velocity columns, missing tau Jacobian fixed
+    by the reader, GeV units, T E P muB trailing (readindata.cpp:1059-1196)."""
+    d = sandbox
+    rng = np.random.default_rng(24)
+    n = 40
+    cells = np.zeros((n, 26))
+    tau = rng.uniform(1, 8, n)
+    cells[:, 0] = tau
+    cells[:, 1:3] = rng.uniform(-5, 5, (n, 2))
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n) / tau          # da_tau / tau
+    cells[:, 5:7] = rng.uniform(-0.5, 0.5, (n, 2)) / tau[:, None]
+    cells[:, 8:10] = rng.uniform(-0.5, 0.5, (n, 2))        # vx vy
+    cells[:, 10] = 0.0                                     # vn (discarded)
+    cells[:, 11:21] = rng.normal(0, 0.004, (n, 10))        # pi (GeV/fm^3)
+    cells[:, 21] = rng.normal(0, 0.003, n)                 # Pi
+    cells[:, 22] = rng.uniform(0.148, 0.162, n)            # T (GeV)
+    cells[:, 23] = rng.uniform(0.25, 0.40, n)              # E
+    cells[:, 24] = rng.uniform(0.04, 0.08, n)              # P
+    cells[:, 25] = 0.0                                     # muB
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_mode_params(d, mode=7)
+
+    _run_ref(oracle_binary, d)
+    run, res = _run_ours(d)
+    _compare_spectra(d, res)
