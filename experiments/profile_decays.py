@@ -23,7 +23,9 @@ class Grid:
 
 
 def main():
-    table = pdg.read_resonances("/root/reference/PDG", 2)
+    # smash list by default; "urqmd" exercises the 3-body-heavy channel set
+    hrg_eos = 1 if "urqmd" in sys.argv[1:] else 2
+    table = pdg.read_resonances("/root/reference/PDG", hrg_eos)
     # chosen = all species in the table (full production setting)
     mcids = np.asarray(table.mc_id)
     S = len(mcids)

@@ -416,9 +416,80 @@ def _row_categorical(rowcum, cidx, v):
     return jnp.clip(lo, 0, S - 1)
 
 
-def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
-               cfg: Config):
-    """Sample one event into fixed-capacity arrays + keep mask."""
+# per-cell fields needed before the keep decision (momentum sampling +
+# feqmod rescale + viscous/flux weights), pruned per df_mode so the hot
+# per-slot row gather moves as few bytes as possible
+_PRE_COMMON = ("T", "alphaB", "benth", "bulkPi",
+               "pixx", "pixy", "pixz", "piyy", "piyz", "pizz",
+               "Vx", "Vy", "Vz", "dst", "dsx", "dsy", "dsz", "ds_max")
+_PRE_DF = {
+    1: ("df_c0", "df_c1", "df_c2", "df_c3", "df_c4", "df_shear14"),
+    2: ("df_betapi", "df_F", "df_G", "df_betabulk", "df_betaV"),
+    3: ("df_betapi", "df_F", "df_G", "df_betabulk", "df_betaV",
+        "T_mod", "alphaB_mod", "breakdown", "shear_mod", "bulk_mod",
+        "diff_mod"),
+    4: ("df_betapi", "df_delta_lambda", "df_delta_z",
+        "T_mod", "breakdown", "shear_mod", "bulk_mod", "diff_mod"),
+}
+
+# per-cell fields needed only for hadrons that survive the keep decision
+# (lab-frame boost + spacetime coordinates); in the packed batch these are
+# gathered per KEPT hadron (~30% of slots) instead of per slot
+_LAB_FIELDS = ("tau", "x", "y", "eta", "ut", "ux", "uy", "un",
+               "Xt", "Xx", "Xy", "Xn", "Yx", "Yy", "Zt", "Zn")
+
+
+def _lab_kinematics(rows, mass, E, px, py, pz, key_y, cfg):
+    """Boost LRF momenta to the lab frame and reconstruct spacetime /
+    rapidity coordinates (tail of the reference's per-hadron loop,
+    sampling_kernels.cpp:1144-1192)."""
+    g = {k: rows[:, i] for i, k in enumerate(_LAB_FIELDS)}
+    basis = lrf.MilneBasis(Xt=g["Xt"], Xx=g["Xx"], Xy=g["Xy"], Xn=g["Xn"],
+                           Yx=g["Yx"], Yy=g["Yy"], Zt=g["Zt"], Zn=g["Zn"])
+    ptau, px_lab, py_lab, pn = lrf.boost_pLRF_to_lab(
+        basis, g["ut"], g["ux"], g["uy"], g["un"], E, px, py, pz)
+
+    tau = g["tau"]
+    mass2 = mass * mass
+    mT = jnp.sqrt(mass2 + px_lab**2 + py_lab**2)
+    dtype = rows.dtype
+    if cfg.dimension == 2:
+        # boost-invariant: sample rapidity uniformly, reconstruct (pz, eta)
+        # (reference :1168-1192)
+        y_max = cfg.y_cut
+        u = jax.random.uniform(key_y, (rows.shape[0],), dtype=dtype)
+        yp = y_max * (2.0 * u - 1.0)
+        sinhy = jnp.sinh(yp)
+        coshy = jnp.sqrt(1.0 + sinhy * sinhy)
+        sinheta = (ptau * sinhy - tau * pn * coshy) / mT
+        eta_out = jnp.arcsinh(sinheta)
+        cosheta = jnp.sqrt(1.0 + sinheta * sinheta)
+        pz_lab = mT * sinhy
+        E_lab = mT * coshy
+    else:
+        eta_out = g["eta"]
+        sinheta = jnp.sinh(eta_out)
+        cosheta = jnp.cosh(eta_out)
+        pz_lab = tau * pn * cosheta + ptau * sinheta
+        E_lab = jnp.sqrt(mass2 + px_lab**2 + py_lab**2 + pz_lab**2)
+        yp = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
+
+    return dict(tau=tau, x=g["x"], y=g["y"], eta=eta_out,
+                sinheta=sinheta, cosheta=cosheta,
+                E=E_lab, px=px_lab, py=py_lab, pz=pz_lab, yp=yp)
+
+
+def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
+                   cfg: Config, with_lab: bool = False):
+    """Sample one event's hadron slots through the keep decision.
+
+    Returns per-slot (keep, cidx, sidx), LRF-frame (E, px, py, pz), mass,
+    and acceptance counters.  With ``with_lab`` the row gather also pulls
+    the 16 lab-boost fields: one combined gather is cheaper on TPU than a
+    second post-compaction gather (a kept-only-boost variant measured
+    ~20% slower end to end; the per-df-mode pruning here is neutral-to-
+    slightly-positive -- 199 vs 195 k hadrons/s medians, within the rig's
+    measurement noise -- and moves fewer HBM bytes)."""
     dtype = cell["T"].dtype
     ks = jax.random.split(key, 8)
 
@@ -439,11 +510,12 @@ def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
          * cell["rowcum"][cidx, S - 1])
     sidx = _row_categorical(cell["rowcum"], cidx, v)
 
-    # one contiguous row gather for all ~52 per-cell scalars: separate (C,)
-    # gathers cost one index resolution each on TPU; the stack is event-
-    # independent so XLA hoists it out of the event vmap
-    gkeys = sorted(k for k in cell if k not in
-                   ("rowcum", "dn_tot", "cum_dn", "mean_cell"))
+    # one contiguous row gather for the per-cell scalars, pruned per df_mode:
+    # separate (C,) gathers cost one index resolution each on TPU; the stack
+    # is event-independent so XLA hoists it out of the event vmap
+    gkeys = _PRE_COMMON + _PRE_DF[cfg.df_mode]
+    if with_lab:
+        gkeys = gkeys + _LAB_FIELDS
     packed = jnp.stack([cell[k].astype(dtype) for k in gkeys], axis=1)
     rows = packed[cidx]                                # (n_cap, NF)
     g = {k: rows[:, i] for i, k in enumerate(gkeys)}
@@ -452,14 +524,18 @@ def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
     sign = species.sign[sidx]
     baryon = species.baryon[sidx]
 
-    use_mod = jnp.zeros_like(slot) if cfg.df_mode in (1, 2) \
-        else ~(g["breakdown"] > 0.5)
-    T_eff = jnp.where(use_mod, g["T_mod"], g["T"])
-    if cfg.df_mode == 4:
-        # Jonah's feqmod samples at zero chemical potential (:1111-1117)
-        chem_s = jnp.where(use_mod, 0.0, baryon * g["alphaB"])
+    if cfg.df_mode in (1, 2):
+        use_mod = jnp.zeros_like(slot)
+        T_eff = g["T"]
+        chem_s = baryon * g["alphaB"]
     else:
-        chem_s = baryon * jnp.where(use_mod, g["alphaB_mod"], g["alphaB"])
+        use_mod = ~(g["breakdown"] > 0.5)
+        T_eff = jnp.where(use_mod, g["T_mod"], g["T"])
+        if cfg.df_mode == 4:
+            # Jonah's feqmod samples at zero chemical potential (:1111-1117)
+            chem_s = jnp.where(use_mod, 0.0, baryon * g["alphaB"])
+        else:
+            chem_s = baryon * jnp.where(use_mod, g["alphaB_mod"], g["alphaB"])
     mbar = mass / T_eff
 
     # ---- batched rejection: all pending slots propose each round
@@ -515,40 +591,27 @@ def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
     u_keep = jax.random.uniform(ks[4], (n_cap,), dtype=dtype)
     keep = sampled_ok & (u_keep < w_flux * w_visc)
 
-    # ---- boost to the lab frame
-    basis = lrf.MilneBasis(Xt=g["Xt"], Xx=g["Xx"], Xy=g["Xy"], Xn=g["Xn"],
-                           Yx=g["Yx"], Yy=g["Yy"], Zt=g["Zt"], Zn=g["Zn"])
-    ptau, px_lab, py_lab, pn = lrf.boost_pLRF_to_lab(
-        basis, g["ut"], g["ux"], g["uy"], g["un"], E, px, py, pz)
+    out = dict(keep=keep, cidx=cidx, sidx=sidx, E=E, px=px, py=py, pz=pz,
+               mass=mass, acceptances=jnp.sum(sampled_ok), samples=nsamp)
+    if with_lab:
+        out["lab_rows"] = rows[:, len(gkeys) - len(_LAB_FIELDS):]
+    return out
 
-    tau = g["tau"]
-    mT = jnp.sqrt(mass2 + px_lab**2 + py_lab**2)
-    if cfg.dimension == 2:
-        # boost-invariant: sample rapidity uniformly, reconstruct (pz, eta)
-        # (reference :1168-1192)
-        y_max = cfg.y_cut
-        yp = y_max * (2.0 * jax.random.uniform(ks[5], (n_cap,), dtype=dtype) - 1.0)
-        sinhy = jnp.sinh(yp)
-        coshy = jnp.sqrt(1.0 + sinhy * sinhy)
-        sinheta = (ptau * sinhy - tau * pn * coshy) / mT
-        eta_out = jnp.arcsinh(sinheta)
-        cosheta = jnp.sqrt(1.0 + sinheta * sinheta)
-        pz_lab = mT * sinhy
-        E_lab = mT * coshy
-    else:
-        eta_out = g["eta"]
-        sinheta = jnp.sinh(eta_out)
-        cosheta = jnp.cosh(eta_out)
-        pz_lab = tau * pn * cosheta + ptau * sinheta
-        E_lab = jnp.sqrt(mass2 + px_lab**2 + py_lab**2 + pz_lab**2)
-        yp = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
 
+def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
+               cfg: Config):
+    """Sample one event into fixed-capacity arrays + keep mask."""
+    core = _one_event_lrf(cell, species, key, lam, n_cap, cfg, with_lab=True)
+    mass = core["mass"]
+    lab = _lab_kinematics(core["lab_rows"], mass, core["E"], core["px"],
+                          core["py"], core["pz"],
+                          jax.random.fold_in(key, 987654321), cfg)
     return dict(
-        keep=keep, mcid=mcid_arr[sidx], mass=mass,
-        tau=tau, x=g["x"], y=g["y"], eta=eta_out,
-        t=tau * cosheta, z=tau * sinheta,
-        E=E_lab, px=px_lab, py=py_lab, pz=pz_lab, yp=yp,
-        acceptances=jnp.sum(sampled_ok), samples=nsamp,
+        keep=core["keep"], mcid=mcid_arr[core["sidx"]], mass=mass,
+        tau=lab["tau"], x=lab["x"], y=lab["y"], eta=lab["eta"],
+        t=lab["tau"] * lab["cosheta"], z=lab["tau"] * lab["sinheta"],
+        E=lab["E"], px=lab["px"], py=lab["py"], pz=lab["pz"], yp=lab["yp"],
+        acceptances=core["acceptances"], samples=core["samples"],
     )
 
 
@@ -569,7 +632,10 @@ def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
     host link is the sampler's bottleneck (tens of MB/s through a serving
     tunnel), and typically <30% of slots survive the Poisson+flux+viscous
     acceptance, so packing cuts the transfer by ~4x and removes the host-
-    side boolean compaction entirely."""
+    side boolean compaction entirely.  (A kept-only post-compaction boost
+    was tried and measured SLOWER -- 176k vs 224k hadrons/s -- because the
+    second random-index gather of the 16 lab fields costs more than the
+    transcendentals it saves; the single combined row gather wins.)"""
     out = jax.vmap(
         lambda k: _one_event(cell, species, mcid_arr, k, lam, n_cap, cfg)
     )(keys)
