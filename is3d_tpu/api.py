@@ -215,6 +215,14 @@ class IS3D:
                         jnp.asarray(decayed), grid, mcids, cfg.dimension,
                         self.results_dir, suffix="_resonance_decays")
         elif cfg.operation == 0:
+            if cfg.mode in (2, 3):
+                raise NotImplementedError(
+                    "spacetime distributions (operation 0) are not defined "
+                    "for anisotropic-hydro surfaces (modes 2-3); the "
+                    "reference has no VAH dN/dX path either (its entire "
+                    "MODE-2 kernel block is commented out, "
+                    "emissionfunction.cpp:1644-1673).  Use operation 1 for "
+                    "VAH smooth spectra.")
             from .kernels.dndx import spacetime_distributions
             with timer.phase("dN/dX spacetime"):
                 result.dN_dX = spacetime_distributions(
@@ -224,6 +232,15 @@ class IS3D:
                 writers.write_spacetime_distributions(result.dN_dX, mcids,
                                                       self.results_dir)
         elif cfg.operation == 2:
+            if cfg.mode in (2, 3):
+                raise NotImplementedError(
+                    "Monte-Carlo sampling from an anisotropic-hydro surface "
+                    "(modes 2-3) requires sampling the anisotropic "
+                    "distribution f_a, which this build does not implement; "
+                    "the reference's sample_dN_pTdpTdphidy_VAH_PL is an "
+                    "explicit stub too (sampling_kernels.cpp:1231-1239).  "
+                    "Sampling with the equilibrium proposal would silently "
+                    "produce wrong momentum spectra, so this refuses instead.")
             from .kernels.sample import sample_particles, calculate_total_yield
             with timer.phase("sampler"):
                 result.events = sample_particles(
