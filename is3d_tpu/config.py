@@ -73,6 +73,15 @@ class Config:
     # omit the pT Jacobian (write_dN_dy_toFile, calculate_dN_dX); default
     # is the physically correct integral
     reference_compat_dndy: int = 0
+    # reproduce the reference SPECTRA kernel's 2+1D feqmod eta handling,
+    # which skips the detA rescale for detA >= 1 and thereby drops the
+    # 1/detA momentum-space jacobian on bulk-expanded cells
+    # (emissionfunction_smooth_kernels.cpp:728 `detA < 1.0`).  The
+    # reference is internally inconsistent here: its own dN_dX kernel
+    # (:1847) and its Monte-Carlo sampler (p = A p_mod includes the
+    # jacobian automatically) both keep the factor.  Default is the
+    # consistent, correct behavior
+    reference_compat_feqmod_eta: int = 0
 
     # --- TPU-native knobs (no reference counterpart) ---
     precision: str = "f64"      # "f64" for parity runs, "f32"/"bf16" fast path

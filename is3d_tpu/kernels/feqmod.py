@@ -167,9 +167,18 @@ def _prepare_feqmod_cells(c, species, laguerre, cfg: Config):
     c["renorm"] = jnp.where(finite, renorm, 0.0)
     c["renorm_ok"] = finite
 
-    # 2+1D eta rescaling by detA (reference: :725-729)
+    # 2+1D eta rescaling by detA: the variable change eta -> detA*eta both
+    # resolves the narrow (y-eta) integrand and supplies the 1/detA
+    # momentum-space jacobian (so renorm is NOT divided by detA in 2+1D).
+    # The reference SPECTRA kernel skips the rescale for detA >= 1
+    # (smooth_kernels.cpp:728), silently dropping the jacobian on
+    # bulk-expanded cells; its dN_dX kernel (:1847) and its sampler keep
+    # it.  We default to the consistent behavior and offer the quirk as
+    # reference_compat_feqmod_eta for spectra-parity runs.
     if cfg.dimension == 2:
-        use = (detA > cfg.deta_min) & (detA < 1.0)
+        use = detA > cfg.deta_min
+        if cfg.reference_compat_feqmod_eta:
+            use = use & (detA < 1.0)
         c["eta_scale"] = jnp.where(use, detA, 1.0)
     return c
 

@@ -619,9 +619,9 @@ EVENT_FIELDS = ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
                 "E", "px", "py", "pz", "yp")
 # fields actually transferred device->host; the rest are exact functions of
 # these and get rebuilt host-side (the tunnel link is the bottleneck):
-# mass = mass(mcid), t = tau cosh(eta), z = tau sinh(eta),
-# yp = atanh(pz / E)
-PACK_FIELDS = ("mcid", "tau", "x", "y", "eta", "E", "px", "py", "pz")
+# mass = mass(mcid), E = sqrt(mass^2 + p^2) (on-shell by construction),
+# t = tau cosh(eta), z = tau sinh(eta), yp = atanh(pz / E)
+PACK_FIELDS = ("mcid", "tau", "x", "y", "eta", "px", "py", "pz")
 
 
 @partial(jax.jit, static_argnames=("n_cap", "cap_total", "cfg"))
@@ -778,7 +778,10 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         # rebuild the derived fields host-side (see PACK_FIELDS)
         pos = np.clip(np.searchsorted(mcids_sorted, packed["mcid"]),
                       0, len(mcid_order) - 1)
-        packed["mass"] = mass_np[mcid_order[pos]].astype(packed["E"].dtype)
+        packed["mass"] = mass_np[mcid_order[pos]].astype(packed["px"].dtype)
+        # on-shell by construction: E is not transferred at all
+        packed["E"] = np.sqrt(packed["mass"]**2 + packed["px"]**2
+                              + packed["py"]**2 + packed["pz"]**2)
         packed["t"] = packed["tau"] * np.cosh(packed["eta"])
         packed["z"] = packed["tau"] * np.sinh(packed["eta"])
         with np.errstate(divide="ignore", invalid="ignore"):

@@ -265,8 +265,11 @@ def oracle_feqmod_spectra(cells, species, grid, df_eval, *,
             dn_pi = bulkPi*(neq_pi + J20_pi*co["F"]/T/T)/co["betabulk"]
             breakdown = (detA <= deta_min) or (neq_pi + dn_pi < 0.0)
 
+        # eta rescale supplies the 1/detA jacobian in 2+1D for ALL
+        # detA > detA_min (the reference spectra kernel's extra `detA < 1`
+        # clause is a defect -- see reference_compat_feqmod_eta in config.py)
         eta_scale = 1.0
-        if detA > deta_min and detA < 1.0 and dimension == 2:
+        if detA > deta_min and dimension == 2:
             eta_scale = detA
         A_inv = np.linalg.inv(A) if abs(detA) > 1e-300 else np.eye(3)
 
