@@ -232,15 +232,10 @@ class IS3D:
                 writers.write_spacetime_distributions(result.dN_dX, mcids,
                                                       self.results_dir)
         elif cfg.operation == 2:
-            if cfg.mode in (2, 3):
-                raise NotImplementedError(
-                    "Monte-Carlo sampling from an anisotropic-hydro surface "
-                    "(modes 2-3) requires sampling the anisotropic "
-                    "distribution f_a, which this build does not implement; "
-                    "the reference's sample_dN_pTdpTdphidy_VAH_PL is an "
-                    "explicit stub too (sampling_kernels.cpp:1231-1239).  "
-                    "Sampling with the equilibrium proposal would silently "
-                    "produce wrong momentum spectra, so this refuses instead.")
+            # modes 2-3 route to the anisotropic (f_a) sampler inside
+            # sample_particles -- a capability the reference lacks (its
+            # sample_dN_pTdpTdphidy_VAH_PL is a stub,
+            # sampling_kernels.cpp:1231-1239)
             from .kernels.sample import sample_particles, calculate_total_yield
             with timer.phase("sampler"):
                 result.events = sample_particles(

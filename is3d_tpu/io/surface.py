@@ -91,6 +91,14 @@ class Surface:
     aL: Optional[jnp.ndarray] = None
     upsilonB: Optional[jnp.ndarray] = None
     nBL: Optional[jnp.ndarray] = None
+    # per-cell VAH residual df coefficients (FO_surf carries these fields,
+    # readindata.h:101, but no reference reader ever fills them; they are
+    # settable programmatically for the VAH kernels/sampler)
+    c0: Optional[jnp.ndarray] = None
+    c1: Optional[jnp.ndarray] = None
+    c2: Optional[jnp.ndarray] = None
+    c3: Optional[jnp.ndarray] = None
+    c4: Optional[jnp.ndarray] = None
 
     @property
     def n_cells(self) -> int:

@@ -305,6 +305,122 @@ def _cell_data_jit(cols, species: SpeciesArrays, df_data: DeltafData,
     return out
 
 
+def _species_yields_vah(c, species, laguerre):
+    """Per-(cell, species) densities for anisotropic-hydro sampling:
+    2 * a_L * neq(Lambda) (the d^3p = a_L d^3q jacobian of the
+    Romatschke-Strickland stretch; factor 2 is the viscous-weight budget,
+    same convention as the VH max densities)."""
+    from .common import effective_chunk
+    r1, w1 = laguerre[1]
+    C = c["Lambda"].shape[0]
+    S = species.n_species
+    B = effective_chunk(C, C, S * r1.shape[0])
+
+    def block(Lam, aL):
+        mbar = species.mass[None, :] / Lam[:, None]
+        zero = jnp.zeros_like(mbar)
+        neq = (Lam[:, None] ** 3 / TWO_PI2_HBARC3
+               * species.degeneracy[None, :]
+               * thermal.gauss_thermal(thermal.neq_int, r1, w1, mbar, zero,
+                                       zero, species.sign[None, :]))
+        return 2.0 * aL[:, None] * neq
+
+    if B >= C:
+        return block(c["Lambda"], c["aL"])
+    nB = -(-C // B)
+    pad = nB * B - C
+
+    def prep(v):
+        if pad:
+            v = jnp.concatenate([v, jnp.ones((pad,), dtype=v.dtype)])
+        return v.reshape(nB, B)
+
+    out = jax.lax.map(lambda t: block(t[0], t[1]),
+                      (prep(c["Lambda"]), prep(c["aL"])))
+    return out.reshape(nB * B, S)[:C]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _vah_cell_data_jit(cols, species: SpeciesArrays, laguerre, cfg: Config):
+    """Per-cell sampler inputs for anisotropic-hydro surfaces (modes 2-3).
+
+    The reference has no working counterpart (its VAH sampler is a stub,
+    sampling_kernels.cpp:1231-1239); validation is statistical agreement
+    with our VAH smooth kernel (test_sampler_vah.py)."""
+    c = dict(cols)
+    tau = c["tau"]
+    ut = lrf.u_tau(c["ux"], c["uy"], c["un"], tau)
+    c["ut"] = ut
+    basis = lrf.milne_basis(ut, c["ux"], c["uy"], c["un"], tau)
+    dst, dsx, dsy, dsz = lrf.boost_dsigma_to_lrf(
+        basis, c["dat"], c["dax"], c["day"], c["dan"],
+        ut, c["ux"], c["uy"], c["un"])
+    ds_space, ds_max = lrf.dsigma_magnitude(dst, dsx, dsy, dsz)
+    udsigma = (ut * c["dat"] + c["ux"] * c["dax"] + c["uy"] * c["day"]
+               + c["un"] * c["dan"])
+    valid = udsigma > 0.0
+
+    piL = lrf.boost_pimunu_to_lrf(basis, c["pitt"], c["pitx"], c["pity"],
+                                  c["pitn"], c["pixx"], c["pixy"], c["pixn"],
+                                  c["piyy"], c["piyn"], c["pinn"], tau)
+    # W^mu orthogonality completion (vah.py / smooth_kernels.cpp:2247-2251)
+    u0 = jnp.sqrt(1.0 + c["ux"] ** 2 + c["uy"] ** 2)
+    Wt = (c["ux"] * c["Wx"] + c["uy"] * c["Wy"]) * ut / (u0 * u0)
+    Wn = Wt * c["un"] / ut
+    WL = lrf.boost_Vmu_to_lrf(basis, Wt, c["Wx"], c["Wy"], Wn, tau)
+
+    dn_list = jnp.maximum(_species_yields_vah(c, species, laguerre), 0.0)
+    dn_list = jnp.where(species.mass[None, :] > 0.0, dn_list, 0.0)
+
+    y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
+    dn_tot = jnp.sum(dn_list, axis=1) * (2.0 * y_max * ds_max)
+    dn_tot = jnp.where(valid, dn_tot, 0.0)
+    mean_cell = jnp.where(valid, udsigma * jnp.sum(dn_list, axis=1) * 0.5,
+                          0.0)
+
+    return dict(
+        tau=tau, x=c["x"], y=c["y"], eta=c["eta"],
+        Lambda=c["Lambda"], aL=c["aL"], bulkPi=c["bulkPi"],
+        c0=c["c0"], c1=c["c1"], c2=c["c2"], c3=c["c3"], c4=c["c4"],
+        pixx=piL[0], pixy=piL[1], pixz=piL[2], piyy=piL[3], piyz=piL[4],
+        pizz=piL[5], Wlx=WL[0], Wly=WL[1], Wlz=WL[2],
+        dst=dst, dsx=dsx, dsy=dsy, dsz=dsz, ds_max=ds_max,
+        ut=ut, ux=c["ux"], uy=c["uy"], un=c["un"],
+        Xt=basis.Xt, Xx=basis.Xx, Xy=basis.Xy, Xn=basis.Xn,
+        Yx=basis.Yx, Yy=basis.Yy, Zt=basis.Zt, Zn=basis.Zn,
+        rowcum=jnp.cumsum(dn_list, axis=1),
+        dn_tot=dn_tot, cum_dn=jnp.cumsum(dn_tot), mean_cell=mean_cell,
+    )
+
+
+def _vah_sampler_cols(surface, cfg):
+    """Columns the VAH sampler needs, with the same viscous-switch zero
+    filling the VAH smooth kernel applies (vah.py)."""
+    z = jnp.zeros_like(surface.tau)
+    get = lambda name: getattr(surface, name, None)
+    cols = dict(tau=surface.tau, x=surface.x, y=surface.y,
+                dat=surface.dat, dax=surface.dax, day=surface.day,
+                dan=surface.dan, ux=surface.ux, uy=surface.uy, un=surface.un)
+    cols["eta"] = surface.eta if surface.eta is not None else z
+    if surface.Lambda is None or surface.aL is None:
+        raise ValueError("VAH sampler needs Lambda and aL (mode 2/3 surface)")
+    cols["Lambda"] = surface.Lambda
+    cols["aL"] = surface.aL
+    shear_on = bool(cfg.include_shear_deltaf)
+    bulk_on = bool(cfg.include_bulk_deltaf)
+    for name in ("pitt", "pitx", "pity", "pitn", "pixx", "pixy", "pixn",
+                 "piyy", "piyn", "pinn", "Wx", "Wy"):
+        v = get(name)
+        cols[name] = v if (shear_on and v is not None) else z
+    v = get("bulkPi")
+    cols["bulkPi"] = v if (bulk_on and v is not None) else z
+    for name in ("c0", "c1", "c2", "c3", "c4"):
+        v = get(name)
+        on = shear_on if name in ("c3", "c4") else bulk_on
+        cols[name] = v if (on and v is not None) else z
+    return cols
+
+
 # ======================================================================
 # Phase B: one event = a fixed-capacity batch of hadron slots
 # ======================================================================
@@ -432,6 +548,18 @@ _PRE_DF = {
         "T_mod", "breakdown", "shear_mod", "bulk_mod", "diff_mod"),
 }
 
+# anisotropic-hydro (VAH) sampling: f_a at (Lambda, a_L) + residual
+# 14-moment corrections in the LRF
+_PRE_VAH = ("Lambda", "aL", "bulkPi", "c0", "c1", "c2", "c3", "c4",
+            "pixx", "pixy", "pixz", "piyy", "piyz", "pizz",
+            "Wlx", "Wly", "Wlz", "dst", "dsx", "dsy", "dsz", "ds_max")
+
+
+def _pre_fields(cfg):
+    if cfg.mode in (2, 3):
+        return _PRE_VAH
+    return _PRE_COMMON + _PRE_DF[cfg.df_mode]
+
 # per-cell fields needed only for hadrons that survive the keep decision
 # (lab-frame boost + spacetime coordinates); in the packed batch these are
 # gathered per KEPT hadron (~30% of slots) instead of per slot
@@ -490,7 +618,7 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
     ~20% slower end to end; the per-df-mode pruning here is neutral-to-
     slightly-positive -- 199 vs 195 k hadrons/s medians, within the rig's
     measurement noise -- and moves fewer HBM bytes)."""
-    dtype = cell["T"].dtype
+    dtype = cell["tau"].dtype
     ks = jax.random.split(key, 8)
 
     n = jax.random.poisson(ks[0], lam)
@@ -513,7 +641,7 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
     # one contiguous row gather for the per-cell scalars, pruned per df_mode:
     # separate (C,) gathers cost one index resolution each on TPU; the stack
     # is event-independent so XLA hoists it out of the event vmap
-    gkeys = _PRE_COMMON + _PRE_DF[cfg.df_mode]
+    gkeys = _pre_fields(cfg)
     if with_lab:
         gkeys = gkeys + _LAB_FIELDS
     packed = jnp.stack([cell[k].astype(dtype) for k in gkeys], axis=1)
@@ -524,7 +652,18 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
     sign = species.sign[sidx]
     baryon = species.baryon[sidx]
 
-    if cfg.df_mode in (1, 2):
+    if cfg.mode in (2, 3):
+        # VAH: f_a(p) = feq_iso(q; Lambda) under q = (px, py, pz / a_L)
+        # (Romatschke-Strickland form; E_a^2 = (u.p)^2 + xi_L (z.p)^2
+        #  = m^2 + q^2 with xi_L = 1/a_L^2 - 1), so sample q isotropically
+        # at temperature Lambda, zero chemical potential, then stretch
+        # pz = a_L qz.  The reference's VAH sampler is a stub
+        # (sampling_kernels.cpp:1231-1239); the d^3p = a_L d^3q jacobian
+        # lives in the a_L * neq(Lambda) categorical densities.
+        use_mod = jnp.zeros_like(slot)
+        T_eff = g["Lambda"]
+        chem_s = jnp.zeros_like(T_eff)
+    elif cfg.df_mode in (1, 2):
         use_mod = jnp.zeros_like(slot)
         T_eff = g["T"]
         chem_s = baryon * g["alphaB"]
@@ -569,8 +708,33 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
     py = p * sint * jnp.sin(phi)
     pz = p * cost
 
+    # ---- VAH momentum stretch pz = a_L qz + residual 14-moment weight
+    if cfg.mode in (2, 3):
+        pz = g["aL"] * pz
+        E = jnp.sqrt(mass2 + px * px + py * py + pz * pz)
+        # residual df in the LRF: (z.p) = -pz, (W.p) = -(W_L . p_vec),
+        # pi_munu p^mu p^nu = sum_ij pi_ij p_i p_j (vah.py / smooth_kernels
+        # :2306-2349); f_abar at the anisotropic energy is exactly the
+        # proposal's 1 - sign/(exp(Ebar) + sign) since Ebar = E_a / Lambda
+        fabar = 1.0 - sign / (jnp.exp(Ebar) + sign)
+        df_tot = jnp.zeros_like(E)
+        if cfg.include_shear_deltaf:
+            Wp = g["Wlx"] * px + g["Wly"] * py + g["Wlz"] * pz
+            pipp = (px * px * g["pixx"] + py * py * g["piyy"]
+                    + pz * pz * g["pizz"]
+                    + 2.0 * (px * py * g["pixy"] + px * pz * g["pixz"]
+                             + py * pz * g["piyz"]))
+            df_tot = df_tot + g["c3"] * pz * Wp + g["c4"] * pipp
+        if cfg.include_bulk_deltaf:
+            df_tot = df_tot + (g["c0"] * mass2 + g["c1"] * pz * pz
+                               + g["c2"] * E * E) * g["bulkPi"]
+        df_tot = fabar * df_tot
+        if cfg.regulate_deltaf:
+            df_tot = jnp.clip(df_tot, -1.0, 1.0)
+        w_visc_vah = jnp.clip(0.5 * (1.0 + df_tot), 0.0, 1.0)
+
     # ---- feqmod momentum rescale p = A p_mod + shifts (reference :619-650)
-    if cfg.df_mode in (3, 4):
+    if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3):
         dm = g["diff_mod"] * (E * g["benth"] + baryon)
         bx = (1.0 + g["bulk_mod"]) * px + g["shear_mod"] * (
             g["pixx"] * px + g["pixy"] * py + g["pixz"] * pz) + dm * g["Vx"]
@@ -584,8 +748,12 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
         E = jnp.where(use_mod, jnp.sqrt(mass2 + px**2 + py**2 + pz**2), E)
 
     # ---- viscous + flux acceptance
-    w_visc = jnp.where(use_mod, 1.0,
-                       _df_weight(cfg, g, E, px, py, pz, mass2, sign, baryon))
+    if cfg.mode in (2, 3):
+        w_visc = w_visc_vah
+    else:
+        w_visc = jnp.where(use_mod, 1.0,
+                           _df_weight(cfg, g, E, px, py, pz, mass2, sign,
+                                      baryon))
     w_flux = jnp.maximum(0.0, E * g["dst"] - px * g["dsx"] - py * g["dsy"]
                          - pz * g["dsz"]) / (E * g["ds_max"])
     u_keep = jax.random.uniform(ks[4], (n_cap,), dtype=dtype)
@@ -668,17 +836,25 @@ def _sampler_cols(surface, cfg):
     return cols
 
 
+def _build_cell_data(surface, species, df_data, cfg, plasma, laguerre):
+    """Phase-A dispatch: VH (modes 0/1/4/5/6/7) or VAH (modes 2/3)."""
+    dtype = surface.tau.dtype
+    if cfg.mode in (2, 3):
+        return _vah_cell_data_jit(_vah_sampler_cols(surface, cfg), species,
+                                  laguerre, cfg)
+    plasma_avg = (jnp.asarray(plasma.temperature, dtype),
+                  jnp.asarray(plasma.baryon_chemical_potential, dtype))
+    return _cell_data_jit(_sampler_cols(surface, cfg), species, df_data,
+                          laguerre, plasma_avg, cfg)
+
+
 def calculate_total_yield(surface, species, df_data, cfg, plasma,
                           laguerre=None) -> float:
     """Mean total hadron yield of the surface (reference:
     sampling_kernels.cpp:653-831).  In 2+1D the yield is dN/dy * 2 Y_CUT."""
     if laguerre is None:
         laguerre = _laguerre_device(surface.tau.dtype)
-    cols = _sampler_cols(surface, cfg)
-    dtype = surface.tau.dtype
-    plasma_avg = (jnp.asarray(plasma.temperature, dtype),
-                  jnp.asarray(plasma.baryon_chemical_potential, dtype))
-    cell = _cell_data_jit(cols, species, df_data, laguerre, plasma_avg, cfg)
+    cell = _build_cell_data(surface, species, df_data, cfg, plasma, laguerre)
     ntot = float(jnp.sum(cell["mean_cell"]))
     if cfg.dimension == 2:
         ntot *= 2.0 * cfg.y_cut
@@ -700,10 +876,7 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     dtype = surface.tau.dtype
     if laguerre is None:
         laguerre = _laguerre_device(dtype)
-    cols = _sampler_cols(surface, cfg)
-    plasma_avg = (jnp.asarray(plasma.temperature, dtype),
-                  jnp.asarray(plasma.baryon_chemical_potential, dtype))
-    cell = _cell_data_jit(cols, species, df_data, laguerre, plasma_avg, cfg)
+    cell = _build_cell_data(surface, species, df_data, cfg, plasma, laguerre)
 
     lam = float(jnp.sum(cell["dn_tot"]))
     if lam <= 0.0:
@@ -841,7 +1014,8 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
     dtype = surface.tau.dtype
     if laguerre is None:
         laguerre = _laguerre_device(dtype)
-    cols = _sampler_cols(surface, cfg)
+    cols = (_vah_sampler_cols(surface, cfg) if cfg.mode in (2, 3)
+            else _sampler_cols(surface, cfg))
 
     # pad to a multiple of n_dev with inert cells (dsigma = 0 => dn_tot = 0)
     n = cols["tau"].shape[0]
@@ -850,7 +1024,7 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
     if pad:
         out_cols = {}
         for k, v in cols.items():
-            fill = 1.0 if k in ("tau", "T", "E", "P") else 0.0
+            fill = 1.0 if k in ("tau", "T", "E", "P", "Lambda", "aL") else 0.0
             out_cols[k] = jnp.concatenate(
                 [v, jnp.full((pad,), fill, dtype=v.dtype)])
         for k in ("dat", "dax", "day", "dan"):
@@ -861,9 +1035,14 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
                   jnp.asarray(plasma.baryon_chemical_potential, dtype))
     mcid_arr = jnp.asarray(np.asarray(mcids), dtype=jnp.int32)
 
+    def cell_data(cols_in, species_in, df_in, lag_in, plasma_in):
+        if cfg.mode in (2, 3):
+            return _vah_cell_data_jit(cols_in, species_in, lag_in, cfg)
+        return _cell_data_jit(cols_in, species_in, df_in, lag_in, plasma_in,
+                              cfg)
+
     # per-device lambda for capacity planning (cheap full-surface pass)
-    cell_probe = _cell_data_jit(cols, species, df_data, laguerre, plasma_avg,
-                                cfg)
+    cell_probe = cell_data(cols, species, df_data, laguerre, plasma_avg)
     dn_tot = np.asarray(cell_probe["dn_tot"]).reshape(n_dev, per_dev)
     lam_max = float(dn_tot.sum(axis=1).max())
     if lam_max <= 0.0:
@@ -885,8 +1064,7 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
              out_specs=out_specs)
     def run(cols_shard, species_r, df_r, lag_r, plasma_r, keys_r):
-        cell = _cell_data_jit(cols_shard, species_r, df_r, lag_r, plasma_r,
-                              cfg)
+        cell = cell_data(cols_shard, species_r, df_r, lag_r, plasma_r)
         lam_local = cell["cum_dn"][-1]
         dev = jax.lax.axis_index(axis)
 

@@ -49,7 +49,13 @@ def _chunk_vah(c, valid, species, grid, cfg):
     px_b = px[None, None, :, :, None]
     py_b = py[None, None, :, :, None]
 
-    ch, sh = _rapidity_factors(c, grid, cfg.dimension)
+    # 2+1D: integrate over eta with nodes rescaled per cell by a_L -- an
+    # exact substitution (jacobian applied below) that keeps the f_a
+    # integrand resolved: its (y - eta) width scales with a_L, so small
+    # a_L would otherwise under-resolve the high-mT tail on the fixed
+    # table (measured 28% low at pT = 3.5 GeV with a_L ~ 0.7, n_eta = 48)
+    eta_scale = c["aL"] if cfg.dimension == 2 else None
+    ch, sh = _rapidity_factors(c, grid, cfg.dimension, eta_scale=eta_scale)
     pt = mT_b * ch[:, None, None, None, :]
     taupn = mT_b * sh[:, None, None, None, :]        # tau * p^eta
 
@@ -99,7 +105,9 @@ def _chunk_vah(c, valid, species, grid, cfg):
     contrib = contrib * cc(mask)
 
     if cfg.dimension == 2:
-        contrib = contrib * grid.eta_weight[None, None, None, None, :]
+        # a_L jacobian of the eta-node rescale (exact substitution)
+        contrib = contrib * grid.eta_weight[None, None, None, None, :] \
+            * cc(c["aL"])
         out = jnp.sum(contrib, axis=(0, 4))[..., None]
     else:
         out = jnp.sum(contrib, axis=0)

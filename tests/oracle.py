@@ -355,3 +355,31 @@ def oracle_feqmod_spectra(cells, species, grid, df_eval, *,
                             total += pds*f
                         out[isp, ipT, iphi, iy] += PREFACTOR*deg*total
     return out
+
+
+def bin_fractions_from_grid(pT_nodes, dN_pT_dpT, edges, n_fine=4000):
+    """Fractions of the yield in pT bins, from a spectrum sampled on a
+    quadrature grid.
+
+    NEVER restrict Gauss-Legendre (node, weight) sums to a sub-interval:
+    the weights are only exact for the FULL interval, and partial sums
+    mis-bin a steep spectrum by tens of percent (measured: [0.346, 0.431]
+    vs the true [0.385, 0.361] on a thermal spectrum with 48 nodes).
+    Instead interpolate log(spectrum) onto a fine grid (log-linear
+    extrapolation beyond the outermost nodes) and trapezoid-integrate
+    pT * dN/(2pi pT dpT dy) per bin."""
+    pT_nodes = np.asarray(pT_nodes, dtype=np.float64)
+    y = np.log(np.maximum(np.asarray(dN_pT_dpT, dtype=np.float64), 1e-300))
+    pts = np.linspace(0.0, float(edges[-1]), n_fine)
+    logS = np.interp(pts, pT_nodes, y)
+    lo_m = pts < pT_nodes[0]
+    hi_m = pts > pT_nodes[-1]
+    sl0 = (y[1] - y[0]) / (pT_nodes[1] - pT_nodes[0])
+    sl1 = (y[-1] - y[-2]) / (pT_nodes[-1] - pT_nodes[-2])
+    logS = np.where(lo_m, y[0] + sl0 * (pts - pT_nodes[0]), logS)
+    logS = np.where(hi_m, y[-1] + sl1 * (pts - pT_nodes[-1]), logS)
+    s = np.exp(logS)
+    vals = np.array([
+        np.trapezoid(np.where((pts >= lo) & (pts < hi), s * pts, 0.0), pts)
+        for lo, hi in zip(edges[:-1], edges[1:])])
+    return vals / vals.sum()

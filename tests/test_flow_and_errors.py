@@ -105,18 +105,16 @@ def test_smooth_rejects_feqmod_modes(smash_table, df_data):
         smooth_spectra(surf, sp, grid, df_data, Config(df_mode=3))
 
 
-def test_vah_sampler_and_dndx_refuse():
-    """Operations 0 and 2 on VAH surfaces (modes 2-3) must refuse loudly:
-    the reference's VAH sampler is a stub (sampling_kernels.cpp:1231-1239)
-    and its whole MODE-2 kernel block is commented out; silently sampling
-    the equilibrium distribution would be wrong physics."""
+def test_vah_dndx_refuses():
+    """Operation 0 on VAH surfaces (modes 2-3) must refuse loudly: the
+    reference's whole MODE-2 kernel block is commented out and spacetime
+    distributions of f_a are undefined there.  (Operation 2 routes to our
+    anisotropic sampler instead -- see test_sampler_vah.py.)"""
     from is3d_tpu.api import IS3D
     from is3d_tpu.testing import synthetic_surface, synthetic_species
-    import is3d_tpu.api as api_mod
 
     surf = synthetic_surface(8, dimension=2, seed=0)
     run = IS3D.__new__(IS3D)
-    run.cfg = Config(operation=2, mode=2, dimension=2, df_mode=2)
     run.surface = surf
     run.mesh = None
     run.averages = None
@@ -125,8 +123,6 @@ def test_vah_sampler_and_dndx_refuse():
     # minimal objects so only the dispatch guard is exercised
     sp = synthetic_species(4)
     run._prepare = lambda: (None, None, sp, np.arange(4), None, PLASMA)
-    with pytest.raises(NotImplementedError, match="stub"):
-        run.run_particlization(write_files=False)
     run.cfg = Config(operation=0, mode=3, dimension=2, df_mode=2)
     with pytest.raises(NotImplementedError, match="VAH smooth spectra"):
         run.run_particlization(write_files=False)

@@ -271,12 +271,13 @@ def test_parity_dndx_operation0(oracle_binary, sandbox, df_mode):
         assert rel.max() < 1e-6, (mcid, float(rel.max()))
 
 
-@pytest.mark.parametrize("df_mode", [2, 3])
+@pytest.mark.parametrize("df_mode", [1, 2, 3, 4])
 def test_sampler_statistical_parity_vs_reference(oracle_binary, sandbox,
                                                  df_mode):
     """Both samplers (different RNGs) must agree statistically: per-species
-    event-averaged dN/dy within 5 sigma on the same surface (df 2 linear,
-    df 3 exercises the feqmod sampling + momentum-rescale path)."""
+    event-averaged dN/dy within 5 sigma on the same surface (df 1/2
+    exercise the 14-moment/CE viscous-weight thinning, df 3/4 the feqmod
+    sampling at (T_mod, alphaB_mod) + momentum rescale p = A p_mod)."""
     d = sandbox
     # restore the standard 50-cell 2+1D surface
     rng = np.random.default_rng(123)

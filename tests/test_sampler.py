@@ -166,15 +166,14 @@ def test_sampler_pT_shape_vs_smooth(smash_table, df_data):
                                 n_eta=48)
     spectra = smooth_spectra(surf, sp, grid, df_data,
                              cfg.replace(operation=1, cell_chunk=32))
-    # smooth prediction of the pion pT pdf on coarse bins
+    # smooth prediction of the pion pT pdf on coarse bins.  The bins must
+    # come from an interpolated fine-grid integral: restricting the
+    # Gauss-Legendre (node, weight) sums to a sub-interval mis-bins a
+    # steep spectrum by tens of percent (oracle.bin_fractions_from_grid)
+    from oracle import bin_fractions_from_grid
     dNpT = np.asarray(observables.dN_twopipTdpTdy(spectra, grid))[0, :, 0]
-    pT = np.asarray(grid.pT)
-    w = np.asarray(grid.pT_weight)
     edges = np.array([0.0, 0.3, 0.6, 1.0, 1.5, 5.0])
-    pred = np.array([np.sum(2 * np.pi * w[m] * pT[m] * dNpT[m])
-                     for m in [(pT >= lo) & (pT < hi)
-                               for lo, hi in zip(edges[:-1], edges[1:])]])
-    pred /= pred.sum()
+    pred = bin_fractions_from_grid(np.asarray(grid.pT), dNpT, edges)
 
     nev = 600
     events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,

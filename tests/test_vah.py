@@ -52,7 +52,9 @@ def oracle_vah(cells, mass, sign, deg, grid, cfg):
         lam, aL = cells["Lambda"][ic], cells["aL"][ic]
         xiL = 1.0 / aL**2 - 1.0
         if cfg.dimension == 2:
-            etas, ws = eta, etaw
+            # same exact eta -> aL*eta substitution the kernel applies
+            # (resolves the a_L-narrowed integrand; jacobian in the weight)
+            etas, ws = aL * eta, aL * etaw
         else:
             etas, ws = [cells["eta"][ic]], [1.0]
         for i, pt_ in enumerate(pT):
