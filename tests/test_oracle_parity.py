@@ -544,3 +544,69 @@ def test_parity_mode7_hiceventgen(oracle_binary, sandbox):
     _run_ref(oracle_binary, d)
     run, res = _run_ours(d)
     _compare_spectra(d, res)
+
+
+def test_parity_observable_writers(oracle_binary, sandbox):
+    """File-level parity of the derived-observable writers: the
+    vn_continuous/vn_<mcid>.dat files must match the reference's to 1e-6,
+    and dN_dy_<mcid>.dat matches when the reference's missing pT Jacobian
+    is reproduced (observables.dN_dy(include_pT_jacobian=False); our
+    written files default to the corrected integral)."""
+    d = sandbox
+    # standard 50-cell 2+1D surface
+    rng = np.random.default_rng(123)
+    n = 50
+    hbarC = 0.197327053
+    cells = np.zeros((n, 20))
+    cells[:, 0] = rng.uniform(1, 8, n)
+    cells[:, 1] = rng.uniform(-5, 5, n)
+    cells[:, 2] = rng.uniform(-5, 5, n)
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)
+    cells[:, 5] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 6] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 8] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 9] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 10] = rng.uniform(-0.05, 0.05, n)
+    cells[:, 11] = rng.uniform(0.25, 0.40, n) / hbarC
+    cells[:, 12] = rng.uniform(0.148, 0.162, n) / hbarC
+    cells[:, 13] = rng.uniform(0.04, 0.08, n) / hbarC
+    cells[:, 14:19] = rng.normal(0, 0.004, (n, 5)) / hbarC
+    cells[:, 19] = rng.normal(0, 0.003, n) / hbarC
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_params(d, 2)
+
+    shutil.rmtree(d / "results", ignore_errors=True)
+    (d / "results" / "vn_continuous").mkdir(parents=True)
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+    r = subprocess.run([oracle_binary], cwd=d, env=env, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+
+    shutil.rmtree(d / "results_ours", ignore_errors=True)
+    from is3d_tpu.api import IS3D
+    run = IS3D.from_run_dir(str(d), results_dir=str(d / "results_ours"),
+                            chosen_file="chosen_particles.dat")
+    res = run.run_particlization(write_files=True)
+
+    from is3d_tpu import observables
+    for mcid in MCIDS:
+        ref_vn = np.loadtxt(d / "results" / "vn_continuous"
+                            / f"vn_{mcid}.dat")
+        our_vn = np.loadtxt(d / "results_ours" / "vn_continuous"
+                            / f"vn_{mcid}.dat")
+        assert our_vn.shape == ref_vn.shape
+        np.testing.assert_allclose(our_vn, ref_vn, rtol=2e-6, atol=1e-12)
+
+        # reference dN_dy omits the pT Jacobian; reproduce via the knob
+        i = list(res.mcids).index(mcid)
+        ref_dndy = np.loadtxt(d / "results" / f"dN_dy_{mcid}.dat")
+        grid = run._grid if hasattr(run, "_grid") else None
+        if grid is None:
+            from is3d_tpu.io.tables import load_momentum_grid
+            grid = load_momentum_grid(str(d / "tables"), run.cfg.dimension,
+                                      run.cfg.operation)
+        import jax.numpy as jnp
+        ours = float(np.asarray(observables.dN_dy(
+            jnp.asarray(res.spectra[i][None]), grid,
+            include_pT_jacobian=False))[0, 0])
+        assert abs(ours - float(ref_dndy[1])) < 2e-6 * abs(float(ref_dndy[1]))
