@@ -83,17 +83,25 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                 "different parameters (would silently mix sample streams)")
         manifest = prev
 
-    total = sum(b["hadrons"] for b in manifest["batches"].values())
+    # deterministic batch plan: the event count of batch i depends only on
+    # (n_events_needed, events_per_batch), so a resumed run re-derives the
+    # identical plan and can re-run ANY batch -- including one whose
+    # manifest entry survives but whose output file was lost -- with its
+    # original event count and seed
+    plan = []
+    left = n_events_needed
+    while left > 0 and len(plan) < max_batches:
+        plan.append(min(events_per_batch, left))
+        left -= plan[-1]
+
     seeds = ensemble_seeds(base_seed, max_batches)
-    remaining = n_events_needed - sum(b["events"]
-                                      for b in manifest["batches"].values())
-    batch = 0
-    while remaining > 0 and batch < max_batches:
+    total = 0
+    for batch, nev in enumerate(plan):
         done = manifest["batches"].get(str(batch))
-        if done is not None and os.path.exists(done["file"]):
-            batch += 1
+        if (done is not None and done["events"] == nev
+                and os.path.exists(done["file"])):
+            total += done["hadrons"]
             continue
-        nev = min(events_per_batch, remaining)
         events = sample_particles(surface, species, mcids, None, df_data,
                                   cfg, plasma, nevents=nev,
                                   seed=seeds[batch])
@@ -107,6 +115,4 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
             "seed": seeds[batch]}
         _write_manifest(manifest_path, manifest)
         total += n_had
-        remaining -= nev
-        batch += 1
-    return len(manifest["batches"]), total, ntot
+    return len(plan), total, ntot

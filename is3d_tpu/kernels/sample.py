@@ -560,9 +560,10 @@ def _pre_fields(cfg):
         return _PRE_VAH
     return _PRE_COMMON + _PRE_DF[cfg.df_mode]
 
-# per-cell fields needed only for hadrons that survive the keep decision
-# (lab-frame boost + spacetime coordinates); in the packed batch these are
-# gathered per KEPT hadron (~30% of slots) instead of per slot
+# per-cell fields used only after the keep decision (lab-frame boost +
+# spacetime coordinates); gathered per SLOT in the same combined row
+# gather as the pre-keep fields -- a kept-only post-compaction gather was
+# tried and measured ~20% slower (see _one_event_lrf docstring)
 _LAB_FIELDS = ("tau", "x", "y", "eta", "ut", "ux", "uy", "un",
                "Xt", "Xx", "Xy", "Xn", "Yx", "Yy", "Zt", "Zn")
 
@@ -608,16 +609,17 @@ def _lab_kinematics(rows, mass, E, px, py, pz, key_y, cfg):
 
 
 def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
-                   cfg: Config, with_lab: bool = False):
+                   cfg: Config):
     """Sample one event's hadron slots through the keep decision.
 
     Returns per-slot (keep, cidx, sidx), LRF-frame (E, px, py, pz), mass,
-    and acceptance counters.  With ``with_lab`` the row gather also pulls
-    the 16 lab-boost fields: one combined gather is cheaper on TPU than a
-    second post-compaction gather (a kept-only-boost variant measured
-    ~20% slower end to end; the per-df-mode pruning here is neutral-to-
-    slightly-positive -- 199 vs 195 k hadrons/s medians, within the rig's
-    measurement noise -- and moves fewer HBM bytes)."""
+    lab_rows, and acceptance counters.  The row gather pulls the 16
+    lab-boost fields together with the pre-keep fields: one combined
+    gather is cheaper on TPU than a second post-compaction gather (a
+    kept-only-boost variant measured ~20% slower end to end; the
+    per-df-mode pruning here is neutral-to-slightly-positive -- 199 vs
+    195 k hadrons/s medians, within the rig's measurement noise -- and
+    moves fewer HBM bytes)."""
     dtype = cell["tau"].dtype
     ks = jax.random.split(key, 8)
 
@@ -641,9 +643,7 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
     # one contiguous row gather for the per-cell scalars, pruned per df_mode:
     # separate (C,) gathers cost one index resolution each on TPU; the stack
     # is event-independent so XLA hoists it out of the event vmap
-    gkeys = _pre_fields(cfg)
-    if with_lab:
-        gkeys = gkeys + _LAB_FIELDS
+    gkeys = _pre_fields(cfg) + _LAB_FIELDS
     packed = jnp.stack([cell[k].astype(dtype) for k in gkeys], axis=1)
     rows = packed[cidx]                                # (n_cap, NF)
     g = {k: rows[:, i] for i, k in enumerate(gkeys)}
@@ -761,15 +761,14 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
 
     out = dict(keep=keep, cidx=cidx, sidx=sidx, E=E, px=px, py=py, pz=pz,
                mass=mass, acceptances=jnp.sum(sampled_ok), samples=nsamp)
-    if with_lab:
-        out["lab_rows"] = rows[:, len(gkeys) - len(_LAB_FIELDS):]
+    out["lab_rows"] = rows[:, len(gkeys) - len(_LAB_FIELDS):]
     return out
 
 
 def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
                cfg: Config):
     """Sample one event into fixed-capacity arrays + keep mask."""
-    core = _one_event_lrf(cell, species, key, lam, n_cap, cfg, with_lab=True)
+    core = _one_event_lrf(cell, species, key, lam, n_cap, cfg)
     mass = core["mass"]
     lab = _lab_kinematics(core["lab_rows"], mass, core["E"], core["px"],
                           core["py"], core["pz"],
