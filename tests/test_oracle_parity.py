@@ -610,3 +610,76 @@ def test_parity_observable_writers(oracle_binary, sandbox):
             jnp.asarray(res.spectra[i][None]), grid,
             include_pT_jacobian=False))[0, 0])
         assert abs(ours - float(ref_dndy[1])) < 2e-6 * abs(float(ref_dndy[1]))
+
+
+POLZN_BIN = "/tmp/is3d_oracle/iS3D_polzn.e"
+
+
+@pytest.mark.parametrize("mcid", [211, 2212])
+def test_parity_spin_polarization(oracle_binary, tmp_path, reference_dir,
+                                  mcid):
+    """Golden parity for the thermal-vorticity spin polarization kernel.
+
+    The stock reference's MODE-5 polarization call is dead code (swallowed
+    by the VH branch, emissionfunction.cpp:1503), so the oracle is a third
+    build with MODE 5 dropped from that condition -- see
+    tools_oracle/build_reference.sh.  Single-species runs sidestep the
+    S*.dat files' species-ordering ambiguity.  The averages file is
+    pre-written from OUR reader's in-memory averages (mode 5 never writes
+    it; both kernels evaluate f0 at the surface-averaged temperature)."""
+    if not os.path.exists(POLZN_BIN):
+        pytest.skip("polzn oracle not built")
+    d = tmp_path
+    (d / "input").mkdir()
+    (d / "PDG").mkdir()
+    for f in os.listdir(f"{reference_dir}/PDG"):
+        os.symlink(f"{reference_dir}/PDG/{f}", d / "PDG" / f)
+    os.remove(d / "PDG" / "chosen_particles.dat")
+    (d / "PDG" / "chosen_particles.dat").write_text(f"{mcid}\n")
+    os.symlink(f"{reference_dir}/tables", d / "tables")
+    os.symlink(f"{reference_dir}/deltaf_coefficients",
+               d / "deltaf_coefficients")
+
+    rng = np.random.default_rng(77)
+    n = 40
+    hbarC = 0.197327053
+    cells = np.zeros((n, 26))
+    cells[:, 0] = rng.uniform(1, 8, n)
+    cells[:, 1:3] = rng.uniform(-5, 5, (n, 2))
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)
+    cells[:, 5:7] = rng.uniform(-0.5, 0.5, (n, 2))
+    cells[:, 8:10] = rng.uniform(-0.7, 0.7, (n, 2))
+    cells[:, 10] = rng.uniform(-0.05, 0.05, n)
+    cells[:, 11] = rng.uniform(0.25, 0.40, n) / hbarC
+    cells[:, 12] = rng.uniform(0.148, 0.162, n) / hbarC
+    cells[:, 13] = rng.uniform(0.04, 0.08, n) / hbarC
+    cells[:, 14:19] = rng.normal(0, 0.004, (n, 5)) / hbarC
+    cells[:, 19] = rng.normal(0, 0.003, n) / hbarC
+    cells[:, 20:26] = rng.normal(0, 0.01, (n, 6))       # vorticity
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_mode_params(d, mode=5)
+
+    from is3d_tpu.api import IS3D
+    run = IS3D.from_run_dir(str(d), results_dir=str(d / "results_ours"),
+                            chosen_file="chosen_particles.dat")
+    res = run.run_particlization(write_files=False)
+    avg = run.averages
+    (d / "average_thermodynamic_quantities.dat").write_text(
+        f"{avg.temperature:.15g}\n{avg.energy_density:.15g}\n"
+        f"{avg.pressure:.15g}\n{avg.baryon_chemical_potential:.15g}\n"
+        f"{avg.net_baryon_density:.15g}")
+
+    (d / "results" / "vn_continuous").mkdir(parents=True)
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+    r = subprocess.run([POLZN_BIN], cwd=d, env=env, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+
+    for comp in ("St", "Sx", "Sy", "Sn"):
+        ref = np.loadtxt(d / "results" / f"{comp}.dat")[:, 3]
+        ours = np.asarray(res.polarization[f"{comp}_over_Snorm"][0])
+        ours = ours.transpose(2, 1, 0).ravel()     # (Y, PHI, PT) row order
+        assert ours.shape == ref.shape
+        scale = np.abs(ref).max()
+        rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6 * scale)
+        assert rel.max() < 1e-6, (comp, float(rel.max()))

@@ -8,6 +8,7 @@ OUT=${OUT:-/tmp/is3d_oracle}
 mkdir -p "$OUT"
 
 if [ -x "$OUT/iS3D.e" ] && [ -x "$OUT/iS3D_fixedbilinear.e" ] \
+   && [ -x "$OUT/iS3D_polzn.e" ] \
    && [ "$OUT/iS3D.e" -nt "$HERE/gslshim/gslshim.cpp" ]; then
     echo "$OUT oracles up to date"
     exit 0
@@ -35,3 +36,20 @@ g++ -O2 -std=c++11 -fopenmp -w -I"$HERE/gslshim" -I"$REF/src/cpp" \
     $SRCS_P "$OUT/patched/deltafReader.cpp" "$HERE/gslshim/gslshim.cpp" \
     -o "$OUT/iS3D_fixedbilinear.e"
 echo "built $OUT/iS3D_fixedbilinear.e"
+
+# Third oracle variant making the spin-polarization kernel reachable: the
+# stock reference swallows MODE 5 into its viscous-hydro branch
+# (emissionfunction.cpp:1503), so the `else if (MODE == 5)
+# calculate_spin_polzn(...)` at :1675 is dead code and the S^mu writers
+# emit zero-initialized arrays.  Dropping MODE 5 from the VH condition
+# (one token) routes mode-5 runs to the polarization kernel, giving us a
+# golden oracle for it.  (Its vorticity chunk-indexing bug --
+# wtx_fo[icell] instead of [icell_glb], polzn_kernels.cpp:133 -- is
+# dormant for surfaces <= FO_chunk = 10000 cells, which parity runs are.)
+sed -e 's/MODE == 4 || MODE == 5 ||/MODE == 4 ||/' \
+    "$REF/src/cpp/emissionfunction.cpp" > "$OUT/patched/emissionfunction.cpp"
+SRCS_P2=$(ls "$REF"/src/cpp/*.cpp | grep -v 'emissionfunction\.cpp')
+g++ -O2 -std=c++11 -fopenmp -w -I"$HERE/gslshim" -I"$REF/src/cpp" \
+    $SRCS_P2 "$OUT/patched/emissionfunction.cpp" "$HERE/gslshim/gslshim.cpp" \
+    -o "$OUT/iS3D_polzn.e"
+echo "built $OUT/iS3D_polzn.e"
