@@ -1,0 +1,48 @@
+"""End-to-end 1M-cell smooth-spectra measurement (the COVERAGE.md headline).
+
+Full-scale single-chip pass: 1M cells x 320 species x 32x24x21 grid,
+slab-split dispatches, fresh surface, forced readback.
+Usage: python experiments/bench_1m_e2e.py [n_cells]
+"""
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from is3d_tpu.config import Config
+from is3d_tpu.kernels.smooth import smooth_spectra
+from is3d_tpu.io.tables import native_momentum_grid
+from is3d_tpu.testing import (synthetic_surface, synthetic_species,
+                              synthetic_deltaf_data)
+
+
+def main():
+    n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dtype = jnp.float32
+    cfg = Config(operation=1, mode=1, dimension=3, df_mode=2,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, cell_chunk=512,
+                 precision="f32")
+    species = synthetic_species(320, dtype=dtype)
+    grid = native_momentum_grid(dimension=3, n_pT=32, n_phi=24, n_y=21,
+                                dtype=dtype)
+    df_data = synthetic_deltaf_data(dtype=dtype)
+
+    # warm-up on a small surface compiles the slab shape
+    s = synthetic_surface(min(n_cells, 262144), dimension=3, seed=0,
+                          dtype=dtype)
+    float(jnp.sum(smooth_spectra(s, species, grid, df_data, cfg)))
+
+    s = synthetic_surface(n_cells, dimension=3, seed=7, dtype=dtype)
+    t0 = time.perf_counter()
+    out = smooth_spectra(s, species, grid, df_data, cfg)
+    chk = float(jnp.sum(out))
+    dt = time.perf_counter() - t0
+    ev = n_cells * 320 * 32 * 24 * 21
+    print(f"{n_cells} cells end to end: {dt:.1f} s "
+          f"({ev/dt/1e9:.1f} Geval/s; checksum {chk:.4e})")
+
+
+if __name__ == "__main__":
+    main()
