@@ -29,9 +29,10 @@ def main():
                                 dtype=dtype)
     df_data = synthetic_deltaf_data(dtype=dtype)
 
-    # warm-up on a small surface compiles the slab shape
-    s = synthetic_surface(min(n_cells, 262144), dimension=3, seed=0,
-                          dtype=dtype)
+    # warm-up with the SAME n_cells compiles every slab shape incl. the
+    # remainder slab (n_cells % cell_slab); a partial warm-up would leave
+    # one compile inside the timed window
+    s = synthetic_surface(n_cells, dimension=3, seed=0, dtype=dtype)
     float(jnp.sum(smooth_spectra(s, species, grid, df_data, cfg)))
 
     s = synthetic_surface(n_cells, dimension=3, seed=7, dtype=dtype)

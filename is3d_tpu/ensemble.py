@@ -66,7 +66,7 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
     manifest = {"base_seed": base_seed, "events_per_batch": events_per_batch,
-                "batches": {}}
+                "n_events_needed": n_events_needed, "batches": {}}
     if os.path.exists(manifest_path):
         if not resume:
             raise ValueError(
@@ -74,13 +74,20 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                 "run or choose a fresh out_dir")
         with open(manifest_path) as f:
             prev = json.load(f)
+        # n_events_needed is pinned too: it derives from min_num_hadrons
+        # and the computed mean yield, so a changed target (or a yield
+        # that reproduces differently across backends) must refuse rather
+        # than silently truncate or regenerate completed batches
         if (prev.get("base_seed") != base_seed
-                or prev.get("events_per_batch") != events_per_batch):
+                or prev.get("events_per_batch") != events_per_batch
+                or prev.get("n_events_needed") != n_events_needed):
             raise ValueError(
                 f"{manifest_path} was written with base_seed="
                 f"{prev.get('base_seed')}, events_per_batch="
-                f"{prev.get('events_per_batch')}; refusing to resume with "
-                "different parameters (would silently mix sample streams)")
+                f"{prev.get('events_per_batch')}, n_events_needed="
+                f"{prev.get('n_events_needed')} (now {n_events_needed}); "
+                "refusing to resume with different parameters (would "
+                "silently mix sample streams)")
         manifest = prev
 
     # deterministic batch plan: the event count of batch i depends only on

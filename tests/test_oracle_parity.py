@@ -671,11 +671,7 @@ def test_parity_spin_polarization(oracle_binary, tmp_path, reference_dir,
     run = IS3D.from_run_dir(str(d), results_dir=str(d / "results_ours"),
                             chosen_file="chosen_particles.dat")
     res = run.run_particlization(write_files=False)
-    avg = run.averages
-    (d / "average_thermodynamic_quantities.dat").write_text(
-        f"{avg.temperature:.15g}\n{avg.energy_density:.15g}\n"
-        f"{avg.pressure:.15g}\n{avg.baryon_chemical_potential:.15g}\n"
-        f"{avg.net_baryon_density:.15g}")
+    run.averages.write(str(d / "average_thermodynamic_quantities.dat"))
 
     (d / "results" / "vn_continuous").mkdir(parents=True)
     env = dict(os.environ, OMP_NUM_THREADS="1")

@@ -41,13 +41,22 @@ echo "built $OUT/iS3D_fixedbilinear.e"
 # stock reference swallows MODE 5 into its viscous-hydro branch
 # (emissionfunction.cpp:1503), so the `else if (MODE == 5)
 # calculate_spin_polzn(...)` at :1675 is dead code and the S^mu writers
-# emit zero-initialized arrays.  Dropping MODE 5 from the VH condition
-# (one token) routes mode-5 runs to the polarization kernel, giving us a
-# golden oracle for it.  (Its vorticity chunk-indexing bug --
-# wtx_fo[icell] instead of [icell_glb], polzn_kernels.cpp:133 -- is
-# dormant for surfaces <= FO_chunk = 10000 cells, which parity runs are.)
-sed -e 's/MODE == 4 || MODE == 5 ||/MODE == 4 ||/' \
+# emit zero-initialized arrays.  Dropping MODE 5 from that ONE condition
+# routes mode-5 runs to the polarization kernel, giving us a golden
+# oracle for it.  The sed is anchored to :1503's unique "// viscous
+# hydro" suffix so the other three sites guarded by the same expression
+# (the E/T/P calloc at :1328, the fill loop at :1425, and the free at
+# :1709) stay intact -- those arrays remain allocated/filled/freed on
+# the mode-5 path (the polzn kernel just never reads them).  (The polzn
+# kernel's vorticity chunk-indexing bug -- wtx_fo[icell] instead of
+# [icell_glb], polzn_kernels.cpp:133 -- is dormant for surfaces <=
+# FO_chunk = 10000 cells, which parity runs are.)
+sed -e 's@MODE == 4 || MODE == 5 || MODE == 6 || MODE == 7) // viscous hydro@MODE == 4 || MODE == 6 || MODE == 7) // viscous hydro@' \
     "$REF/src/cpp/emissionfunction.cpp" > "$OUT/patched/emissionfunction.cpp"
+if cmp -s "$REF/src/cpp/emissionfunction.cpp" "$OUT/patched/emissionfunction.cpp"; then
+    echo "ERROR: polzn patch did not apply (anchor text changed?)" >&2
+    exit 1
+fi
 SRCS_P2=$(ls "$REF"/src/cpp/*.cpp | grep -v 'emissionfunction\.cpp')
 g++ -O2 -std=c++11 -fopenmp -w -I"$HERE/gslshim" -I"$REF/src/cpp" \
     $SRCS_P2 "$OUT/patched/emissionfunction.cpp" "$HERE/gslshim/gslshim.cpp" \
