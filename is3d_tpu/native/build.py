@@ -29,7 +29,7 @@ def _build_lib() -> str | None:
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
+    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so_path)
@@ -60,6 +60,11 @@ def get_fastio():
                     lib.count_rows.restype = ctypes.c_longlong
                     lib.count_rows.argtypes = [ctypes.c_char_p,
                                                ctypes.c_longlong]
+                    dp = ctypes.POINTER(ctypes.c_double)
+                    lib.write_oscar_event.restype = ctypes.c_longlong
+                    lib.write_oscar_event.argtypes = [
+                        ctypes.c_char_p, ctypes.c_int, ctypes.c_longlong,
+                        ctypes.POINTER(ctypes.c_longlong)] + [dp] * 8
                     _lib = lib
                 except OSError:
                     _lib = None
@@ -90,3 +95,22 @@ def fast_count_rows(data: bytes) -> int | None:
         return None
     n = lib.count_rows(data, len(data))
     return None if n < 0 else int(n)
+
+
+def fast_write_oscar_event(path: str, append: bool, ev: dict) -> bool:
+    """Append one event's OSCAR block natively; False if the native lib is
+    unavailable or the write failed (caller falls back to the Python
+    loop)."""
+    lib = get_fastio()
+    if lib is None:
+        return False
+    mcid = np.ascontiguousarray(ev["mcid"], dtype=np.int64)
+    n = len(mcid)
+    cols = [np.ascontiguousarray(ev[k], dtype=np.float64)
+            for k in ("t", "x", "y", "z", "E", "px", "py", "pz")]
+    dp = ctypes.POINTER(ctypes.c_double)
+    got = lib.write_oscar_event(
+        path.encode(), 1 if append else 0, n,
+        mcid.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        *[c.ctypes.data_as(dp) for c in cols])
+    return got == n

@@ -97,3 +97,57 @@ long long count_rows(const char* buf, long long len)
 }
 
 }  // extern "C"
+
+// Append one event to an OSCAR particle-list file: "# n" header then rows
+// "mcid t x y z E px py pz" at 16-digit scientific precision (matches the
+// reference's write_particle_list_OSC, emissionfunction.cpp:863-901, and
+// the Python fallback writer byte for byte).  Returns n, or -1 on I/O
+// error.  Native-runtime counterpart of the reference's C++ writer: the
+// per-hadron Python formatting loop measured 78 k hadrons/s, an order of
+// magnitude slower than the sampler it drains.
+#include <cstdio>
+
+extern "C"
+long long write_oscar_event(const char* path, int append, long long n,
+                            const long long* mcid, const double* t,
+                            const double* x, const double* y,
+                            const double* z, const double* E,
+                            const double* px, const double* py,
+                            const double* pz)
+{
+    FILE* f = fopen(path, append ? "ab" : "wb");
+    if (!f) return -1;
+    setvbuf(f, nullptr, _IOFBF, 1 << 20);
+    if (fprintf(f, "# %lld\n", n) < 0) { fclose(f); return -1; }
+
+    // the cost is the double formatting, not the I/O: format rows in
+    // parallel (OpenMP; the pragma is a no-op without -fopenmp) into a
+    // fixed-stride chunk buffer, then stream the rows out sequentially
+    const long long CH = 1 << 16;
+    const int W = 240;            // max row width incl. NUL (9 fields)
+    char* buf = (char*)malloc((size_t)CH * W);
+    int* lens = (int*)malloc(CH * sizeof(int));
+    if (!buf || !lens) { free(buf); free(lens); fclose(f); return -1; }
+    long long written = 0;
+    for (long long s0 = 0; s0 < n; s0 += CH) {
+        long long m = n - s0 < CH ? n - s0 : CH;
+        #pragma omp parallel for schedule(static)
+        for (long long i = 0; i < m; ++i) {
+            long long j = s0 + i;
+            lens[i] = snprintf(buf + (size_t)i * W, W,
+                "%lld %.16e %.16e %.16e %.16e %.16e %.16e %.16e %.16e\n",
+                mcid[j], t[j], x[j], y[j], z[j], E[j], px[j], py[j], pz[j]);
+        }
+        for (long long i = 0; i < m; ++i) {
+            if (lens[i] <= 0 || lens[i] >= W ||
+                fwrite(buf + (size_t)i * W, 1, lens[i], f) != (size_t)lens[i]) {
+                free(buf); free(lens); fclose(f); return -1;
+            }
+        }
+        written += m;
+    }
+    free(buf); free(lens);
+    if (fclose(f) != 0) return -1;
+    return written;
+}
+

