@@ -59,6 +59,8 @@ class IS3D:
     def __init__(self, cfg: Config, data_dir: str = ".",
                  results_dir: Optional[str] = None, mesh=None,
                  chosen_file: Optional[str] = None):
+        from .utils import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         self.cfg = cfg
         self.data_dir = data_dir
         self.results_dir = results_dir or os.path.join(data_dir, "results")
@@ -176,7 +178,8 @@ class IS3D:
             # the polarization the paper advertises, then fall through to the
             # operation dispatch for reference parity.
             from .kernels.polzn import spin_polarization
-            pol = spin_polarization(self.surface, species, grid, cfg, plasma)
+            pol = spin_polarization(self.surface, species, grid, cfg, plasma,
+                                    mesh=self.mesh)
             result.polarization = {k: np.asarray(v) for k, v in pol.items()}
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
@@ -226,7 +229,8 @@ class IS3D:
             from .kernels.dndx import spacetime_distributions
             with timer.phase("dN/dX spacetime"):
                 result.dN_dX = spacetime_distributions(
-                    self.surface, species, grid, df_data, cfg)
+                    self.surface, species, grid, df_data, cfg,
+                    mesh=self.mesh)
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
                 writers.write_spacetime_distributions(result.dN_dX, mcids,
@@ -240,7 +244,7 @@ class IS3D:
             with timer.phase("sampler"):
                 result.events = sample_particles(
                     self.surface, species, np.asarray(mcids), grid, df_data,
-                    cfg, plasma, particle_table)
+                    cfg, plasma, particle_table, mesh=self.mesh)
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
                 if cfg.test_sampler:
@@ -267,7 +271,8 @@ class IS3D:
             # site is commented out, emissionfunction.cpp:1650-1656; we wire
             # it properly)
             from .kernels.vah import smooth_spectra_vah
-            return smooth_spectra_vah(self.surface, species, grid, cfg)
+            return smooth_spectra_vah(self.surface, species, grid, cfg,
+                                      mesh=self.mesh)
         if self.mesh is not None:
             from .parallel.mesh import smooth_spectra_sharded
             return smooth_spectra_sharded(self.surface, species, grid,

@@ -76,12 +76,15 @@ def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
     dtau = (tau_edges[1] - tau_edges[0]) / tau_edges[2]
     dr = (r_edges[1] - r_edges[0]) / r_edges[2]
 
+    # seed the carry from the (possibly device-varying) surface data so the
+    # scan carry type matches under shard_map as well as plain jit
+    vz = 0.0 * cols["tau"].ravel()[0]
     acc0 = dict(
-        tau_hist=jnp.zeros((S, cfg.tau_bins), dtype),
-        r_hist=jnp.zeros((S, cfg.r_bins), dtype),
-        taur_hist=jnp.zeros((S, cfg.tau_bins, cfg.r_bins), dtype),
-        dydeta=jnp.zeros((S, R), dtype),
-        dNdy=jnp.zeros((S,), dtype),
+        tau_hist=jnp.zeros((S, cfg.tau_bins), dtype) + vz,
+        r_hist=jnp.zeros((S, cfg.r_bins), dtype) + vz,
+        taur_hist=jnp.zeros((S, cfg.tau_bins, cfg.r_bins), dtype) + vz,
+        dydeta=jnp.zeros((S, R), dtype) + vz,
+        dNdy=jnp.zeros((S,), dtype) + vz,
     )
 
     def body(acc, inp):
@@ -120,10 +123,15 @@ def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
 
 def spacetime_distributions(surface, species: SpeciesArrays,
                             grid: MomentumGrid, df_data: DeltafData,
-                            cfg: Config, laguerre=None) -> dict:
+                            cfg: Config, laguerre=None, mesh=None) -> dict:
     """Compute all dN/dX distributions.  Returns a dict of numpy arrays with
     bin midpoints and *normalized* distributions (reference file values,
-    emissionfunction_smooth_kernels.cpp:1404-1432)."""
+    emissionfunction_smooth_kernels.cpp:1404-1432).
+
+    With ``mesh``, the cell axis is sharded over the device mesh and the
+    histogram accumulators are psum-reduced over ICI (the reference
+    OpenMP-parallelizes this kernel the same way as the spectra loop,
+    emissionfunction_smooth_kernels.cpp:1000-2135)."""
     if cfg.df_mode in (3, 4) and laguerre is None:
         from ..io.tables import gauss_laguerre
         raw = gauss_laguerre(32, alphas=(1, 2))
@@ -132,8 +140,14 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     cols = surface_columns(surface, cfg)
     cols["x"] = surface.x
     cols["y"] = surface.y
-    acc = _dndx_jit(cols, species, grid, df_data,
-                    laguerre if cfg.df_mode in (3, 4) else 0.0, cfg)
+    lag = laguerre if cfg.df_mode in (3, 4) else jnp.zeros(())
+    if mesh is not None:
+        from ..parallel.mesh import sharded_cell_reduce
+        kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg)
+        acc = sharded_cell_reduce(kern, cols, (species, grid, df_data, lag),
+                                  cfg, mesh)
+    else:
+        acc = _dndx_jit(cols, species, grid, df_data, lag, cfg)
     acc = {k: np.asarray(v) for k, v in acc.items()}
 
     dtau = (cfg.tau_max - cfg.tau_min) / cfg.tau_bins

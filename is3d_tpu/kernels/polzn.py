@@ -95,7 +95,10 @@ def _polzn_jit(cols, species, grid, T_avg, cfg: Config):
     n_y_out = 1 if cfg.dimension == 2 else grid.n_y
     shape = (species.n_species, grid.n_pT, grid.n_phi, n_y_out)
     dtype = cols["tau"].dtype
-    acc0 = tuple(jnp.zeros(shape, dtype) for _ in range(5))
+    # seed the carry from the (possibly device-varying) surface data so the
+    # scan carry type matches under shard_map as well as plain jit
+    vz = 0.0 * cols["tau"].ravel()[0]
+    acc0 = tuple(jnp.zeros(shape, dtype) + vz for _ in range(5))
 
     def body(acc, inp):
         chunk_cols, m = inp
@@ -113,9 +116,14 @@ def _polzn_jit(cols, species, grid, T_avg, cfg: Config):
 
 
 def spin_polarization(surface, species: SpeciesArrays, grid: MomentumGrid,
-                      cfg: Config, plasma) -> dict:
+                      cfg: Config, plasma, mesh=None) -> dict:
     """Returns dict with St, Sx, Sy, Sn (unnormalized sums), Snorm, and the
-    normalized S{t,x,y,n}_over_Snorm arrays, each (S, PT, PHI, Y_out)."""
+    normalized S{t,x,y,n}_over_Snorm arrays, each (S, PT, PHI, Y_out).
+
+    With ``mesh``, the cell axis is sharded over the device mesh and the
+    five accumulators are psum-reduced over ICI (the reference
+    OpenMP-parallelizes this kernel identically,
+    emissionfunction_polzn_kernels.cpp:105,220)."""
     if surface.wtx is None:
         raise ValueError("spin polarization needs a mode-5 surface with "
                          "thermal vorticity components")
@@ -128,7 +136,13 @@ def spin_polarization(surface, species: SpeciesArrays, grid: MomentumGrid,
     cols["eta"] = (surface.eta if surface.eta is not None
                    else jnp.zeros_like(surface.tau))
     T_avg = jnp.asarray(plasma.temperature, surface.tau.dtype)
-    St, Sx, Sy, Sn, Snorm = _polzn_jit(cols, species, grid, T_avg, cfg)
+    if mesh is not None:
+        from ..parallel.mesh import sharded_cell_reduce
+        kern = lambda c, s, g, t: _polzn_jit(c, s, g, t, cfg)
+        St, Sx, Sy, Sn, Snorm = sharded_cell_reduce(
+            kern, cols, (species, grid, T_avg), cfg, mesh)
+    else:
+        St, Sx, Sy, Sn, Snorm = _polzn_jit(cols, species, grid, T_avg, cfg)
     safe = jnp.where(Snorm == 0.0, 1.0, Snorm)
     return dict(St=St, Sx=Sx, Sy=Sy, Sn=Sn, Snorm=Snorm,
                 St_over_Snorm=St / safe, Sx_over_Snorm=Sx / safe,

@@ -731,6 +731,12 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
         df_tot = fabar * df_tot
         if cfg.regulate_deltaf:
             df_tot = jnp.clip(df_tot, -1.0, 1.0)
+        # NOTE: the outer clip of (1 + df)/2 to [0, 1] is required by the
+        # budget-2 rejection scheme and stays even with regulate_deltaf=0,
+        # so on cells where |fabar*df| > 1 the unregulated VAH sampler
+        # diverges statistically from smooth_spectra_vah (which applies the
+        # unclipped df) -- the same inherent |df| <= 1 budget limitation as
+        # the VH sampler's w_visc = (1+df)/2 weight
         w_visc_vah = jnp.clip(0.5 * (1.0 + df_tot), 0.0, 1.0)
 
     # ---- feqmod momentum rescale p = A p_mod + shifts (reference :619-650)
@@ -821,6 +827,23 @@ def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
 # Host orchestration
 # ======================================================================
 
+def _reconstruct_packed(packed: dict, mcids_sorted, mcid_order,
+                        mass_np) -> None:
+    """Rebuild the derived per-hadron fields host-side from PACK_FIELDS
+    (in place): mass from mcid, on-shell E, (t, z) from (tau, eta), yp."""
+    pos = np.clip(np.searchsorted(mcids_sorted, packed["mcid"]),
+                  0, len(mcid_order) - 1)
+    packed["mass"] = mass_np[mcid_order[pos]].astype(packed["px"].dtype)
+    # on-shell by construction: E is not transferred at all
+    packed["E"] = np.sqrt(packed["mass"]**2 + packed["px"]**2
+                          + packed["py"]**2 + packed["pz"]**2)
+    packed["t"] = packed["tau"] * np.cosh(packed["eta"])
+    packed["z"] = packed["tau"] * np.sinh(packed["eta"])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        packed["yp"] = 0.5 * np.log(
+            (packed["E"] + packed["pz"])
+            / np.maximum(packed["E"] - packed["pz"], 1e-45))
+
 def _laguerre_device(dtype):
     from ..io.tables import gauss_laguerre
     raw = gauss_laguerre(32, alphas=(1, 2))
@@ -864,14 +887,23 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
                      df_data: DeltafData, cfg: Config, plasma,
                      particle_table=None, nevents: Optional[int] = None,
                      seed: Optional[int] = None, laguerre=None,
-                     events_per_batch: Optional[int] = None) -> list:
+                     events_per_batch: Optional[int] = None,
+                     mesh=None) -> list:
     """Sample particle event lists.  Returns a list of per-event dicts of
     numpy arrays (keys: mcid, t, x, y, z, E, px, py, pz, mass, tau, eta, yp).
 
     Orchestration mirrors the reference's operation=2 path
     (emissionfunction.cpp:1504-1562): optional oversampling picks
     Nevents = min(ceil(min_num_hadrons / Ntot), max_num_samples).
+
+    With ``mesh``, the cell axis is sharded over the device mesh and every
+    device samples its own cell shard (exact by Poisson superposition);
+    see sample_particles_sharded.
     """
+    if mesh is not None:
+        return sample_particles_sharded(
+            surface, species, mcids, df_data, cfg, plasma, mesh,
+            nevents=nevents, seed=seed, laguerre=laguerre)
     dtype = surface.tau.dtype
     if laguerre is None:
         laguerre = _laguerre_device(dtype)
@@ -947,19 +979,7 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         total_acc += int(np.asarray(acc)[:b].sum())
         total_samp += int(np.asarray(samp)[:b].sum())
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        # rebuild the derived fields host-side (see PACK_FIELDS)
-        pos = np.clip(np.searchsorted(mcids_sorted, packed["mcid"]),
-                      0, len(mcid_order) - 1)
-        packed["mass"] = mass_np[mcid_order[pos]].astype(packed["px"].dtype)
-        # on-shell by construction: E is not transferred at all
-        packed["E"] = np.sqrt(packed["mass"]**2 + packed["px"]**2
-                              + packed["py"]**2 + packed["pz"]**2)
-        packed["t"] = packed["tau"] * np.cosh(packed["eta"])
-        packed["z"] = packed["tau"] * np.sinh(packed["eta"])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            packed["yp"] = 0.5 * np.log(
-                (packed["E"] + packed["pz"])
-                / np.maximum(packed["E"] - packed["pz"], 1e-45))
+        _reconstruct_packed(packed, mcids_sorted, mcid_order, mass_np)
         for e in range(b):
             lo, hi = int(offsets[e]), int(offsets[e + 1])
             events.append({k: packed[k][lo:hi] for k in EVENT_FIELDS})
@@ -994,7 +1014,8 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
 
 def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
                              df_data: DeltafData, cfg: Config, plasma, mesh,
-                             nevents: int = 1, seed: Optional[int] = None,
+                             nevents: Optional[int] = 1,
+                             seed: Optional[int] = None,
                              laguerre=None) -> list:
     """Cell-sharded multi-chip sampling.
 
@@ -1045,7 +1066,23 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
     dn_tot = np.asarray(cell_probe["dn_tot"]).reshape(n_dev, per_dev)
     lam_max = float(dn_tot.sum(axis=1).max())
     if lam_max <= 0.0:
-        return [{} for _ in range(nevents)]
+        return [{} for _ in range(nevents or 1)]
+
+    if nevents is None:
+        # oversampling event count, same policy as the single-chip path
+        # (reference: emissionfunction.cpp:1524-1532)
+        if cfg.oversample:
+            ntot = float(jnp.sum(cell_probe["mean_cell"]))
+            if cfg.dimension == 2:
+                ntot *= 2.0 * cfg.y_cut
+            ntot = abs(ntot)
+            nevents = max(1, min(
+                int(math.ceil(cfg.min_num_hadrons / max(ntot, 1e-30))),
+                cfg.max_num_samples))
+        else:
+            nevents = 1
+
+    # per-event per-shard slot capacity: worst shard's mean + 10 sigma
     n_cap = int(lam_max + 10.0 * math.sqrt(lam_max) + 64.0)
     n_cap = -(-n_cap // 128) * 128
 
@@ -1054,15 +1091,32 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
     if seed < 0:
         seed = int(np.random.SeedSequence().entropy % (2**31))
     base_key = jax.random.key(seed)
-    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-        jnp.arange(nevents))
+
+    # event batching (one compiled shape) + per-shard packed-output capacity:
+    # kept hadrons per event per shard average ntot_shard, so size to the
+    # worst shard's mean + 10 sigma + headroom, exactly like the single-chip
+    # packed path
+    B = max(1, min(nevents, (1 << 21) // n_cap))
+    n_batches = -(-nevents // B)
+    B = -(-nevents // n_batches)
+    mean_cell = np.asarray(cell_probe["mean_cell"]).reshape(n_dev, per_dev)
+    ntot_shard = np.abs(mean_cell.sum(axis=1))
+    if cfg.dimension == 2:
+        ntot_shard = ntot_shard * 2.0 * cfg.y_cut
+    ntot_shard_max = float(np.maximum(ntot_shard, 1e-3).max())
+    cap_shard = int(1.25 * B * ntot_shard_max
+                    + 10.0 * math.sqrt(B * ntot_shard_max) + 1024.0)
+    cap_shard = min(-(-cap_shard // 128) * 128, B * n_cap)
 
     in_specs = ({k: P(axis) for k in cols}, P(), P(), P(), P(), P())
-    out_specs = P(axis)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
-             out_specs=out_specs)
+             out_specs=P(axis))
     def run(cols_shard, species_r, df_r, lag_r, plasma_r, keys_r):
+        # on-device stream compaction per shard: the device-to-host link is
+        # the sampler's bottleneck, so each shard ships only its kept
+        # hadrons (packed event-major) + per-event counts instead of the
+        # dense (B, n_cap) slot arrays + keep mask
         cell = cell_data(cols_shard, species_r, df_r, lag_r, plasma_r)
         lam_local = cell["cum_dn"][-1]
         dev = jax.lax.axis_index(axis)
@@ -1073,17 +1127,64 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
                               cfg)
 
         out = jax.vmap(one)(keys_r)
-        return jax.tree.map(lambda a: a[None], out)   # leading device axis
+        keep = out["keep"].reshape(-1)
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        idx = jnp.where(keep, pos, cap_shard)    # unkept -> OOB, dropped
+        packed = {
+            k: jnp.zeros((cap_shard,), out[k].dtype)
+                 .at[idx].set(out[k].reshape(-1), mode="drop")
+            for k in PACK_FIELDS}
+        counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
+        res = (packed, counts, jnp.sum(out["acceptances"]),
+               jnp.sum(out["samples"]))
+        return jax.tree.map(lambda a: a[None], res)  # leading device axis
 
-    out = run(cols, species, df_data, laguerre, plasma_avg, keys)
-    out = {k: np.asarray(v) for k, v in out.items()}   # (D, B, n_cap)
+    mcids_np = np.asarray(mcids, dtype=np.int64)
+    mass_np = np.asarray(species.mass, dtype=np.float64)
+    mcid_order = np.argsort(mcids_np, kind="stable")
+    mcids_sorted = mcids_np[mcid_order]
 
     events = []
-    for e in range(nevents):
-        ev = {}
-        for k in ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
-                  "E", "px", "py", "pz", "yp"):
-            ev[k] = np.concatenate([out[k][d, e][out["keep"][d, e]]
-                                    for d in range(n_dev)])
-        events.append(ev)
+    total_acc = total_samp = 0
+
+    def drain(item):
+        nonlocal total_acc, total_samp
+        b, packed, counts, acc, samp = item
+        counts = np.asarray(counts)              # (D, B)
+        packed = {k: np.asarray(v) for k, v in packed.items()}  # (D, cap)
+        if int(counts.sum(axis=1).max()) > cap_shard:
+            raise RuntimeError(
+                f"sharded sampler packed-output overflow: "
+                f"{int(counts.sum(axis=1).max())} kept hadrons on one shard "
+                f"> capacity {cap_shard}")
+        total_acc += int(np.asarray(acc).sum())
+        total_samp += int(np.asarray(samp).sum())
+        _reconstruct_packed(packed, mcids_sorted, mcid_order, mass_np)
+        offsets = np.concatenate(
+            [np.zeros((n_dev, 1), np.int64), np.cumsum(counts, axis=1)],
+            axis=1)                              # (D, B+1)
+        for e in range(b):
+            ev = {}
+            for k in EVENT_FIELDS:
+                ev[k] = np.concatenate(
+                    [packed[k][d, offsets[d, e]:offsets[d, e + 1]]
+                     for d in range(n_dev)])
+            events.append(ev)
+
+    in_flight = []
+    for start in range(0, nevents, B):
+        b = min(B, nevents - start)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+            jnp.arange(start, start + B))
+        packed, counts, acc, samp = run(cols, species, df_data, laguerre,
+                                        plasma_avg, keys)
+        in_flight.append((b, packed, counts, acc, samp))
+        if len(in_flight) > 3:
+            drain(in_flight.pop(0))
+    while in_flight:
+        drain(in_flight.pop(0))
+
+    if total_samp:
+        eff = 100.0 * total_acc / total_samp
+        print(f"Momentum sampling efficiency = {eff:.2f} %")
     return events

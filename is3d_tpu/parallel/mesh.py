@@ -8,12 +8,22 @@ inventory).  The TPU-native equivalent implemented here:
   axis across the mesh; species/momentum tables and coefficient splines are
   replicated,
 * each device reduces its cell shard with the ordinary chunked kernel,
-* the (S, PT, PHI, Y) spectra accumulator is summed over ICI with a psum
+* the reduced accumulators -- the (S, PT, PHI, Y) spectra, the dN/dX
+  histograms, or the polarization sums -- are summed over ICI with a psum
   inside shard_map.
 
+This covers every cell-parallel kernel the reference OpenMP-parallelizes:
+smooth spectra (linear df + feqmod, emissionfunction_smooth_kernels.cpp:106,
+490), the dN/dX spacetime distributions (:1000-2135), the VAH spectra
+kernel (:2206), and the spin-polarization kernel
+(emissionfunction_polzn_kernels.cpp:105,220).  The Monte-Carlo sampler's
+multi-chip path lives in kernels/sample.py (sample_particles_sharded).
+
 Because every device runs the identical chunk-scan reduction and the final
-combine is a single deterministic psum tree, results are bit-stable across
-mesh shapes up to f.p. addition order of the shard boundaries.
+combine is a single deterministic psum tree, results are reproducible for a
+fixed mesh shape; across different shard counts they agree to f.p. addition
+order of the shard boundaries (measured <= 1e-12 relative in f64, see
+tests/test_parallel_observables.py).
 """
 
 from __future__ import annotations
@@ -26,10 +36,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
-from .. import data as _data
 from ..kernels import smooth as _smooth
 from ..kernels import feqmod as _feqmod
-from ..kernels.common import surface_columns
 
 
 def default_mesh(n_devices: int | None = None, axis: str = "cells") -> Mesh:
@@ -39,6 +47,12 @@ def default_mesh(n_devices: int | None = None, axis: str = "cells") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+# columns that must pad with a physical (non-zero) value so kernels stay
+# finite on inert pad cells; everything else pads with 0, and dsigma = 0
+# makes the pad cell's contribution exactly zero
+_PAD_ONE = ("tau", "T", "E", "P", "Lambda", "aL")
+
+
 def _pad_cols_to(cols: dict, n_target: int) -> tuple[dict, int]:
     n = cols["tau"].shape[0]
     pad = n_target - n
@@ -46,56 +60,64 @@ def _pad_cols_to(cols: dict, n_target: int) -> tuple[dict, int]:
         return cols, n
     out = {}
     for k, v in cols.items():
-        fill = 1.0 if k in ("tau", "T", "E", "P") else 0.0
+        fill = 1.0 if k in _PAD_ONE else 0.0
         out[k] = jnp.concatenate([v, jnp.full((pad,), fill, dtype=v.dtype)])
     return out, n
 
 
-def _sharded_call(kernel_fn, cols, species, grid, df_data, extra, cfg: Config,
-                  mesh: Mesh):
+def sharded_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
+                        cfg: Config, mesh: Mesh):
+    """Run ``kernel_fn(cols_shard, *replicated)`` with ``cols`` sharded along
+    the cell axis of ``mesh`` and psum-reduce the (pytree) result over ICI.
+
+    The cell count need not divide the mesh: the surface is padded with
+    inert cells (dsigma = 0 so u.dsigma = 0 and every kernel's contribution
+    vanishes identically).
+    """
     axis = cfg.mesh_axis
     n_dev = mesh.shape[axis]
     n = cols["tau"].shape[0]
     per_dev = -(-n // n_dev)
     cols, n_valid = _pad_cols_to(cols, per_dev * n_dev)
-    # mask out the padding (validity is owned here, not by the kernel)
     idx = jnp.arange(per_dev * n_dev)
-    # fold the pad mask into dat/dax/day/dan = 0 => u.dsigma = 0 => cell skipped
+    # fold the pad mask into dat/dax/day/dan = 0 => u.dsigma = 0 => cell
+    # contributes exactly zero (validity is owned here, not by the kernel)
     pad_mask = (idx < n_valid).astype(cols["tau"].dtype)
     for k in ("dat", "dax", "day", "dan"):
         cols[k] = cols[k] * pad_mask
 
-    in_specs = ({k: P(axis) for k in cols}, P(), P(), P(), P())
-    out_specs = P()
+    in_specs = ({k: P(axis) for k in cols},) + tuple(P() for _ in replicated)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    def run(cols_shard, species_r, grid_r, df_r, extra_r):
-        local = kernel_fn(cols_shard, species_r, grid_r, df_r, extra_r, cfg)
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P())
+    def run(cols_shard, *reps):
+        local = kernel_fn(cols_shard, *reps)
         return jax.lax.psum(local, axis)
 
-    return run(cols, species, grid, df_data, extra)
+    return run(cols, *replicated)
+
+
+def _laguerre_default():
+    from ..io.tables import gauss_laguerre
+    raw = gauss_laguerre(32, alphas=(1, 2))
+    return {a: (jnp.asarray(r), jnp.asarray(w)) for a, (r, w) in raw.items()}
 
 
 def smooth_spectra_sharded(surface, species, grid, df_data, cfg: Config,
                            mesh: Mesh | None = None, laguerre=None):
     """Multi-chip smooth spectra: dispatches to the linear-df or feqmod kernel
     with the cell axis sharded over ``mesh`` and the result psum-reduced."""
+    from ..kernels.common import surface_columns
     if mesh is None:
         mesh = default_mesh(axis=cfg.mesh_axis)
     cols = surface_columns(surface, cfg)
 
     if cfg.df_mode in (1, 2):
-        kern = lambda c, s, g, d, extra, cfg_: _smooth._smooth_spectra_jit(
-            c, s, g, d, cfg_)
-        extra = jnp.zeros(())
-    else:
-        if laguerre is None:
-            from ..io.tables import gauss_laguerre
-            raw = gauss_laguerre(32, alphas=(1, 2))
-            laguerre = {a: (jnp.asarray(r), jnp.asarray(w))
-                        for a, (r, w) in raw.items()}
-        kern = lambda c, s, g, d, extra, cfg_: _feqmod._feqmod_spectra_jit(
-            c, s, g, d, extra, cfg_)
-        extra = laguerre
-
-    return _sharded_call(kern, cols, species, grid, df_data, extra, cfg, mesh)
+        kern = lambda c, s, g, d: _smooth._smooth_spectra_jit(c, s, g, d, cfg)
+        return sharded_cell_reduce(kern, cols, (species, grid, df_data),
+                                   cfg, mesh)
+    if laguerre is None:
+        laguerre = _laguerre_default()
+    kern = lambda c, s, g, d, lag: _feqmod._feqmod_spectra_jit(
+        c, s, g, d, lag, cfg)
+    return sharded_cell_reduce(kern, cols, (species, grid, df_data, laguerre),
+                               cfg, mesh)

@@ -9,7 +9,45 @@ phase for xprof analysis.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
+
+_cache_enabled: str | None = None
+
+
+def enable_persistent_compilation_cache(cache_dir: str | None = None):
+    """Point JAX's persistent compilation cache at a stable on-disk location
+    so cold-start costs (CLI startup, decay-wave compiles, sampler worker
+    processes) are paid once per machine instead of once per process.
+
+    The reference has no compile step to cache; for the TPU build the cold
+    compile of the full pipeline is minutes (NOTES_ROUND1: decay waves 124 s
+    cold vs 4.3 s warm), so this is wired into every entry point (CLI, IS3D
+    API, ensemble workers).  Opt out with IS3D_NO_COMPILE_CACHE=1; override
+    the location with IS3D_COMPILE_CACHE=<dir>.
+
+    Safe to call multiple times and after jax is initialized; returns the
+    cache dir or None if disabled/unavailable."""
+    global _cache_enabled
+    if os.environ.get("IS3D_NO_COMPILE_CACHE"):
+        return None
+    if _cache_enabled is not None:
+        return _cache_enabled
+    d = cache_dir or os.environ.get(
+        "IS3D_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "is3d_tpu", "xla"))
+    try:
+        os.makedirs(d, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", d)
+        # cache everything: tiny entries and fast compiles both cost a
+        # serving round-trip on remote backends
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        return None
+    _cache_enabled = d
+    return d
 
 
 class PhaseTimer:
