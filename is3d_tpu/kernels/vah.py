@@ -49,15 +49,29 @@ def _chunk_vah(c, valid, species, grid, cfg):
     px_b = px[None, None, :, :, None]
     py_b = py[None, None, :, :, None]
 
-    # 2+1D: integrate over eta with nodes rescaled per cell by a_L -- an
-    # exact substitution (jacobian applied below) that keeps the f_a
-    # integrand resolved: its (y - eta) width scales with a_L, so small
-    # a_L would otherwise under-resolve the high-mT tail on the fixed
-    # table (measured 28% low at pT = 3.5 GeV with a_L ~ 0.7, n_eta = 48)
-    eta_scale = c["aL"] if cfg.dimension == 2 else None
-    ch, sh = _rapidity_factors(c, grid, cfg.dimension, eta_scale=eta_scale)
-    pt = mT_b * ch[:, None, None, None, :]
-    taupn = mT_b * sh[:, None, None, None, :]        # tau * p^eta
+    # 2+1D: integrate over eta with nodes rescaled per (cell, species, pT)
+    # by s = a_L * sqrt(Lambda / max(mT, Lambda)) -- an exact substitution
+    # (jacobian applied below).  The f_a integrand's (y - eta) width is
+    # sigma ~ a_L sqrt(Lambda/mT) (exponent (mT/Lambda)(1 + D^2/(2 a_L^2))
+    # near the peak), so both small a_L and large mT narrow it; a fixed
+    # node table under-resolves the high-pT tail (the reference carries a
+    # 9..4001-point eta-table ladder, tables/eta/ + iS3D.cpp:161-167, for
+    # exactly this trade).  With the mT term the worst-case quadrature
+    # error at the pT = 4 GeV grid edge drops from 6e-2 (a_L-only rescale,
+    # n_eta = 48) to < 1e-6 (measured vs a 2048-node reference).
+    if cfg.dimension == 2:
+        lam_c = c["Lambda"][:, None, None]
+        eta_scale = c["aL"][:, None, None] * jnp.sqrt(
+            lam_c / jnp.maximum(mT[None, :, :], lam_c))      # (C,S,P)
+        delta = -eta_scale[..., None] * grid.eta[None, None, None, :]
+        ch_b = jnp.cosh(delta)[:, :, :, None, :]             # (C,S,P,1,R)
+        sh_b = jnp.sinh(delta)[:, :, :, None, :]
+    else:
+        ch, sh = _rapidity_factors(c, grid, cfg.dimension)
+        ch_b = ch[:, None, None, None, :]
+        sh_b = sh[:, None, None, None, :]
+    pt = mT_b * ch_b
+    taupn = mT_b * sh_b                              # tau * p^eta
 
     tau = c["tau"]
     pds = (pt * cc(c["dat"]) + px_b * cc(c["dax"]) + py_b * cc(c["day"])
@@ -105,9 +119,9 @@ def _chunk_vah(c, valid, species, grid, cfg):
     contrib = contrib * cc(mask)
 
     if cfg.dimension == 2:
-        # a_L jacobian of the eta-node rescale (exact substitution)
+        # jacobian of the eta-node rescale (exact substitution)
         contrib = contrib * grid.eta_weight[None, None, None, None, :] \
-            * cc(c["aL"])
+            * eta_scale[:, :, :, None, None]
         out = jnp.sum(contrib, axis=(0, 4))[..., None]
     else:
         out = jnp.sum(contrib, axis=0)
@@ -122,8 +136,10 @@ def _vah_jit(cols, species, grid, cfg: Config):
     chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
     chunked, mask, _ = pad_and_chunk(cols, chunk)
     n_y_out = 1 if cfg.dimension == 2 else grid.n_y
+    # seed the carry from the (possibly device-varying) surface data so the
+    # scan carry type matches under shard_map as well as plain jit
     acc0 = jnp.zeros((species.n_species, grid.n_pT, grid.n_phi, n_y_out),
-                     dtype=cols["tau"].dtype)
+                     dtype=cols["tau"].dtype) + 0.0 * cols["tau"].ravel()[0]
 
     def body(acc, inp):
         chunk_cols, m = inp
@@ -143,8 +159,13 @@ def _vah_jit(cols, species, grid, cfg: Config):
 
 
 def smooth_spectra_vah(surface, species: SpeciesArrays, grid: MomentumGrid,
-                       cfg: Config) -> jnp.ndarray:
-    """VAH smooth spectra from a mode-2/3 surface: (S, PT, PHI, Y_out)."""
+                       cfg: Config, mesh=None) -> jnp.ndarray:
+    """VAH smooth spectra from a mode-2/3 surface: (S, PT, PHI, Y_out).
+
+    With ``mesh``, the cell axis is sharded over the device mesh and the
+    spectra accumulator is psum-reduced over ICI (same skeleton as the VH
+    kernels; the reference OpenMP-parallelizes its VAH loop at
+    emissionfunction_smooth_kernels.cpp:2206)."""
     z = jnp.zeros_like(surface.tau)
     get = lambda name: (getattr(surface, name)
                         if getattr(surface, name) is not None else z)
@@ -160,4 +181,8 @@ def smooth_spectra_vah(surface, species: SpeciesArrays, grid: MomentumGrid,
         raise ValueError("VAH kernel needs Lambda and aL (mode 2/3 surface)")
     cols["Lambda"] = surface.Lambda
     cols["aL"] = surface.aL
+    if mesh is not None:
+        from ..parallel.mesh import sharded_cell_reduce
+        kern = lambda c, s, g: _vah_jit(c, s, g, cfg)
+        return sharded_cell_reduce(kern, cols, (species, grid), cfg, mesh)
     return _vah_jit(cols, species, grid, cfg)
