@@ -46,7 +46,8 @@ def _write_manifest(path: str, manifest: dict):
 def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                    out_dir: str = "oversampling", events_per_batch: int = 100,
                    base_seed: int = 0, max_batches: int = 1000,
-                   resume: bool = True):
+                   resume: bool = True, worker_id: int = 0,
+                   n_workers: int = 1):
     """Sample until cfg.min_num_hadrons hadrons (or max limits), writing one
     OSCAR file per batch into <out_dir>/results_<i>/ (oversample.sh layout).
 
@@ -58,15 +59,29 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
     one.  A manifest from different (base_seed, events_per_batch) refuses
     to resume rather than silently mixing streams.
 
-    Returns (n_batches, total_hadrons, mean_yield)."""
+    Multi-process/multi-host: with ``n_workers > 1`` this process handles
+    only the batches with ``batch % n_workers == worker_id`` and records
+    them in its own manifest_worker<k>.json (no cross-process file
+    contention; batch seeds stay identical to a single-worker run, so the
+    union of all workers' output equals the single-process run file for
+    file).  Use multiprocess_oversample to spawn the workers and merge,
+    or run workers on separate hosts against a shared filesystem -- the
+    share-nothing TPU-native analog of the reference's
+    run_multithread_sampling_iS3D.py sandboxed process pool.
+
+    Returns (n_batches, total_hadrons, mean_yield); totals cover only this
+    worker's batches when n_workers > 1."""
     ntot = abs(calculate_total_yield(surface, species, df_data, cfg, plasma))
     n_events_needed = int(np.ceil(cfg.min_num_hadrons / max(ntot, 1e-30)))
     n_events_needed = min(n_events_needed, cfg.max_num_samples)
 
     os.makedirs(out_dir, exist_ok=True)
-    manifest_path = os.path.join(out_dir, "manifest.json")
+    manifest_name = ("manifest.json" if n_workers == 1
+                     else f"manifest_worker{worker_id}.json")
+    manifest_path = os.path.join(out_dir, manifest_name)
     manifest = {"base_seed": base_seed, "events_per_batch": events_per_batch,
-                "n_events_needed": n_events_needed, "batches": {}}
+                "n_events_needed": n_events_needed, "batches": {},
+                "worker_id": worker_id, "n_workers": n_workers}
     if os.path.exists(manifest_path):
         if not resume:
             raise ValueError(
@@ -80,14 +95,17 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
         # than silently truncate or regenerate completed batches
         if (prev.get("base_seed") != base_seed
                 or prev.get("events_per_batch") != events_per_batch
-                or prev.get("n_events_needed") != n_events_needed):
+                or prev.get("n_events_needed") != n_events_needed
+                or prev.get("worker_id", 0) != worker_id
+                or prev.get("n_workers", 1) != n_workers):
             raise ValueError(
                 f"{manifest_path} was written with base_seed="
                 f"{prev.get('base_seed')}, events_per_batch="
                 f"{prev.get('events_per_batch')}, n_events_needed="
-                f"{prev.get('n_events_needed')} (now {n_events_needed}); "
-                "refusing to resume with different parameters (would "
-                "silently mix sample streams)")
+                f"{prev.get('n_events_needed')} (now {n_events_needed}), "
+                f"worker {prev.get('worker_id', 0)}/"
+                f"{prev.get('n_workers', 1)}; refusing to resume with "
+                "different parameters (would silently mix sample streams)")
         manifest = prev
 
     # deterministic batch plan: the event count of batch i depends only on
@@ -104,6 +122,8 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
     seeds = ensemble_seeds(base_seed, max_batches)
     total = 0
     for batch, nev in enumerate(plan):
+        if batch % n_workers != worker_id:
+            continue
         done = manifest["batches"].get(str(batch))
         if (done is not None and done["events"] == nev
                 and os.path.exists(done["file"])):
@@ -123,3 +143,97 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
         _write_manifest(manifest_path, manifest)
         total += n_had
     return len(plan), total, ntot
+
+
+def merge_manifests(out_dir: str, n_workers: int) -> dict:
+    """Merge per-worker manifests into <out_dir>/manifest.json.
+
+    Validates that all workers ran with consistent parameters and that the
+    union of their batch sets covers the deterministic plan (reporting any
+    holes).  Returns the merged manifest dict (keys: base_seed,
+    events_per_batch, n_events_needed, n_workers, batches, total_hadrons,
+    complete, missing_batches)."""
+    merged = None
+    for k in range(n_workers):
+        path = os.path.join(out_dir, f"manifest_worker{k}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"missing worker manifest: {path}")
+        with open(path) as f:
+            m = json.load(f)
+        if merged is None:
+            merged = {key: m[key] for key in
+                      ("base_seed", "events_per_batch", "n_events_needed")}
+            merged.update(n_workers=n_workers, batches={})
+        else:
+            for key in ("base_seed", "events_per_batch", "n_events_needed"):
+                if m.get(key) != merged[key]:
+                    raise ValueError(
+                        f"worker {k} manifest disagrees on {key}: "
+                        f"{m.get(key)} != {merged[key]}")
+        if m.get("n_workers", 1) != n_workers:
+            raise ValueError(
+                f"worker {k} ran with n_workers={m.get('n_workers', 1)}, "
+                f"expected {n_workers}")
+        merged["batches"].update(m["batches"])
+
+    # re-derive the batch plan and report holes
+    plan = []
+    left = merged["n_events_needed"]
+    while left > 0:
+        plan.append(min(merged["events_per_batch"], left))
+        left -= plan[-1]
+    missing = [b for b in range(len(plan))
+               if str(b) not in merged["batches"]
+               or not os.path.exists(merged["batches"][str(b)]["file"])]
+    merged["total_hadrons"] = sum(v["hadrons"]
+                                  for v in merged["batches"].values())
+    merged["complete"] = not missing
+    merged["missing_batches"] = missing
+    _write_manifest(os.path.join(out_dir, "manifest.json"), merged)
+    return merged
+
+
+def multiprocess_oversample(run_dir: str, out_dir: str, n_workers: int = 2,
+                            events_per_batch: int = 100, base_seed: int = 0,
+                            overrides: dict | None = None,
+                            platform: str | None = None,
+                            timeout: float = 3600.0) -> dict:
+    """Spawn ``n_workers`` sampler worker processes over disjoint batch
+    ranges of the same oversampling plan and merge their manifests.
+
+    Each worker is an independent process (its own JAX backend / TPU chip)
+    that loads the surface from ``run_dir`` (reference file layout:
+    iS3D_parameters.dat, input/, PDG/, tables/, deltaf_coefficients/),
+    computes the identical deterministic batch plan, and processes batches
+    with ``batch % n_workers == worker_id`` -- the TPU-native equivalent of
+    the reference's run_multithread_sampling_iS3D.py sandboxed process
+    pool (share-nothing; per-batch output files; no collectives).  Crashed
+    or killed workers can simply be re-launched: per-batch checkpointing
+    in the worker manifests makes the rerun resume where it stopped.
+
+    Returns the merged manifest (see merge_manifests)."""
+    import subprocess
+    import sys
+
+    args_common = [f"run_dir={run_dir}", f"out_dir={out_dir}",
+                   f"n_workers={n_workers}",
+                   f"events_per_batch={events_per_batch}",
+                   f"base_seed={base_seed}"]
+    if platform:
+        args_common.append(f"platform={platform}")
+    for k, v in (overrides or {}).items():
+        args_common.append(f"{k}={v}")
+
+    procs = []
+    for w in range(n_workers):
+        cmd = [sys.executable, "-m", "is3d_tpu.ensemble_worker",
+               f"worker_id={w}", *args_common]
+        procs.append(subprocess.Popen(cmd))
+    rcs = [p.wait(timeout=timeout) for p in procs]
+    bad = [(w, rc) for w, rc in enumerate(rcs) if rc != 0]
+    if bad:
+        raise RuntimeError(
+            f"oversample worker(s) failed (worker, rc): {bad}; re-launch "
+            "multiprocess_oversample to resume from the per-batch "
+            "checkpoints")
+    return merge_manifests(out_dir, n_workers)
