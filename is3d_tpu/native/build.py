@@ -29,13 +29,18 @@ def _build_lib() -> str | None:
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", tmp, _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, so_path)
-        return so_path
-    except (subprocess.SubprocessError, OSError):
-        return None
+    # -fopenmp parallelizes the OSCAR formatter; on toolchains without
+    # OpenMP support (e.g. clang masquerading as g++) retry without it --
+    # the pragmas are documented no-ops single-threaded
+    for extra in (["-fopenmp"], []):
+        cmd = ["g++", "-O3", *extra, "-shared", "-fPIC", "-o", tmp, _SRC]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so_path)
+            return so_path
+        except (subprocess.SubprocessError, OSError):
+            continue
+    return None
 
 
 def get_fastio():

@@ -106,6 +106,17 @@ long long count_rows(const char* buf, long long len)
 // per-hadron Python formatting loop measured 78 k hadrons/s, an order of
 // magnitude slower than the sampler it drains.
 #include <cstdio>
+#include <locale.h>
+
+// snprintf's %e is LC_NUMERIC-sensitive: an embedding process with e.g. a
+// de_DE numeric locale would emit comma decimal separators and silently
+// break byte-parity with the locale-independent Python fallback.  Format
+// under a forced per-thread C locale instead (uselocale is thread-local).
+static locale_t c_numeric_locale()
+{
+    static locale_t loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    return loc;
+}
 
 extern "C"
 long long write_oscar_event(const char* path, int append, long long n,
@@ -131,12 +142,17 @@ long long write_oscar_event(const char* path, int append, long long n,
     long long written = 0;
     for (long long s0 = 0; s0 < n; s0 += CH) {
         long long m = n - s0 < CH ? n - s0 : CH;
-        #pragma omp parallel for schedule(static)
-        for (long long i = 0; i < m; ++i) {
-            long long j = s0 + i;
-            lens[i] = snprintf(buf + (size_t)i * W, W,
-                "%lld %.16e %.16e %.16e %.16e %.16e %.16e %.16e %.16e\n",
-                mcid[j], t[j], x[j], y[j], z[j], E[j], px[j], py[j], pz[j]);
+        #pragma omp parallel
+        {
+            locale_t prev = uselocale(c_numeric_locale());
+            #pragma omp for schedule(static)
+            for (long long i = 0; i < m; ++i) {
+                long long j = s0 + i;
+                lens[i] = snprintf(buf + (size_t)i * W, W,
+                    "%lld %.16e %.16e %.16e %.16e %.16e %.16e %.16e %.16e\n",
+                    mcid[j], t[j], x[j], y[j], z[j], E[j], px[j], py[j], pz[j]);
+            }
+            uselocale(prev);
         }
         for (long long i = 0; i < m; ++i) {
             if (lens[i] <= 0 || lens[i] >= W ||

@@ -251,9 +251,16 @@ def write_particle_list_oscar(events, path="results/particle_list_osc.dat"):
         n = len(ev["mcid"])
         if n == 0:
             continue
+        # a failed native write may still have appended partial bytes (e.g.
+        # I/O error after the '# n' header); truncate back to the pre-call
+        # size so the Python fallback produces a clean block, not a
+        # partial-duplicate corruption
+        size_before = os.path.getsize(path)
         if fast_write_oscar_event(path, append=not first, ev=ev):
             first = False
             continue
+        if os.path.getsize(path) != size_before:
+            os.truncate(path, size_before)
         with open(path, "a") as f:
             f.write(f"# {n}\n")
             for i in range(n):
