@@ -17,10 +17,16 @@ benchmarks ~30x): 39.5 Geval/s vs 60.9 Geval/s for the fused-XLA kernel.
 The XLA path wins because it fuses the ~30-op elementwise chain into
 single-pass register-resident loops, while this kernel's chain executes
 as separate full-tile VMEM passes (VMEM-bandwidth bound).  The kernel is
-therefore OPT-IN (IS3D_ENABLE_PALLAS=1) and kept as validated groundwork:
-closing the gap needs vreg-resident tile sizes (S_TILE=8) or manual op
-bundling.  Numerics match the XLA kernel to 1.3e-6 (f32) on real TPU and
-are pytest-checked in interpret mode.
+therefore a VALIDATED EXPERIMENT, not the production path: it is OPT-IN
+(IS3D_ENABLE_PALLAS=1), never selected by default, and should not be
+retried as an optimization lead -- a roofline probe (throughput invariant
+to integrand complexity, NOTES_ROUND1) shows the XLA kernel is already at
+the speed of light for this transcendental-bound workload, and a
+vreg-resident S_TILE=8 variant measured SLOWER (11.9 s vs 4.4 s,
+per-tile overhead dominates).  It is kept as working evidence of the
+hand-scheduling trade-off and as a Mosaic scheduling reference.  Numerics
+match the XLA kernel to 1.3e-6 (f32) on real TPU and are pytest-checked
+in interpret mode.
 """
 
 from __future__ import annotations
