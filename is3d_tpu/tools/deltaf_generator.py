@@ -15,6 +15,16 @@ Integral definitions follow thermal_integrands.cpp of the generator
 (J/N/M moments with feq feqbar weights; nB/e/p with feq), coefficient
 algebra follows deltaf_table.cpp:215-240 (c0..c4, "update 3/25" form) and
 :353-367 (CE alphaB form).
+
+Closed-loop validation (round 2): the reference generator binary built by
+tools_oracle/build_deltaf_generator.sh regenerates the SHIPPED
+deltaf_coefficients/vh/urqmd tables byte-identically, and this module
+matches those tables to within HALF THEIR OUTPUT QUANTUM (the files are
+written `fixed` with 6 decimals, deltaf_table.cpp:240-244 -- 1e-6
+absolute) at every grid point of all 10 tables
+(tests/test_tools_native.py).  The "5e-5 of scale" gap reported in round
+1 was entirely that fixed-point file quantization read as relative error
+on small entries, not a numerical difference.
 """
 
 from __future__ import annotations

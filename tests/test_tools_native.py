@@ -12,8 +12,11 @@ from is3d_tpu.native import fast_parse_doubles, fast_count_rows, get_fastio
 
 def test_generator_matches_shipped_tables(reference_dir):
     """Regenerate the smash coefficient tables on a sparse (T, muB) subgrid
-    and compare against the reference's shipped files (which store 6
-    decimals).  Full-grid parity was verified offline at <= 5e-5 of scale."""
+    and compare against the reference's shipped files.  The shipped files
+    are written `fixed` with 6 decimals (deltaf_table.cpp:240-244), i.e.
+    quantized to 1e-6 ABSOLUTE -- so the closure criterion is half that
+    quantum, not a relative tolerance (round-1 reported "5e-5 of scale"
+    before the quantization was identified)."""
     table = pdg.read_resonances(f"{reference_dir}/PDG", 2)
     T, muB, tabs = compute_coefficient_tables(table, T_min=0.1, T_max=0.2,
                                               nT=6, muB_min=0.0, muB_max=0.8,
@@ -25,9 +28,41 @@ def test_generator_matches_shipped_tables(reference_dir):
     np.testing.assert_allclose(Tref[iT], T, atol=1e-12)
     for name in ref:
         sub_ref = ref[name][np.ix_(imu, iT)]
-        scale = np.max(np.abs(ref[name]))
-        np.testing.assert_allclose(tabs[name], sub_ref, atol=1e-4 * scale,
+        np.testing.assert_allclose(tabs[name], sub_ref, atol=0.501e-6,
                                    err_msg=name)
+
+
+def test_deltaf_generator_closes_reference(reference_dir):
+    """Closed-loop validation against the reference's own generator binary
+    (built from generate_delta_f_coefficients/urqmd/df_vh_dimensionless by
+    tools_oracle/build_deltaf_generator.sh, which also proves the binary
+    regenerates the SHIPPED urqmd tables byte-identically on this machine).
+    Our vectorized generator must match those tables to within half their
+    1e-6 fixed-point quantum at every point of a urqmd subgrid."""
+    import os
+    import subprocess
+    script = os.path.join(os.path.dirname(__file__), "..", "tools_oracle",
+                          "build_deltaf_generator.sh")
+    r = subprocess.run(["bash", script], capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    oracle_dir = os.environ.get("OUT", "/tmp/is3d_oracle") + "/deltafgen"
+    table = pdg.read_resonances(f"{reference_dir}/PDG", 1)
+    T, muB, tabs = compute_coefficient_tables(table, T_min=0.1, T_max=0.2,
+                                              nT=6, muB_min=0.0, muB_max=0.8,
+                                              nmuB=5)
+    iT = np.round((T - 0.1) / 0.001).astype(int)
+    imu = np.round(muB / 0.01).astype(int)
+    for name in ("c0", "c1", "c2", "c3", "c4", "G", "F", "betabulk",
+                 "betaV", "betapi"):
+        with open(f"{oracle_dir}/urqmd/{name}.dat") as f:
+            nT_f = int(f.readline())
+            nmuB_f = int(f.readline())
+            f.readline()
+            vals = np.loadtxt(f)[:, 2].reshape(nmuB_f, nT_f)
+        np.testing.assert_allclose(tabs[name], vals[np.ix_(imu, iT)],
+                                   atol=0.501e-6, err_msg=name)
 
 
 def test_generator_roundtrip_through_loader(reference_dir, tmp_path):
