@@ -25,10 +25,12 @@ from is3d_tpu.testing import (synthetic_surface, synthetic_species,
 def main():
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     nevents = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    pack = sys.argv[3] if len(sys.argv) > 3 else "auto"
     dtype = jnp.float32
     cfg = Config(operation=2, mode=1, dimension=2, df_mode=2,
                  include_shear_deltaf=1, include_bulk_deltaf=1,
-                 regulate_deltaf=1, precision="f32")
+                 regulate_deltaf=1, precision="f32", sampler_pack=pack)
+    print(f"sampler_pack={pack}")
     surface = synthetic_surface(n_cells, dimension=2, seed=1, dtype=dtype)
     species = synthetic_species(320, dtype=dtype)
     mcids = np.arange(1, 321, dtype=np.int32)

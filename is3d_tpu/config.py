@@ -89,6 +89,13 @@ class Config:
     cell_slab: int = 262144     # cells per device dispatch (bounds single-call
                                 # runtime; results are summed host-side)
     mesh_axis: str = "cells"    # sharded axis name for multi-chip runs
+    sampler_pack: str = "auto"  # sampled-hadron device->host transfer
+                                # precision: "f16" halves the D2H bytes of
+                                # the bottleneck link (<= 2^-11 relative
+                                # momentum rounding, see kernels/sample.py);
+                                # "f32" ships exactly what the device
+                                # computed; "auto" = f16 on the f32/bf16
+                                # fast path, exact on f64 parity runs
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

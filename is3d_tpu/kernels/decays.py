@@ -516,6 +516,10 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
     relative against the float64 path); on CPU it keeps float64.
     Returns the updated spectra array.
     """
+    from ..utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()   # wave compiles are the big
+    #                                         cold-start cost (124 s cold
+    #                                         vs 4.3 s warm, NOTES_ROUND1)
     if jax.default_backend() == "cpu":
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         return _do_resonance_decays_impl(spectra, table, mcids, grid, cfg,

@@ -797,6 +797,24 @@ EVENT_FIELDS = ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
 PACK_FIELDS = ("mcid", "tau", "x", "y", "eta", "px", "py", "pz")
 
 
+def _pack_cast(packed: dict, cfg: Config) -> dict:
+    """Optionally halve the D2H bytes: ship the 7 float fields as f16
+    (cfg.sampler_pack == "f16", the default).  f16 keeps 11 significand
+    bits -> relative rounding <= 2^-11 ~ 4.9e-4 on momenta and <= 5e-3 fm
+    absolute on positions (values are O(1-10)), far below both the
+    sampler's statistical resolution and the reference's own %.6e output
+    precision; E stays exactly on-shell because it is rebuilt host-side
+    from the rounded momenta.  mcid stays int32.  "auto" packs f16 only on
+    the f32/bf16 fast path -- f64 parity runs ship exact values."""
+    mode = cfg.sampler_pack
+    if mode == "auto":
+        mode = "f16" if cfg.precision in ("f32", "bf16") else "f32"
+    if mode != "f16":
+        return packed
+    return {k: (v if k == "mcid" else v.astype(jnp.float16))
+            for k, v in packed.items()}
+
+
 @partial(jax.jit, static_argnames=("n_cap", "cap_total", "cfg"))
 def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
                             cap_total: int, cfg: Config):
@@ -820,7 +838,7 @@ def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
              .at[idx].set(out[k].reshape(-1), mode="drop")
         for k in PACK_FIELDS}
     counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
-    return packed, counts, out["acceptances"], out["samples"]
+    return _pack_cast(packed, cfg), counts, out["acceptances"], out["samples"]
 
 
 # ======================================================================
@@ -830,7 +848,11 @@ def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
 def _reconstruct_packed(packed: dict, mcids_sorted, mcid_order,
                         mass_np) -> None:
     """Rebuild the derived per-hadron fields host-side from PACK_FIELDS
-    (in place): mass from mcid, on-shell E, (t, z) from (tau, eta), yp."""
+    (in place): mass from mcid, on-shell E, (t, z) from (tau, eta), yp.
+    f16-transferred fields are upcast to f32 first (see _pack_cast)."""
+    for k, v in packed.items():
+        if v.dtype == np.float16:
+            packed[k] = v.astype(np.float32)
     pos = np.clip(np.searchsorted(mcids_sorted, packed["mcid"]),
                   0, len(mcid_order) - 1)
     packed["mass"] = mass_np[mcid_order[pos]].astype(packed["px"].dtype)

@@ -356,3 +356,34 @@ def test_row_categorical_matches_count_draw():
             jnp.asarray(rowcum), jnp.asarray(cidx, dtype=jnp.int32),
             jnp.asarray(v)))
         np.testing.assert_array_equal(got, want), S
+
+
+def test_sampler_f16_pack_error_bounds(smash_table, df_data):
+    """The f16 D2H packing (cfg.sampler_pack='f16', default) must produce
+    the same hadrons as exact f32 transfer with only transfer-rounding
+    differences: identical mcids, momenta within 2^-11 relative, positions
+    within the f16 quantum, and E exactly on-shell."""
+    surf = small_surface(n=16, seed=21)
+    sp = species_with_densities(smash_table, 0.155)
+    base = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                  include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                  y_cut=2.0, sampler_seed=77)
+    ev16 = sample_particles(surf, sp, MCIDS, None, df_data,
+                            base.replace(sampler_pack="f16"), PLASMA,
+                            nevents=20, seed=77)
+    ev32 = sample_particles(surf, sp, MCIDS, None, df_data,
+                            base.replace(sampler_pack="f32"), PLASMA,
+                            nevents=20, seed=77)
+    n16 = sum(len(e["mcid"]) for e in ev16)
+    assert n16 == sum(len(e["mcid"]) for e in ev32) and n16 > 50
+    for a, b in zip(ev16, ev32):
+        np.testing.assert_array_equal(a["mcid"], b["mcid"])
+        for k in ("px", "py", "pz"):
+            np.testing.assert_allclose(a[k], b[k], rtol=2**-11, atol=1e-6)
+        for k in ("tau", "x", "y", "eta"):
+            # f16 quantum at |v| <= 32 is 2^-11 * 32
+            np.testing.assert_allclose(a[k], b[k], atol=2**-11 * 32)
+        # E rebuilt on-shell from the rounded momenta
+        np.testing.assert_allclose(
+            a["E"], np.sqrt(a["mass"]**2 + a["px"]**2 + a["py"]**2
+                            + a["pz"]**2), rtol=1e-6)

@@ -234,15 +234,22 @@ def test_vah_sampler_matches_smooth_vah():
             (mcid, pT[sel].mean(), meanpT_smooth[i])
 
     # pion pT spectrum shape on coarse bins (NOT partial-GL sums -- see
-    # bin_fractions_from_grid)
+    # bin_fractions_from_grid), with dedicated HIGH-pT tail bins and
+    # near-Poisson-only tolerances: the round-1 smooth kernel was 28% low
+    # at pT ~ 3.5 GeV (a_L-only eta rescale), which this comparison now
+    # resolves -- the mT-dependent rescale makes sampler and smooth agree
+    # in the tail
     from oracle import bin_fractions_from_grid
     dNpT = np.asarray(observables.dN_twopipTdpTdy(spectra, grid))[0, :, 0]
-    edges = np.array([0.0, 0.3, 0.6, 1.0, 1.5, 5.0])
+    edges = np.array([0.0, 0.3, 0.6, 1.0, 1.5, 2.0, 2.75, 5.0])
     pred = bin_fractions_from_grid(np.asarray(grid.pT), dNpT, edges)
     counts, _ = np.histogram(pT[mc == 1], bins=edges)
-    frac = counts / counts.sum()
-    sig = np.sqrt(np.maximum(counts, 1)) / counts.sum()
-    assert np.all(np.abs(frac - pred) < 5 * sig + 0.01), (frac, pred)
+    N = counts.sum()
+    exp_counts = N * pred
+    sig = np.sqrt(np.maximum(exp_counts, 3.0))
+    resid = np.abs(counts - exp_counts)
+    assert np.all(resid < 5.0 * sig + 0.005 * exp_counts), \
+        (counts.tolist(), exp_counts.tolist())
 
 
 def test_vah_sampler_3d_runs_on_shell():
