@@ -101,6 +101,13 @@ class MomentumGrid:
     y_weight: jnp.ndarray    # (n_y,)
     eta: jnp.ndarray         # (n_eta,)
     eta_weight: jnp.ndarray  # (n_eta,)
+    # static: 2+1D eta nodes are remapped per (cell, species, pT) as
+    # eta -> y_flow(cell) + s(mT) * eta with s = sqrt(T_ref/max(mT, T_ref))
+    # (exact substitution; jacobian in the kernel).  Keeps the narrow
+    # (y - eta) integrand resolved at high pT where fixed tables lose up to
+    # 12% at pT = 4 GeV (n_eta = 64).  True for native grids; False for
+    # reference table files (node-exact reference semantics).
+    eta_mT_rescale: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_pT(self):
@@ -170,9 +177,15 @@ def native_momentum_grid(dimension: int,
                          n_phi: int = 24,
                          n_y: int = 21, y_max: float = 5.0,
                          n_eta: int = 64, eta_max: float = 7.0,
-                         dtype=jnp.float64) -> MomentumGrid:
+                         dtype=jnp.float64,
+                         eta_mT_rescale: bool | None = None) -> MomentumGrid:
     """Generate a self-contained grid (no table files needed): Gauss-Legendre
-    in pT on [0, pT_max] and phi on [0, 2pi]; trapezoid y; Gauss-Legendre eta."""
+    in pT on [0, pT_max] and phi on [0, 2pi]; trapezoid y; Gauss-Legendre eta.
+
+    2+1D native grids default to the mT-adaptive eta-node remap (see
+    MomentumGrid.eta_mT_rescale) so the spectra are quadrature-converged
+    out to the pT grid edge; pass eta_mT_rescale=False for fixed-node
+    (reference-table-like) semantics."""
     pT, pTw = gauss_legendre(n_pT, 0.0, pT_max)
     phi, phiw = gauss_legendre(n_phi, 0.0, 2.0 * np.pi)
     yv = np.linspace(-y_max, y_max, n_y)
@@ -181,7 +194,10 @@ def native_momentum_grid(dimension: int,
         yw[0] *= 0.5
         yw[-1] *= 0.5
     etav, etaw = gauss_legendre(n_eta, -eta_max, eta_max)
-    return momentum_grid_from_tables(
+    if eta_mT_rescale is None:
+        eta_mT_rescale = dimension == 2
+    grid = momentum_grid_from_tables(
         np.stack([pT, pTw], 1), np.stack([phi, phiw], 1),
         np.stack([yv, yw], 1), np.stack([etav, etaw], 1),
         dimension, dtype=dtype)
+    return grid.replace(eta_mT_rescale=bool(eta_mT_rescale))

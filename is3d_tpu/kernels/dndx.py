@@ -140,6 +140,10 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     cols = surface_columns(surface, cfg)
     cols["x"] = surface.x
     cols["y"] = surface.y
+    # dN/dX keeps fixed eta nodes: the dN/dy/deta output is reported AT the
+    # common node positions, which an mT-adaptive per-species remap would
+    # scramble (and these spacetime observables are low-pT dominated)
+    grid = grid.replace(eta_mT_rescale=False)
     lag = laguerre if cfg.df_mode in (3, 4) else jnp.zeros(())
     if mesh is not None:
         from ..parallel.mesh import sharded_cell_reduce

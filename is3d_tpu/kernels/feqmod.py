@@ -109,7 +109,8 @@ def _mode3_breakdown(c, laguerre, cfg):
     return (c["detA"] <= cfg.deta_min) | pion_negative
 
 
-def _prepare_feqmod_cells(c, species, laguerre, cfg: Config):
+def _prepare_feqmod_cells(c, species, laguerre, cfg: Config,
+                          eta_rescaled: bool = False):
     """Extend the common cell bundle with the feqmod-specific per-cell data."""
     df = c["df"]
     tau = c["tau"]
@@ -162,7 +163,9 @@ def _prepare_feqmod_cells(c, species, laguerre, cfg: Config):
         renorm = jnp.ones((detA.shape[0], species.n_species), detA.dtype)
 
     finite = jnp.isfinite(renorm)
-    if cfg.dimension == 3:
+    if cfg.dimension == 3 or eta_rescaled:
+        # explicit 1/detA momentum-space jacobian (in 2+1D fixed-node mode
+        # the eta -> detA*eta substitution supplies it instead, below)
         renorm = renorm / detA[:, None]
     c["renorm"] = jnp.where(finite, renorm, 0.0)
     c["renorm_ok"] = finite
@@ -342,16 +345,6 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     baryon_b = sb(species.baryon)
     mass2_b = sb(species.mass ** 2)
 
-    # rapidity factors: unscaled (fallback) and detA-scaled (feqmod)
-    if cfg.dimension == 2:
-        delta_u = jnp.broadcast_to(-grid.eta[None, :], (C, grid.n_eta))
-        delta_s = -c["eta_scale"][:, None] * grid.eta[None, :]
-    else:
-        delta_u = grid.y[None, :] - c["eta"][:, None]
-        delta_s = delta_u
-    ch_u, sh_u = jnp.cosh(delta_u), jnp.sinh(delta_u)
-    ch_s, sh_s = jnp.cosh(delta_s), jnp.sinh(delta_s)
-
     W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
     W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
     C4 = (c["pixx"][:, None] * (pxf * pxf)[None]
@@ -359,24 +352,79 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
           + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])
     D2 = c["Vx"][:, None] * pxf[None] + c["Vy"][:, None] * pyf[None]
 
+    rescaled = cfg.dimension == 2 and grid.eta_mT_rescale
+    if rescaled:
+        # mT-adaptive eta-node remap shared by BOTH branches (see
+        # smooth._chunk_contribution): eta_phys = y_flow(cell) + s(mT)*eta.
+        # The detA factor of the fixed-node substitution is dropped from
+        # the node map (its 1/detA jacobian is applied to renorm in
+        # _prepare_feqmod_cells instead); s(mT) rides the weights below.
+        from .smooth import _rescaled_eta_operands
+        (CHR, SHR, CHR2, SHR2, CHRSHR, chs, shs,
+         s_flat) = _rescaled_eta_operands(c, species, grid, S, P, F, M)
+        cb4 = cb
+        dan_t = c["dan"] / tau
+        tun = tau * c["un"]
+        tVn = tau * c["Vn"]
+        t_pinn = tau * tau * c["pinn"]
+        t_pitn = tau * c["pitn"]
+        A1a = cb4(chs * c["dat"] - shs * dan_t)
+        A1b = cb4(shs * c["dat"] - chs * dan_t)
+        B1a = cb4(chs * c["ut"] + shs * tun)
+        B1b = cb4(shs * c["ut"] + chs * tun)
+        D1a = cb4(chs * c["Vt"] + shs * tVn)
+        D1b = cb4(shs * c["Vt"] + chs * tVn)
+        C2a = cb4(-2.0 * (chs * c["pitx"] + shs * tau * c["pixn"]))
+        C2b = cb4(-2.0 * (shs * c["pitx"] + chs * tau * c["pixn"]))
+        C3a = cb4(-2.0 * (chs * c["pity"] + shs * tau * c["piyn"]))
+        C3b = cb4(-2.0 * (shs * c["pity"] + chs * tau * c["piyn"]))
+        chshs2 = 2.0 * chs * shs
+        C1a = cb4(chs * chs * c["pitt"] + shs * shs * t_pinn
+                  + chshs2 * t_pitn)
+        C1b = cb4(shs * shs * c["pitt"] + chs * chs * t_pinn
+                  + chshs2 * t_pitn)
+        C1c = cb4(chshs2 * (c["pitt"] + t_pinn)
+                  + 2.0 * (chs * chs + shs * shs) * t_pitn)
+        pxm = pxf[None, None, None, :]
+        pym = pyf[None, None, None, :]
+        pds_u = CHR * A1a + SHR * A1b + cm(W1)
+        pdotu = CHR * B1a + SHR * B1b - cm(W2)
+        pipp = (CHR2 * C1a + SHR2 * C1b + CHRSHR * C1c
+                + (CHR * C2a + SHR * C2b) * pxm
+                + (CHR * C3a + SHR * C3b) * pym + cm(C4))
+        Vp = CHR * D1a + SHR * D1b - cm(D2)
+        delta_u = None    # only consulted on the 3+1D narrow-cell mask
+    else:
+        # rapidity factors: unscaled (fallback) and detA-scaled (feqmod)
+        if cfg.dimension == 2:
+            delta_u = jnp.broadcast_to(-grid.eta[None, :], (C, grid.n_eta))
+            delta_s = -c["eta_scale"][:, None] * grid.eta[None, :]
+        else:
+            delta_u = grid.y[None, :] - c["eta"][:, None]
+            delta_s = delta_u
+        ch_u, sh_u = jnp.cosh(delta_u), jnp.sinh(delta_u)
+        ch_s, sh_s = jnp.cosh(delta_s), jnp.sinh(delta_s)
+
     def lin_factors(ch, sh):
         t_sh = sh * tau[:, None]
         A1 = ch * c["dat"][:, None] + sh * (c["dan"] / tau)[:, None]
         B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
         return A1, B1, t_sh
 
-    # ---- fallback branch (linearized df at unscaled rapidity) ------------
-    A1u, B1u, t_sh_u = lin_factors(ch_u, sh_u)
-    pds_u = sm(mTf) * cr(A1u) + cm(W1)
-    pdotu = sm(mTf) * cr(B1u) - cm(W2)
-    C1 = (ch_u * ch_u * c["pitt"][:, None] + t_sh_u * t_sh_u * c["pinn"][:, None]
-          - 2.0 * ch_u * t_sh_u * c["pitn"][:, None])
-    C2 = -2.0 * (ch_u * c["pitx"][:, None] - t_sh_u * c["pixn"][:, None])
-    C3 = -2.0 * (ch_u * c["pity"][:, None] - t_sh_u * c["piyn"][:, None])
-    D1 = ch_u * c["Vt"][:, None] - t_sh_u * c["Vn"][:, None]
-    pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2) + sm(mTpyf) * cr(C3)
-            + cm(C4))
-    Vp = sm(mTf) * cr(D1) - cm(D2)
+    if not rescaled:
+        # ---- fallback branch (linearized df at unscaled rapidity) --------
+        A1u, B1u, t_sh_u = lin_factors(ch_u, sh_u)
+        pds_u = sm(mTf) * cr(A1u) + cm(W1)
+        pdotu = sm(mTf) * cr(B1u) - cm(W2)
+        C1 = (ch_u * ch_u * c["pitt"][:, None]
+              + t_sh_u * t_sh_u * c["pinn"][:, None]
+              - 2.0 * ch_u * t_sh_u * c["pitn"][:, None])
+        C2 = -2.0 * (ch_u * c["pitx"][:, None] - t_sh_u * c["pixn"][:, None])
+        C3 = -2.0 * (ch_u * c["pity"][:, None] - t_sh_u * c["piyn"][:, None])
+        D1 = ch_u * c["Vt"][:, None] - t_sh_u * c["Vn"][:, None]
+        pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2) + sm(mTpyf) * cr(C3)
+                + cm(C4))
+        Vp = sm(mTf) * cr(D1) - cm(D2)
 
     chem = baryon_b * cb(c["alphaB"])
     if cfg.df_mode == 4:
@@ -405,19 +453,34 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     f_fallback = feq * (1.0 + out_df)
 
     # ---- feqmod branch (momentum transform at scaled rapidity) -----------
-    A1s, _, t_sh_s = lin_factors(ch_s, sh_s)
-    pds_s = sm(mTf) * cr(A1s) + cm(W1)
     b = c["basis"]
-    # LRF components factored over (c, r) x (c, m):
-    #   px_LRF = mT E1 + E2,  py_LRF = F2,  pz_LRF = mT G1
-    E1 = -b.Xt[:, None] * ch_s + (b.Xn * tau)[:, None] * sh_s
     E2 = b.Xx[:, None] * pxf[None] + b.Xy[:, None] * pyf[None]
     F2 = b.Yx[:, None] * pxf[None] + b.Yy[:, None] * pyf[None]
-    G1 = -b.Zt[:, None] * ch_s + (b.Zn * tau)[:, None] * sh_s
+    if rescaled:
+        # same node map as the fallback; the ch/sh-linear LRF composites
+        # split by the addition theorem: X = ch*a + sh*b ->
+        # chr*(chs*a - shs*b) + shr*(shs*a - chs*b)
+        pds_s = pds_u
+        Xnt = b.Xn * tau
+        Znt = b.Zn * tau
+        E1a = cb(-(chs * b.Xt + shs * Xnt))
+        E1b = cb(-(shs * b.Xt + chs * Xnt))
+        G1a = cb(-(chs * b.Zt + shs * Znt))
+        G1b = cb(-(shs * b.Zt + chs * Znt))
+        px_LRF = CHR * E1a + SHR * E1b + cm(E2)
+        py_LRF = jnp.broadcast_to(cm(F2), px_LRF.shape)
+        pz_LRF = CHR * G1a + SHR * G1b
+    else:
+        A1s, _, t_sh_s = lin_factors(ch_s, sh_s)
+        pds_s = sm(mTf) * cr(A1s) + cm(W1)
+        # LRF components factored over (c, r) x (c, m):
+        #   px_LRF = mT E1 + E2,  py_LRF = F2,  pz_LRF = mT G1
+        E1 = -b.Xt[:, None] * ch_s + (b.Xn * tau)[:, None] * sh_s
+        G1 = -b.Zt[:, None] * ch_s + (b.Zn * tau)[:, None] * sh_s
 
-    px_LRF = sm(mTf) * cr(E1) + cm(E2)
-    py_LRF = jnp.broadcast_to(cm(F2), px_LRF.shape)
-    pz_LRF = sm(mTf) * cr(G1)
+        px_LRF = sm(mTf) * cr(E1) + cm(E2)
+        py_LRF = jnp.broadcast_to(cm(F2), px_LRF.shape)
+        pz_LRF = sm(mTf) * cr(G1)
 
     A = tuple(cb(a) for a in c["A"])
     A_inv = tuple(cb(a) for a in c["A_inv"])
@@ -454,7 +517,11 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
 
     if cfg.dimension == 2:
         w = grid.eta_weight[None, :, None, None]
-        out = jnp.sum(contrib * w, axis=(0, 1)).reshape(S, P, F, 1)
+        out = jnp.sum(contrib * w, axis=(0, 1))        # (S,M)
+        if rescaled:
+            # jacobian of the eta -> shift + s(mT) eta substitution
+            out = out * s_flat
+        out = out.reshape(S, P, F, 1)
     else:
         out = jnp.sum(contrib, axis=0)                 # (R,S,M)
         out = jnp.transpose(out, (1, 2, 0)).reshape(S, P, F, grid.n_y)
@@ -475,10 +542,13 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config):
     acc0 = jnp.zeros((species.n_species, grid.n_pT, grid.n_phi, n_y_out),
                      dtype=cols["tau"].dtype) + 0.0 * cols["tau"].ravel()[0]
 
+    rescaled = cfg.dimension == 2 and grid.eta_mT_rescale
+
     def body(acc, inp):
         chunk_cols, m = inp
         cells = prepare_cells(chunk_cols, cfg, df_data)
-        cells = _prepare_feqmod_cells(cells, species, laguerre, cfg)
+        cells = _prepare_feqmod_cells(cells, species, laguerre, cfg,
+                                      eta_rescaled=rescaled)
         return acc + _chunk_contribution_feqmod(cells, m, species, grid, cfg), None
 
     acc, _ = lax.scan(body, acc0, (chunked, mask))

@@ -199,17 +199,7 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     mTpxf = mTf * pxf[None, :]
     mTpyf = mTf * pyf[None, :]
 
-    ch, sh = _rapidity_factors(c, grid, cfg.dimension)  # (C,R)
     tau = c["tau"]
-    t_sh = sh * tau[:, None]
-
-    A1 = ch * c["dat"][:, None] + sh * (c["dan"] / tau)[:, None]
-    B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
-    C1 = (ch * ch * c["pitt"][:, None] + t_sh * t_sh * c["pinn"][:, None]
-          - 2.0 * ch * t_sh * c["pitn"][:, None])
-    C2 = -2.0 * (ch * c["pitx"][:, None] - t_sh * c["pixn"][:, None])
-    C3 = -2.0 * (ch * c["pity"][:, None] - t_sh * c["piyn"][:, None])
-    D1 = ch * c["Vt"][:, None] - t_sh * c["Vn"][:, None]
 
     W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
     W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
@@ -218,12 +208,72 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
           + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])
     D2 = c["Vx"][:, None] * pxf[None] + c["Vy"][:, None] * pyf[None]
 
-    # ---- (C, R, S, M) block
-    pds = sm(mTf) * cr(A1) + cm(W1)
-    pdotu = sm(mTf) * cr(B1) - cm(W2)
-    pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2) + sm(mTpyf) * cr(C3)
-            + cm(C4))
-    Vp = sm(mTf) * cr(D1) - cm(D2)
+    rescaled = cfg.dimension == 2 and grid.eta_mT_rescale
+    if rescaled:
+        # mT-adaptive eta-node remap (exact substitution): the quadrature
+        # evaluates at eta_phys = y_flow(cell) + s(mT) * eta_r with
+        # s = sqrt(T_ref / max(mT, T_ref)), centering the nodes on the
+        # integrand's peak (longitudinal-flow rapidity) and matching their
+        # span to its width sigma ~ sqrt(T / (mT u^tau)) -- a fixed node
+        # table loses up to 12% at pT = 4 GeV (n_eta = 64, measured).  The
+        # jacobian s multiplies the weights in the reduction below.  Every
+        # cosh/sinh(Delta)-linear composite X = ch*a + sh*b splits by the
+        # addition theorem against (chr, shr) = (cosh, sinh)(s eta_r) into
+        # X = chr*(chs*a - shs*b) + shr*(shs*a - chs*b), which preserves
+        # the per-point fused-multiply-add structure at ~2x the fma count
+        # (the kernel is transcendental/layout-bound, not fma-bound).
+        (CHR, SHR, CHR2, SHR2, CHRSHR, chs, shs,
+         s_flat) = _rescaled_eta_operands(c, species, grid, S, P, F, M)
+        dan_t = c["dan"] / tau
+        tun = tau * c["un"]
+        tVn = tau * c["Vn"]
+        t_pinn = tau * tau * c["pinn"]
+        t_pitn = tau * c["pitn"]
+        cb4 = lambda x: x[:, None, None, None]
+        A1a = cb4(chs * c["dat"] - shs * dan_t)
+        A1b = cb4(shs * c["dat"] - chs * dan_t)
+        B1a = cb4(chs * c["ut"] + shs * tun)
+        B1b = cb4(shs * c["ut"] + chs * tun)
+        D1a = cb4(chs * c["Vt"] + shs * tVn)
+        D1b = cb4(shs * c["Vt"] + chs * tVn)
+        C2a = cb4(-2.0 * (chs * c["pitx"] + shs * tau * c["pixn"]))
+        C2b = cb4(-2.0 * (shs * c["pitx"] + chs * tau * c["pixn"]))
+        C3a = cb4(-2.0 * (chs * c["pity"] + shs * tau * c["piyn"]))
+        C3b = cb4(-2.0 * (shs * c["pity"] + chs * tau * c["piyn"]))
+        chshs2 = 2.0 * chs * shs
+        C1a = cb4(chs * chs * c["pitt"] + shs * shs * t_pinn
+                  + chshs2 * t_pitn)
+        C1b = cb4(shs * shs * c["pitt"] + chs * chs * t_pinn
+                  + chshs2 * t_pitn)
+        C1c = cb4(chshs2 * (c["pitt"] + t_pinn)
+                  + 2.0 * (chs * chs + shs * shs) * t_pitn)
+
+        pxm = pxf[None, None, None, :]
+        pym = pyf[None, None, None, :]
+        pds = CHR * A1a + SHR * A1b + cm(W1)
+        pdotu = CHR * B1a + SHR * B1b - cm(W2)
+        pipp = (CHR2 * C1a + SHR2 * C1b + CHRSHR * C1c
+                + (CHR * C2a + SHR * C2b) * pxm
+                + (CHR * C3a + SHR * C3b) * pym + cm(C4))
+        Vp = CHR * D1a + SHR * D1b - cm(D2)
+    else:
+        ch, sh = _rapidity_factors(c, grid, cfg.dimension)  # (C,R)
+        t_sh = sh * tau[:, None]
+
+        A1 = ch * c["dat"][:, None] + sh * (c["dan"] / tau)[:, None]
+        B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
+        C1 = (ch * ch * c["pitt"][:, None] + t_sh * t_sh * c["pinn"][:, None]
+              - 2.0 * ch * t_sh * c["pitn"][:, None])
+        C2 = -2.0 * (ch * c["pitx"][:, None] - t_sh * c["pixn"][:, None])
+        C3 = -2.0 * (ch * c["pity"][:, None] - t_sh * c["piyn"][:, None])
+        D1 = ch * c["Vt"][:, None] - t_sh * c["Vn"][:, None]
+
+        # ---- (C, R, S, M) block
+        pds = sm(mTf) * cr(A1) + cm(W1)
+        pdotu = sm(mTf) * cr(B1) - cm(W2)
+        pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2) + sm(mTpyf) * cr(C3)
+                + cm(C4))
+        Vp = sm(mTf) * cr(D1) - cm(D2)
 
     sb = lambda x: x[None, None, :, None]              # (S,)
     sign_b = sb(species.sign)
@@ -248,6 +298,9 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     if cfg.dimension == 2:
         w = grid.eta_weight[None, :, None, None]
         out = jnp.sum(contrib * w, axis=(0, 1))        # (S,M)
+        if rescaled:
+            # jacobian of the eta -> shift + s(mT) eta substitution
+            out = out * s_flat
         out = out.reshape(S, P, F, 1)
     else:
         out = jnp.sum(contrib, axis=0)                 # (R,S,M)
@@ -255,6 +308,41 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
 
     deg = species.degeneracy[:, None, None, None]
     return CF_PREFACTOR * deg * out
+
+
+def _rescaled_eta_operands(c: dict, species, grid, S: int, P: int, F: int,
+                           M: int):
+    """Block operands + per-cell boost pair + jacobian for the 2+1D
+    mT-adaptive eta-node remap eta_phys = y_flow(cell) + s(mT) * eta_r
+    (see _chunk_contribution).  Returns (CHR, SHR, CHR2, SHR2, CHRSHR)
+    with logical shape (1, R, S, M) (loop-invariant, hoisted out of the
+    chunk scan), (chs, shs) = (cosh, sinh)(-y_flow) per cell, and the
+    s(mT) jacobian flattened to (S, M)."""
+    mT, _, _ = _momentum_monomials(species, grid)
+    T_REF = jnp.asarray(0.15, mT.dtype)
+    s_sp = jnp.sqrt(T_REF / jnp.maximum(mT, T_REF))        # (S,P)
+    se = s_sp[:, :, None] * grid.eta[None, None, :]        # (S,P,R)
+    chr_, shr_ = jnp.cosh(se), jnp.sinh(se)
+    R = grid.n_eta
+
+    def smr(x):  # (S,P,R) -> (1,R,S,M)
+        xb = jnp.broadcast_to(x[:, :, None, :], (S, P, F, R))
+        return jnp.transpose(xb.reshape(S, M, R), (2, 0, 1))[None]
+
+    CHR = smr(mT[:, :, None] * chr_)
+    SHR = smr(mT[:, :, None] * shr_)
+    CHR2 = smr((mT * mT)[:, :, None] * chr_ * chr_)
+    SHR2 = smr((mT * mT)[:, :, None] * shr_ * shr_)
+    CHRSHR = smr((mT * mT)[:, :, None] * chr_ * shr_)
+
+    # per-cell longitudinal-flow recentering: the integrand peaks at
+    # Delta = y_flow = atanh(tau u^eta / u^tau), so the node map's shift is
+    # -y_flow; (chs, shs) = (cosh, sinh)(-y_flow)
+    u0p = jnp.sqrt(1.0 + c["ux"] ** 2 + c["uy"] ** 2)
+    chs = c["ut"] / u0p
+    shs = -c["tau"] * c["un"] / u0p
+    s_flat = jnp.broadcast_to(s_sp[:, :, None], (S, P, F)).reshape(S, M)
+    return CHR, SHR, CHR2, SHR2, CHRSHR, chs, shs, s_flat
 
 
 def _linear_df_flat(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b,

@@ -28,7 +28,10 @@ def test_dndx_total_matches_spectra_dNdy(smash_table, df_data, df_mode):
     cells = random_cells(37, rng, dimension=2)
     surf = to_surface(cells)
     sp = pikp_species(smash_table)
-    grid = native_momentum_grid(dimension=2, n_pT=12, n_phi=8, n_eta=16)
+    # fixed nodes: dN/dX always integrates at the common eta nodes, so the
+    # spectra side must too for this shared-emission-function identity
+    grid = native_momentum_grid(dimension=2, n_pT=12, n_phi=8, n_eta=16,
+                                eta_mT_rescale=False)
     cfg = BASE.replace(df_mode=df_mode)
 
     dX = spacetime_distributions(surf, sp, grid, df_data, cfg)

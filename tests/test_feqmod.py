@@ -73,7 +73,8 @@ def run_both(cells, species_j, grid, df_data, scipy_eval, cfg):
 def test_feqmod_vs_oracle_2d(smash_table, df_data, scipy_feqmod_eval, df_mode):
     rng = np.random.default_rng(5)
     cells = random_cells(19, rng, dimension=2)
-    grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=12)
+    grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=12,
+                                eta_mT_rescale=False)
     cfg = BASE_CFG.replace(df_mode=df_mode)
     ours, want = run_both(cells, pikp_species(smash_table), grid, df_data,
                           scipy_feqmod_eval, cfg)
@@ -97,7 +98,8 @@ def test_feqmod_breakdown_forced(smash_table, df_data, scipy_feqmod_eval):
     rng = np.random.default_rng(23)
     cells = random_cells(7, rng, dimension=2)
     cells["bulkPi"] = -0.9 * cells["P"]  # extreme bulk: breakdown expected
-    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=3, n_eta=8)
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=3, n_eta=8,
+                                eta_mT_rescale=False)
     cfg = BASE_CFG.replace(df_mode=3)
     ours, want = run_both(cells, pikp_species(smash_table), grid, df_data,
                           scipy_feqmod_eval, cfg)
@@ -120,3 +122,27 @@ def test_feqmod_reduces_to_equilibrium(smash_table, df_data):
     b = np.asarray(smooth_spectra(surf, species, grid, df_data,
                                   BASE_CFG.replace(df_mode=2)))
     np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_feqmod_eta_mT_rescale_converged(smash_table, df_data):
+    """Same convergence criterion as the linear kernel for the feqmod path
+    (modes 3/4): default rescaled grid at n_eta = 48 vs a 2048-node fixed
+    reference."""
+    rng = np.random.default_rng(78)
+    cells = random_cells(16, rng, dimension=2)
+    cells["un"] = rng.uniform(-0.1, 0.1, 16)
+    species = pikp_species(smash_table)
+    surf = to_surface(cells)
+    gk = dict(dimension=2, n_pT=8, pT_max=4.0, n_phi=4)
+    for dfm in (3, 4):
+        cfg = BASE_CFG.replace(df_mode=dfm, cell_chunk=8)
+        ref = np.asarray(smooth_spectra_feqmod(
+            surf, species,
+            native_momentum_grid(n_eta=2048, eta_max=8.0,
+                                 eta_mT_rescale=False, **gk), df_data, cfg))
+        got = np.asarray(smooth_spectra_feqmod(
+            surf, species, native_momentum_grid(n_eta=48, **gk),
+            df_data, cfg))
+        scale = np.abs(ref).max()
+        rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-5 * scale)
+        assert rel.max() < 1e-3, (dfm, rel.max())

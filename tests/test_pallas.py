@@ -37,7 +37,9 @@ def test_pallas_matches_xla(smash_table, df_data, df_mode, dimension):
     sp = pikp_species(smash_table)                       # S=6, not % 32
     grid = native_momentum_grid(
         dimension=dimension, n_pT=5, n_phi=6,            # M=30, not % 128
-        n_y=5, n_eta=8)
+        n_y=5, n_eta=8,
+        eta_mT_rescale=False)   # the pallas experiment implements
+    #                             fixed-node eta semantics
     cfg = Config(operation=1, mode=1, dimension=dimension, df_mode=df_mode,
                  include_shear_deltaf=1, include_bulk_deltaf=1,
                  regulate_deltaf=1, outflow=1, cell_chunk=8)
