@@ -112,6 +112,28 @@ class IS3D:
     # ------------------------------------------------------------ pipeline
 
     def _prepare(self):
+        import jax
+        # Run the whole prepare phase on the host CPU device: it is dozens
+        # of tiny table/spline/quadrature ops, and on a remote serving
+        # backend each would pay its own dispatch round-trip (~0.1-0.4 s
+        # apiece -- measured ~50 s of prepare on the toy surface).  The
+        # compute kernels transfer these small arrays once when they
+        # dispatch.
+        with jax.default_device(jax.devices("cpu")[0]):
+            (particle_table, df_data, species, chosen_mcids, grid,
+             plasma) = self._prepare_impl()
+            if jax.default_backend() != "cpu":
+                # demote every array to host numpy: CPU-committed jax
+                # arrays would pull the jitted kernels onto the CPU
+                # backend, while numpy (uncommitted) inputs are placed on
+                # the accelerator inside each kernel's own dispatch --
+                # zero extra round-trips either way
+                tonp = lambda t: jax.tree.map(np.asarray, t)
+                df_data, species, grid = tonp((df_data, species, grid))
+                self.surface = tonp(self.surface)
+        return particle_table, df_data, species, chosen_mcids, grid, plasma
+
+    def _prepare_impl(self):
         cfg = self.cfg
         if self.surface is None:
             self.read_fo_surf_from_file()

@@ -37,13 +37,17 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None):
         "IS3D_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "is3d_tpu", "xla"))
     try:
-        os.makedirs(d, exist_ok=True)
         import jax
+        os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
-        # cache everything: tiny entries and fast compiles both cost a
-        # serving round-trip on remote backends
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        # Only genuinely expensive compiles (>= 1 s): an aggressive
+        # cache-everything configuration (min_entry_size -1, threshold
+        # 0.1 s) measured 20x SLOWER on the prepare phase's many small
+        # dispatches (117 s vs 5.4 s for compute_particle_densities) --
+        # per-compile cache traffic dominates tiny ops.  The targets are
+        # the multi-second kernel/decay-wave compiles, which do not
+        # reliably dedupe across processes on the serving backend.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         return None
     _cache_enabled = d
