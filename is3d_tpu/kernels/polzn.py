@@ -44,10 +44,26 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
     px_b = px[None, None, :, :, None]
     py_b = py[None, None, :, :, None]
 
-    ch, sh = _rapidity_factors(c, grid, cfg.dimension)
-    pt = mT_b * ch[:, None, None, None, :]
+    if cfg.dimension == 2 and grid.eta_mT_rescale:
+        # mT-adaptive eta-node remap (exact substitution, same trick as
+        # the spectra kernels): S_mu(p) and Snorm are pT-differential, so
+        # per-(species, pT) node positions are legitimate here (unlike
+        # dN/dX's eta-differential outputs).  Jacobian applied below.
+        T_REF = jnp.asarray(0.15, mT.dtype)
+        s_sp = jnp.sqrt(T_REF / jnp.maximum(mT, T_REF))     # (S,P)
+        delta = -(s_sp[None, :, :, None, None]
+                  * grid.eta[None, None, None, None, :])    # (1,S,P,1,R)
+        ch = jnp.cosh(delta)
+        sh = jnp.sinh(delta)
+        eta_jac = s_sp[None, :, :, None, None]
+    else:
+        ch2, sh2 = _rapidity_factors(c, grid, cfg.dimension)
+        ch = ch2[:, None, None, None, :]
+        sh = sh2[:, None, None, None, :]
+        eta_jac = None
+    pt = mT_b * ch
     # p^eta (not tau p^eta): the vorticity contraction uses pn directly
-    pn = (mT_b / cc(c["tau"])) * sh[:, None, None, None, :]
+    pn = (mT_b / cc(c["tau"])) * sh
 
     tau2 = c["tau"] ** 2
     pds = (pt * cc(c["dat"]) + px_b * cc(c["dax"]) + py_b * cc(c["day"])
@@ -74,10 +90,17 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
     meas = meas * cc(mask)
 
     if cfg.dimension == 2:
-        # eta_weight * delta_eta (reference :62-71)
-        eta = grid.eta
-        delta = (eta[1] - eta[0]) if eta.shape[0] > 1 else 1.0
-        w = (grid.eta_weight * delta)[None, None, None, None, :]
+        if eta_jac is not None:
+            # clean quadrature weight x substitution jacobian (the raw
+            # S_mu/Snorm sums rescale together; normalized outputs are
+            # identical up to quadrature accuracy)
+            w = grid.eta_weight[None, None, None, None, :] * eta_jac
+        else:
+            # eta_weight * delta_eta with uniform spacing assumed
+            # (reference quirk, :62-71; divides out in S_mu/Snorm)
+            eta = grid.eta
+            delta = (eta[1] - eta[0]) if eta.shape[0] > 1 else 1.0
+            w = (grid.eta_weight * delta)[None, None, None, None, :]
         red = lambda a: jnp.sum(a * w, axis=(0, 4))[..., None]
     else:
         red = lambda a: jnp.sum(a, axis=0)

@@ -89,7 +89,8 @@ def _species(mass, sign):
 def test_polzn_vs_oracle_2d():
     rng = np.random.default_rng(44)
     surf, cells = make_surface(7, rng, dimension=2)
-    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=4, n_eta=10)
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=4, n_eta=10,
+                                eta_mT_rescale=False)   # node-exact oracle
     cfg = Config(mode=5, dimension=2, cell_chunk=4)
     sp = _species(1.11568, 1.0)   # Lambda
     out = spin_polarization(surf, sp, grid, cfg, PLASMA)
@@ -124,3 +125,25 @@ def test_mode5_surface_reader(reference_dir):
     surf, avg = read_surface(text, mode=5, dimension=2)
     assert surf.wtx is not None and surf.n_cells == 4
     np.testing.assert_allclose(np.asarray(surf.wyn), rows[:, 25])
+
+
+def test_polzn_eta_mT_rescale_converged():
+    """Default native grids use the mT-adaptive eta remap; the normalized
+    polarization must match a 1024-node fixed-node reference at high pT
+    (where fixed coarse grids under-resolve the narrow (y-eta) integrand)."""
+    rng = np.random.default_rng(46)
+    surf, _ = make_surface(12, rng, dimension=2)
+    cfg = Config(mode=5, dimension=2, cell_chunk=4)
+    sp = _species(1.11568, 1.0)
+    gk = dict(dimension=2, n_pT=6, pT_max=4.0, n_phi=4)
+    ref = spin_polarization(
+        surf, sp, native_momentum_grid(n_eta=1024, eta_max=8.0,
+                                       eta_mT_rescale=False, **gk),
+        cfg, PLASMA)
+    got = spin_polarization(
+        surf, sp, native_momentum_grid(n_eta=48, **gk), cfg, PLASMA)
+    for k in ("St_over_Snorm", "Sx_over_Snorm", "Sy_over_Snorm",
+              "Sn_over_Snorm"):
+        a, b = np.asarray(got[k]), np.asarray(ref[k])
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, atol=1e-4 * scale, err_msg=k)
