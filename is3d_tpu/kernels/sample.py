@@ -1157,7 +1157,7 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
                  .at[idx].set(out[k].reshape(-1), mode="drop")
             for k in PACK_FIELDS}
         counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
-        res = (packed, counts, jnp.sum(out["acceptances"]),
+        res = (_pack_cast(packed, cfg), counts, jnp.sum(out["acceptances"]),
                jnp.sum(out["samples"]))
         return jax.tree.map(lambda a: a[None], res)  # leading device axis
 
