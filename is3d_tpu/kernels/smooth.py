@@ -45,21 +45,18 @@ def _momentum_monomials(species: SpeciesArrays, grid: MomentumGrid):
     return mT, px, py
 
 
-def _rapidity_factors(c: dict, grid: MomentumGrid, dimension: int,
-                      eta_scale=None):
-    """cosh/sinh of (y - eta) per (cell, rapidity node).
+def _rapidity_factors(c: dict, grid: MomentumGrid, dimension: int):
+    """cosh/sinh of (y - eta) per (cell, rapidity node), fixed-node form.
 
-    2+1D: y = 0, eta is the quadrature axis (optionally rescaled per cell by
-    detA, the feqmod trick at emissionfunction_smooth_kernels.cpp:725-729).
-    3+1D: y is the grid axis, eta is the per-cell surface value.
-    Returns (ch, sh) with shape (C, R).
+    2+1D: y = 0, eta is the quadrature axis.  3+1D: y is the grid axis,
+    eta is the per-cell surface value.  Returns (ch, sh) of shape (C, R).
+    (The mT-adaptive node remap has its own operand builder,
+    _rescaled_eta_operands; the feqmod kernel builds its detA-scaled
+    deltas inline.)
     """
     C = c["tau"].shape[0]
     if dimension == 2:
-        delta = -grid.eta[None, :]                       # (1,R)
-        if eta_scale is not None:
-            delta = delta * eta_scale[:, None]           # (C,R)
-        delta = jnp.broadcast_to(delta, (C, grid.n_eta))
+        delta = jnp.broadcast_to(-grid.eta[None, :], (C, grid.n_eta))
     else:
         delta = grid.y[None, :] - c["eta"][:, None]      # (C,R)
     return jnp.cosh(delta), jnp.sinh(delta)
