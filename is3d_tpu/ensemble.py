@@ -47,7 +47,7 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                    out_dir: str = "oversampling", events_per_batch: int = 100,
                    base_seed: int = 0, max_batches: int = 1000,
                    resume: bool = True, worker_id: int = 0,
-                   n_workers: int = 1):
+                   n_workers: int = 1, mesh=None):
     """Sample until cfg.min_num_hadrons hadrons (or max limits), writing one
     OSCAR file per batch into <out_dir>/results_<i>/ (oversample.sh layout).
 
@@ -79,9 +79,13 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
     manifest_name = ("manifest.json" if n_workers == 1
                      else f"manifest_worker{worker_id}.json")
     manifest_path = os.path.join(out_dir, manifest_name)
+    # mesh sharding changes the per-batch random stream (per-shard key
+    # folding), so it is pinned like the other stream parameters
+    mesh_shards = 0 if mesh is None else int(mesh.shape[cfg.mesh_axis])
     manifest = {"base_seed": base_seed, "events_per_batch": events_per_batch,
                 "n_events_needed": n_events_needed, "batches": {},
-                "worker_id": worker_id, "n_workers": n_workers}
+                "worker_id": worker_id, "n_workers": n_workers,
+                "mesh_shards": mesh_shards}
     if os.path.exists(manifest_path):
         if not resume:
             raise ValueError(
@@ -97,7 +101,8 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                 or prev.get("events_per_batch") != events_per_batch
                 or prev.get("n_events_needed") != n_events_needed
                 or prev.get("worker_id", 0) != worker_id
-                or prev.get("n_workers", 1) != n_workers):
+                or prev.get("n_workers", 1) != n_workers
+                or prev.get("mesh_shards", 0) != mesh_shards):
             raise ValueError(
                 f"{manifest_path} was written with base_seed="
                 f"{prev.get('base_seed')}, events_per_batch="
@@ -131,7 +136,7 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
             continue
         events = sample_particles(surface, species, mcids, None, df_data,
                                   cfg, plasma, nevents=nev,
-                                  seed=seeds[batch])
+                                  seed=seeds[batch], mesh=mesh)
         d = os.path.join(out_dir, f"results_{batch}")
         os.makedirs(d, exist_ok=True)
         out_file = os.path.join(d, "particle_list_osc.dat")
@@ -197,6 +202,8 @@ def multiprocess_oversample(run_dir: str, out_dir: str, n_workers: int = 2,
                             events_per_batch: int = 100, base_seed: int = 0,
                             overrides: dict | None = None,
                             platform: str | None = None,
+                            mesh_devices: int | None = None,
+                            host_devices: int | None = None,
                             timeout: float = 3600.0) -> dict:
     """Spawn ``n_workers`` sampler worker processes over disjoint batch
     ranges of the same oversampling plan and merge their manifests.
@@ -221,6 +228,11 @@ def multiprocess_oversample(run_dir: str, out_dir: str, n_workers: int = 2,
                    f"base_seed={base_seed}"]
     if platform:
         args_common.append(f"platform={platform}")
+    if mesh_devices:
+        # each worker shards its cell axis over its local chips
+        args_common.append(f"mesh_devices={mesh_devices}")
+    if host_devices:
+        args_common.append(f"host_devices={host_devices}")
     for k, v in (overrides or {}).items():
         args_common.append(f"{k}={v}")
 

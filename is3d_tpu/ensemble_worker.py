@@ -20,7 +20,8 @@ import sys
 
 
 _OWN_KEYS = ("worker_id", "n_workers", "run_dir", "out_dir",
-             "events_per_batch", "base_seed", "platform", "max_batches")
+             "events_per_batch", "base_seed", "platform", "max_batches",
+             "mesh_devices", "host_devices")
 
 
 def main(argv: list[str]) -> int:
@@ -31,6 +32,15 @@ def main(argv: list[str]) -> int:
         k, v = a.split("=", 1)
         kv[k] = v
 
+    if kv.get("host_devices"):
+        # virtual CPU device count (testing a mesh without real chips);
+        # must be in XLA_FLAGS before backend init
+        import os as _os
+        flags = [f for f in _os.environ.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count="
+                     f"{int(kv['host_devices'])}")
+        _os.environ["XLA_FLAGS"] = " ".join(flags)
     if kv.get("platform"):
         # must run before any backend initialization (the env var
         # JAX_PLATFORMS is ignored when a TPU plugin autoloads)
@@ -53,6 +63,14 @@ def main(argv: list[str]) -> int:
     run.read_fo_surf_from_file(write_averages=False)
     (_table, df_data, species, mcids, _grid, plasma) = run._prepare()
 
+    mesh = None
+    if kv.get("mesh_devices"):
+        # shard the cell axis over this worker's local chips: multi-host
+        # scale-out composes (worker processes) x (per-worker device mesh)
+        from .parallel.mesh import default_mesh
+        mesh = default_mesh(int(kv["mesh_devices"]),
+                            axis=run.cfg.mesh_axis)
+
     n_batches, total, ntot = oversample_run(
         run.surface, species, np.asarray(mcids), df_data, run.cfg, plasma,
         out_dir=kv.get("out_dir", "oversampling"),
@@ -60,7 +78,7 @@ def main(argv: list[str]) -> int:
         base_seed=int(kv.get("base_seed", 0)),
         max_batches=int(kv.get("max_batches", 1000)),
         worker_id=int(kv.get("worker_id", 0)),
-        n_workers=int(kv.get("n_workers", 1)))
+        n_workers=int(kv.get("n_workers", 1)), mesh=mesh)
     print(f"worker {kv.get('worker_id', 0)}/{kv.get('n_workers', 1)}: "
           f"{total} hadrons over its share of {n_batches} batches "
           f"(mean yield {ntot:.3f}/event)")
