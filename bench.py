@@ -44,9 +44,23 @@ def main():
     # caches repeated dispatches (even on-device-perturbed inputs have been
     # observed to hit it), which silently inflates naive benchmarks
 
+    # on a multi-chip rig, shard the cell axis over the full mesh and
+    # report the per-chip rate (single JSON line either way)
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from is3d_tpu.parallel.mesh import default_mesh, smooth_spectra_sharded
+        mesh = default_mesh(axis=cfg.mesh_axis)
+
+    def dispatch(s):
+        if mesh is not None:
+            return smooth_spectra_sharded(s, species, grid, df_data, cfg,
+                                          mesh=mesh)
+        return smooth_spectra(s, species, grid, df_data, cfg)
+
     def run(seed):
         s = synthetic_surface(n_cells, dimension=3, seed=seed, dtype=dtype)
-        return smooth_spectra(s, species, grid, df_data, cfg)
+        return dispatch(s)
 
     float(jnp.sum(run(0)))               # compile + warm up
     reps = 3
@@ -55,7 +69,7 @@ def main():
     for i in range(reps):
         s = synthetic_surface(n_cells, dimension=3, seed=100 + i, dtype=dtype)
         t0 = time.perf_counter()
-        out = smooth_spectra(s, species, grid, df_data, cfg)
+        out = dispatch(s)
         # force a device-to-host readback: async dispatch layers have been
         # observed to return from block_until_ready before execution
         checks.append(float(jnp.sum(out)))
@@ -64,7 +78,7 @@ def main():
     assert len(set(checks)) == reps, "distinct inputs must give distinct sums"
 
     evals = n_cells * n_species * 32 * 24 * 21
-    value = evals / dt
+    value = evals / dt / max(1, n_dev)
     baseline = 1e6 * 320 * 32 * 24 * 21 / 30.0 / 8.0
     print(json.dumps({
         "metric": "cooper_frye_evals_per_sec_per_chip",

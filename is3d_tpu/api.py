@@ -240,14 +240,11 @@ class IS3D:
                         jnp.asarray(decayed), grid, mcids, cfg.dimension,
                         self.results_dir, suffix="_resonance_decays")
         elif cfg.operation == 0:
-            if cfg.mode in (2, 3):
-                raise NotImplementedError(
-                    "spacetime distributions (operation 0) are not defined "
-                    "for anisotropic-hydro surfaces (modes 2-3); the "
-                    "reference has no VAH dN/dX path either (its entire "
-                    "MODE-2 kernel block is commented out, "
-                    "emissionfunction.cpp:1644-1673).  Use operation 1 for "
-                    "VAH smooth spectra.")
+            # modes 2-3 route to the VAH emission function inside
+            # spacetime_distributions -- a capability the reference lacks
+            # entirely (its whole MODE-2 kernel block is commented out,
+            # emissionfunction.cpp:1644-1673, and it never had a VAH dN/dX
+            # kernel even in dead code)
             from .kernels.dndx import spacetime_distributions
             with timer.phase("dN/dX spacetime"):
                 result.dN_dX = spacetime_distributions(

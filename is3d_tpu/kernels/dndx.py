@@ -62,7 +62,7 @@ def _cell_dNdy(contrib, species, grid, cfg):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
-    factor = 4 if cfg.df_mode in (3, 4) else 1
+    factor = 4 if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3) else 1
     per_cell = factor * species.n_species * grid.n_pT * grid.n_phi * \
         grid.n_eta * (1 if cfg.dimension == 2 else grid.n_y)
     chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
@@ -89,11 +89,19 @@ def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
 
     def body(acc, inp):
         chunk_cols, m = inp
-        c = prepare_cells(chunk_cols, cfg, df_data)
-        if cfg.df_mode in (3, 4):
+        if cfg.mode in (2, 3):
+            # anisotropic-hydro surface: VAH emission function at fixed
+            # eta nodes (a capability the reference lacks entirely -- its
+            # VAH block is dead code and has no dN/dX path)
+            from .vah import _chunk_vah, _complete_vah_cells
+            c = _complete_vah_cells(chunk_cols)
+            contrib = _chunk_vah(c, m, species, grid, cfg, pointwise=True)
+        elif cfg.df_mode in (3, 4):
+            c = prepare_cells(chunk_cols, cfg, df_data)
             c = _prepare_feqmod_cells(c, species, laguerre, cfg)
             contrib = _pointwise_contribution_feqmod(c, m, species, grid, cfg)
         else:
+            c = prepare_cells(chunk_cols, cfg, df_data)
             contrib = _pointwise_contribution(c, m, species, grid, cfg)
         per_cell, dydeta = _cell_dNdy(contrib, species, grid, cfg)
 
@@ -132,19 +140,24 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     histogram accumulators are psum-reduced over ICI (the reference
     OpenMP-parallelizes this kernel the same way as the spectra loop,
     emissionfunction_smooth_kernels.cpp:1000-2135)."""
-    if cfg.df_mode in (3, 4) and laguerre is None:
+    if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3) and laguerre is None:
         from ..io.tables import gauss_laguerre
         raw = gauss_laguerre(32, alphas=(1, 2))
         laguerre = {a: (jnp.asarray(r), jnp.asarray(w))
                     for a, (r, w) in raw.items()}
-    cols = surface_columns(surface, cfg)
+    if cfg.mode in (2, 3):
+        from .vah import vah_surface_cols
+        cols = vah_surface_cols(surface)
+    else:
+        cols = surface_columns(surface, cfg)
     cols["x"] = surface.x
     cols["y"] = surface.y
     # dN/dX keeps fixed eta nodes: the dN/dy/deta output is reported AT the
     # common node positions, which an mT-adaptive per-species remap would
     # scramble (and these spacetime observables are low-pT dominated)
     grid = grid.replace(eta_mT_rescale=False)
-    lag = laguerre if cfg.df_mode in (3, 4) else jnp.zeros(())
+    lag = (laguerre if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3)
+           else jnp.zeros(()))
     if mesh is not None:
         from ..parallel.mesh import sharded_cell_reduce
         kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg)

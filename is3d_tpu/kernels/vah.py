@@ -42,7 +42,15 @@ from .smooth import _momentum_monomials, _rapidity_factors
 from ..physics import lrf
 
 
-def _chunk_vah(c, valid, species, grid, cfg):
+def _chunk_vah(c, valid, species, grid, cfg, pointwise: bool = False):
+    """VAH emission contribution of one cell chunk.
+
+    pointwise=False (spectra): eta-reduced (S, PT, PHI, Y_out) with
+    degeneracy and CF prefactor, mT-adaptive eta nodes in 2+1D.
+    pointwise=True (dN/dX): masked p.dsigma*f at every
+    (C, S, PT, PHI, R) point at FIXED eta nodes (common across cells, as
+    the spacetime binning requires), no weights/prefactor -- mirrors
+    smooth._pointwise_contribution."""
     cc = lambda x: x[:, None, None, None, None]
     mT, px, py = _momentum_monomials(species, grid)
     mT_b = mT[None, :, :, None, None]
@@ -59,7 +67,7 @@ def _chunk_vah(c, valid, species, grid, cfg):
     # exactly this trade).  With the mT term the worst-case quadrature
     # error at the pT = 4 GeV grid edge drops from 6e-2 (a_L-only rescale,
     # n_eta = 48) to < 1e-6 (measured vs a 2048-node reference).
-    if cfg.dimension == 2:
+    if cfg.dimension == 2 and not pointwise:
         lam_c = c["Lambda"][:, None, None]
         eta_scale = c["aL"][:, None, None] * jnp.sqrt(
             lam_c / jnp.maximum(mT[None, :, :], lam_c))      # (C,S,P)
@@ -118,6 +126,9 @@ def _chunk_vah(c, valid, species, grid, cfg):
     mask = valid.astype(contrib.dtype)
     contrib = contrib * cc(mask)
 
+    if pointwise:
+        return contrib
+
     if cfg.dimension == 2:
         # jacobian of the eta-node rescale (exact substitution)
         contrib = contrib * grid.eta_weight[None, None, None, None, :] \
@@ -143,29 +154,32 @@ def _vah_jit(cols, species, grid, cfg: Config):
 
     def body(acc, inp):
         chunk_cols, m = inp
-        c = dict(chunk_cols)
-        tau = c["tau"]
-        ut = lrf.u_tau(c["ux"], c["uy"], c["un"], tau)
-        u0 = jnp.sqrt(1.0 + c["ux"] ** 2 + c["uy"] ** 2)
-        c["ut"] = ut
-        c["zt"] = tau * c["un"] / u0
-        c["zn"] = ut / (u0 * tau)
-        c["Wt"] = (c["ux"] * c["Wx"] + c["uy"] * c["Wy"]) * ut / (u0 * u0)
-        c["Wn"] = c["Wt"] * c["un"] / ut
+        c = _complete_vah_cells(chunk_cols)
         return acc + _chunk_vah(c, m, species, grid, cfg), None
 
     acc, _ = lax.scan(body, acc0, (chunked, mask))
     return acc
 
 
-def smooth_spectra_vah(surface, species: SpeciesArrays, grid: MomentumGrid,
-                       cfg: Config, mesh=None) -> jnp.ndarray:
-    """VAH smooth spectra from a mode-2/3 surface: (S, PT, PHI, Y_out).
+def _complete_vah_cells(chunk_cols: dict) -> dict:
+    """Per-cell completion for the VAH kernels: u^tau, the longitudinal
+    basis vector z = (zt, 0, 0, zn), and the W^mu orthogonality completion
+    (reference: emissionfunction_smooth_kernels.cpp:2247-2251)."""
+    c = dict(chunk_cols)
+    tau = c["tau"]
+    ut = lrf.u_tau(c["ux"], c["uy"], c["un"], tau)
+    u0 = jnp.sqrt(1.0 + c["ux"] ** 2 + c["uy"] ** 2)
+    c["ut"] = ut
+    c["zt"] = tau * c["un"] / u0
+    c["zn"] = ut / (u0 * tau)
+    c["Wt"] = (c["ux"] * c["Wx"] + c["uy"] * c["Wy"]) * ut / (u0 * u0)
+    c["Wn"] = c["Wt"] * c["un"] / ut
+    return c
 
-    With ``mesh``, the cell axis is sharded over the device mesh and the
-    spectra accumulator is psum-reduced over ICI (same skeleton as the VH
-    kernels; the reference OpenMP-parallelizes its VAH loop at
-    emissionfunction_smooth_kernels.cpp:2206)."""
+
+def vah_surface_cols(surface) -> dict:
+    """Column dict for the VAH kernels from a mode-2/3 Surface (zeros for
+    absent optional fields; raises without Lambda/aL)."""
     z = jnp.zeros_like(surface.tau)
     get = lambda name: (getattr(surface, name)
                         if getattr(surface, name) is not None else z)
@@ -181,6 +195,18 @@ def smooth_spectra_vah(surface, species: SpeciesArrays, grid: MomentumGrid,
         raise ValueError("VAH kernel needs Lambda and aL (mode 2/3 surface)")
     cols["Lambda"] = surface.Lambda
     cols["aL"] = surface.aL
+    return cols
+
+
+def smooth_spectra_vah(surface, species: SpeciesArrays, grid: MomentumGrid,
+                       cfg: Config, mesh=None) -> jnp.ndarray:
+    """VAH smooth spectra from a mode-2/3 surface: (S, PT, PHI, Y_out).
+
+    With ``mesh``, the cell axis is sharded over the device mesh and the
+    spectra accumulator is psum-reduced over ICI (same skeleton as the VH
+    kernels; the reference OpenMP-parallelizes its VAH loop at
+    emissionfunction_smooth_kernels.cpp:2206)."""
+    cols = vah_surface_cols(surface)
     if mesh is not None:
         from ..parallel.mesh import sharded_cell_reduce
         kern = lambda c, s, g: _vah_jit(c, s, g, cfg)

@@ -105,24 +105,44 @@ def test_smooth_rejects_feqmod_modes(smash_table, df_data):
         smooth_spectra(surf, sp, grid, df_data, Config(df_mode=3))
 
 
-def test_vah_dndx_refuses():
-    """Operation 0 on VAH surfaces (modes 2-3) must refuse loudly: the
-    reference's whole MODE-2 kernel block is commented out and spacetime
-    distributions of f_a are undefined there.  (Operation 2 routes to our
-    anisotropic sampler instead -- see test_sampler_vah.py.)"""
-    from is3d_tpu.api import IS3D
-    from is3d_tpu.testing import synthetic_surface, synthetic_species
+def test_vah_dndx_runs_and_matches_spectra():
+    """Operation 0 on VAH surfaces (modes 2-3): a capability the reference
+    lacks entirely (its MODE-2 kernel block is dead code with no dN/dX
+    path even commented out).  The momentum-integrated per-cell dN/dy must
+    match the pT-phi integral of fixed-node VAH spectra -- the identical
+    emission function reduced two ways."""
+    from is3d_tpu.io.surface import Surface
+    from is3d_tpu.io.tables import native_momentum_grid
+    from is3d_tpu.kernels.dndx import spacetime_distributions
+    from is3d_tpu.kernels.vah import smooth_spectra_vah
+    from is3d_tpu.data import SpeciesArrays
+    from is3d_tpu import observables
+    from test_vah import make_vah_cells
+    import jax.numpy as jnp
 
-    surf = synthetic_surface(8, dimension=2, seed=0)
-    run = IS3D.__new__(IS3D)
-    run.surface = surf
-    run.mesh = None
-    run.averages = None
-    run.pdg_dir = None
-    # run_particlization needs _prepare(); patch it to a no-op returning
-    # minimal objects so only the dispatch guard is exercised
-    sp = synthetic_species(4)
-    run._prepare = lambda: (None, None, sp, np.arange(4), None, PLASMA)
-    run.cfg = Config(operation=0, mode=3, dimension=2, df_mode=2)
-    with pytest.raises(NotImplementedError, match="VAH smooth spectra"):
-        run.run_particlization(write_files=False)
+    rng = np.random.default_rng(81)
+    cells = make_vah_cells(15, rng, dimension=2)
+    surf = Surface(**{k: jnp.asarray(v) for k, v in cells.items()})
+    grid = native_momentum_grid(dimension=2, n_pT=10, n_phi=6, n_eta=96)
+    cfg = Config(operation=0, mode=2, dimension=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 cell_chunk=8, tau_min=0.0, tau_max=12.0, tau_bins=20,
+                 r_min=0.0, r_max=12.0, r_bins=15)
+    z = jnp.zeros(1)
+    sp = SpeciesArrays(mass=jnp.asarray([0.139]), sign=jnp.asarray([-1.0]),
+                       degeneracy=jnp.asarray([1.0]),
+                       baryon=jnp.asarray([0.0]), equilibrium_density=z,
+                       bulk_density=z, diff_density=z)
+    dX = spacetime_distributions(surf, sp, grid, None, cfg)
+    # fixed-node spectra (same discretization as the dN/dX integrand)
+    spectra = smooth_spectra_vah(
+        surf, sp, grid.replace(eta_mT_rescale=False),
+        cfg.replace(operation=1))
+    # smooth_spectra_vah always applies its aL rescale; compare at the
+    # physics level with a tolerance absorbing the quadrature difference
+    want = np.asarray(observables.dN_dy(spectra, grid))[:, 0]
+    np.testing.assert_allclose(dX["dN_dy"], want, rtol=2e-3)  # fixed-node
+    # dN/dX vs adaptive-node spectra: difference is pure eta-quadrature error
+    # histogram consistency: binned totals equal the momentum-integrated sum
+    np.testing.assert_allclose(dX["raw_tau_hist"].sum(), dX["dN_dy"].sum(),
+                               rtol=1e-10)
