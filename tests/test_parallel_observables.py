@@ -250,3 +250,29 @@ def test_api_routes_mesh_everywhere(tmp_path, smash_table, df_data):
     src = inspect.getsource(api_mod.IS3D)
     # every kernel call site passes the mesh through
     assert src.count("mesh=self.mesh") >= 4
+
+
+def test_sharded_vah_dndx_matches_single():
+    from is3d_tpu.data import SpeciesArrays
+    from is3d_tpu.io.surface import Surface
+    from is3d_tpu.kernels.dndx import spacetime_distributions
+    from test_vah import make_vah_cells
+    rng = np.random.default_rng(76)
+    cells = make_vah_cells(21, rng, dimension=2)
+    surf = Surface(**{k: jnp.asarray(v) for k, v in cells.items()})
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=4, n_eta=8)
+    cfg = Config(operation=0, mode=2, dimension=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 cell_chunk=4, tau_min=0.0, tau_max=12.0, tau_bins=10,
+                 r_min=0.0, r_max=12.0, r_bins=8)
+    z = jnp.zeros(1)
+    sp = SpeciesArrays(mass=jnp.asarray([0.139]), sign=jnp.asarray([-1.0]),
+                       degeneracy=jnp.asarray([1.0]),
+                       baryon=jnp.asarray([0.0]), equilibrium_density=z,
+                       bulk_density=z, diff_density=z)
+    single = spacetime_distributions(surf, sp, grid, None, cfg)
+    sharded = spacetime_distributions(surf, sp, grid, None, cfg,
+                                      mesh=default_mesh(axis=cfg.mesh_axis))
+    for k in ("dN_dy", "dN_dydeta", "dN_taudtaudy", "dN_twopirdrdy"):
+        np.testing.assert_allclose(sharded[k], single[k],
+                                   rtol=1e-12, atol=1e-20, err_msg=k)
