@@ -176,7 +176,7 @@ def native_momentum_grid(dimension: int,
                          n_pT: int = 32, pT_max: float = 4.0,
                          n_phi: int = 24,
                          n_y: int = 21, y_max: float = 5.0,
-                         n_eta: int = 64, eta_max: float = 7.0,
+                         n_eta: int = 48, eta_max: float = 7.0,
                          dtype=jnp.float64,
                          eta_mT_rescale: bool | None = None) -> MomentumGrid:
     """Generate a self-contained grid (no table files needed): Gauss-Legendre
@@ -185,7 +185,9 @@ def native_momentum_grid(dimension: int,
     2+1D native grids default to the mT-adaptive eta-node remap (see
     MomentumGrid.eta_mT_rescale) so the spectra are quadrature-converged
     out to the pT grid edge; pass eta_mT_rescale=False for fixed-node
-    (reference-table-like) semantics."""
+    (reference-table-like) semantics.  The default n_eta = 48 is
+    convergence-tested for the remapped kernels (smooth/feqmod/VAH/polzn
+    convergence tests); raise it when opting out of the remap."""
     pT, pTw = gauss_legendre(n_pT, 0.0, pT_max)
     phi, phiw = gauss_legendre(n_phi, 0.0, 2.0 * np.pi)
     yv = np.linspace(-y_max, y_max, n_y)
