@@ -6,7 +6,7 @@ sampling, resonance-decay feed-down, spin polarization), built for SPMD
 execution over TPU device meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .config import Config, load_config  # noqa: F401
 from .units import HBARC  # noqa: F401
