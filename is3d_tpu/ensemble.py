@@ -85,7 +85,7 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
     manifest = {"base_seed": base_seed, "events_per_batch": events_per_batch,
                 "n_events_needed": n_events_needed, "batches": {},
                 "worker_id": worker_id, "n_workers": n_workers,
-                "mesh_shards": mesh_shards}
+                "mesh_shards": mesh_shards, "max_batches": max_batches}
     if os.path.exists(manifest_path):
         if not resume:
             raise ValueError(
@@ -112,6 +112,11 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                 f"{prev.get('n_workers', 1)}; refusing to resume with "
                 "different parameters (would silently mix sample streams)")
         manifest = prev
+        # max_batches is a run-length cap, not a stream parameter: batch
+        # seeds/contents don't depend on it, so resuming with a different
+        # cap is legitimate (it is how interrupted runs are tested); keep
+        # the manifest's recorded value current for merge_manifests
+        manifest["max_batches"] = max_batches
 
     # deterministic batch plan: the event count of batch i depends only on
     # (n_events_needed, events_per_batch), so a resumed run re-derives the
@@ -160,7 +165,10 @@ def merge_manifests(out_dir: str, n_workers: int) -> dict:
     complete, missing_batches)."""
     merged = None
     for k in range(n_workers):
-        path = os.path.join(out_dir, f"manifest_worker{k}.json")
+        # a single-worker run writes the plain manifest.json name
+        name = ("manifest.json" if n_workers == 1
+                else f"manifest_worker{k}.json")
+        path = os.path.join(out_dir, name)
         if not os.path.exists(path):
             raise FileNotFoundError(f"missing worker manifest: {path}")
         with open(path) as f:
@@ -168,23 +176,27 @@ def merge_manifests(out_dir: str, n_workers: int) -> dict:
         if merged is None:
             merged = {key: m[key] for key in
                       ("base_seed", "events_per_batch", "n_events_needed")}
-            merged.update(n_workers=n_workers, batches={})
+            merged.update(n_workers=n_workers, batches={},
+                          max_batches=m.get("max_batches", 1000),
+                          mesh_shards=m.get("mesh_shards", 0))
         else:
-            for key in ("base_seed", "events_per_batch", "n_events_needed"):
-                if m.get(key) != merged[key]:
+            for key in ("base_seed", "events_per_batch", "n_events_needed",
+                        "max_batches", "mesh_shards"):
+                if m.get(key, merged.get(key)) != merged.get(key):
                     raise ValueError(
                         f"worker {k} manifest disagrees on {key}: "
-                        f"{m.get(key)} != {merged[key]}")
+                        f"{m.get(key)} != {merged.get(key)}")
         if m.get("n_workers", 1) != n_workers:
             raise ValueError(
                 f"worker {k} ran with n_workers={m.get('n_workers', 1)}, "
                 f"expected {n_workers}")
         merged["batches"].update(m["batches"])
 
-    # re-derive the batch plan and report holes
+    # re-derive the batch plan -- with the same max_batches cap the workers
+    # applied -- and report holes
     plan = []
     left = merged["n_events_needed"]
-    while left > 0:
+    while left > 0 and len(plan) < merged["max_batches"]:
         plan.append(min(merged["events_per_batch"], left))
         left -= plan[-1]
     missing = [b for b in range(len(plan))
@@ -236,12 +248,29 @@ def multiprocess_oversample(run_dir: str, out_dir: str, n_workers: int = 2,
     for k, v in (overrides or {}).items():
         args_common.append(f"{k}={v}")
 
+    import time as _time
+
     procs = []
     for w in range(n_workers):
         cmd = [sys.executable, "-m", "is3d_tpu.ensemble_worker",
                f"worker_id={w}", *args_common]
         procs.append(subprocess.Popen(cmd))
-    rcs = [p.wait(timeout=timeout) for p in procs]
+    deadline = _time.monotonic() + timeout
+    try:
+        rcs = [p.wait(timeout=max(1.0, deadline - _time.monotonic()))
+               for p in procs]
+    except subprocess.TimeoutExpired:
+        # one shared deadline for the whole pool; kill every straggler so
+        # no orphan worker keeps appending batches to out_dir
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            p.wait()
+        raise RuntimeError(
+            f"oversample worker pool exceeded {timeout:.0f} s; all workers "
+            "killed -- re-launch multiprocess_oversample to resume from "
+            "the per-batch checkpoints")
     bad = [(w, rc) for w, rc in enumerate(rcs) if rc != 0]
     if bad:
         raise RuntimeError(

@@ -203,3 +203,17 @@ def native_momentum_grid(dimension: int,
         np.stack([yv, yw], 1), np.stack([etav, etaw], 1),
         dimension, dtype=dtype)
     return grid.replace(eta_mT_rescale=bool(eta_mT_rescale))
+
+
+def laguerre_device(n_points: int = 32, alphas=(1, 2), dtype=None) -> dict:
+    """Gauss-Laguerre {alpha: (nodes, weights)} as device arrays.
+
+    The single shared builder for every kernel path that integrates
+    thermal moments on device (feqmod spectra, sharded spectra, dN/dX,
+    sampler): one place to change the node count or alpha set."""
+    raw = gauss_laguerre(n_points, alphas=tuple(alphas))
+    if dtype is None:
+        cast = jnp.asarray
+    else:
+        cast = lambda a: jnp.asarray(a, dtype=dtype)
+    return {a: (cast(r), cast(w)) for a, (r, w) in raw.items()}

@@ -141,10 +141,8 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     OpenMP-parallelizes this kernel the same way as the spectra loop,
     emissionfunction_smooth_kernels.cpp:1000-2135)."""
     if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3) and laguerre is None:
-        from ..io.tables import gauss_laguerre
-        raw = gauss_laguerre(32, alphas=(1, 2))
-        laguerre = {a: (jnp.asarray(r), jnp.asarray(w))
-                    for a, (r, w) in raw.items()}
+        from ..io.tables import laguerre_device
+        laguerre = laguerre_device()
     if cfg.mode in (2, 3):
         from .vah import vah_surface_cols
         cols = vah_surface_cols(surface)

@@ -359,40 +359,11 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         # The detA factor of the fixed-node substitution is dropped from
         # the node map (its 1/detA jacobian is applied to renorm in
         # _prepare_feqmod_cells instead); s(mT) rides the weights below.
-        from .smooth import _rescaled_eta_operands
-        (CHR, SHR, CHR2, SHR2, CHRSHR, chs, shs,
-         s_flat) = _rescaled_eta_operands(c, species, grid, S, P, F, M)
-        cb4 = cb
-        dan_t = c["dan"] / tau
-        tun = tau * c["un"]
-        tVn = tau * c["Vn"]
-        t_pinn = tau * tau * c["pinn"]
-        t_pitn = tau * c["pitn"]
-        A1a = cb4(chs * c["dat"] - shs * dan_t)
-        A1b = cb4(shs * c["dat"] - chs * dan_t)
-        B1a = cb4(chs * c["ut"] + shs * tun)
-        B1b = cb4(shs * c["ut"] + chs * tun)
-        D1a = cb4(chs * c["Vt"] + shs * tVn)
-        D1b = cb4(shs * c["Vt"] + chs * tVn)
-        C2a = cb4(-2.0 * (chs * c["pitx"] + shs * tau * c["pixn"]))
-        C2b = cb4(-2.0 * (shs * c["pitx"] + chs * tau * c["pixn"]))
-        C3a = cb4(-2.0 * (chs * c["pity"] + shs * tau * c["piyn"]))
-        C3b = cb4(-2.0 * (shs * c["pity"] + chs * tau * c["piyn"]))
-        chshs2 = 2.0 * chs * shs
-        C1a = cb4(chs * chs * c["pitt"] + shs * shs * t_pinn
-                  + chshs2 * t_pitn)
-        C1b = cb4(shs * shs * c["pitt"] + chs * chs * t_pinn
-                  + chshs2 * t_pitn)
-        C1c = cb4(chshs2 * (c["pitt"] + t_pinn)
-                  + 2.0 * (chs * chs + shs * shs) * t_pitn)
-        pxm = pxf[None, None, None, :]
-        pym = pyf[None, None, None, :]
-        pds_u = CHR * A1a + SHR * A1b + cm(W1)
-        pdotu = CHR * B1a + SHR * B1b - cm(W2)
-        pipp = (CHR2 * C1a + SHR2 * C1b + CHRSHR * C1c
-                + (CHR * C2a + SHR * C2b) * pxm
-                + (CHR * C3a + SHR * C3b) * pym + cm(C4))
-        Vp = CHR * D1a + SHR * D1b - cm(D2)
+        from .smooth import _rescaled_eta_operands, _rescaled_vh_terms
+        ops = _rescaled_eta_operands(c, species, grid, S, P, F, M)
+        CHR, SHR, _, _, _, chs, shs, s_flat = ops
+        pds_u, pdotu, pipp, Vp = _rescaled_vh_terms(c, ops, W1, W2, C4, D2,
+                                                    pxf, pyf)
         delta_u = None    # only consulted on the 3+1D narrow-cell mask
     else:
         # rapidity factors: unscaled (fallback) and detA-scaled (feqmod)
@@ -562,8 +533,7 @@ def smooth_spectra_feqmod(surface, species: SpeciesArrays, grid: MomentumGrid,
     if cfg.df_mode not in (3, 4):
         raise ValueError("smooth_spectra_feqmod handles df modes 3-4")
     if laguerre is None:
-        from ..io.tables import gauss_laguerre
-        raw = gauss_laguerre(32, alphas=(1, 2))
-        laguerre = {a: (jnp.asarray(r), jnp.asarray(w)) for a, (r, w) in raw.items()}
+        from ..io.tables import laguerre_device
+        laguerre = laguerre_device()
     cols = surface_columns(surface, cfg)
     return _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg)

@@ -48,11 +48,20 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
         # mT-adaptive eta-node remap (exact substitution, same trick as
         # the spectra kernels): S_mu(p) and Snorm are pT-differential, so
         # per-(species, pT) node positions are legitimate here (unlike
-        # dN/dX's eta-differential outputs).  Jacobian applied below.
-        T_REF = jnp.asarray(0.15, mT.dtype)
+        # dN/dX's eta-differential outputs).  Like the spectra kernels the
+        # nodes are recentered on the cell's longitudinal-flow rapidity
+        # y_flow = atanh(tau u^eta / u^tau) -- without the shift the
+        # narrowed span can miss a flow-shifted integrand peak at high pT.
+        # Jacobian applied below (the shift's jacobian is 1).
+        from .smooth import ETA_REMAP_T_REF
+        T_REF = jnp.asarray(ETA_REMAP_T_REF, mT.dtype)
         s_sp = jnp.sqrt(T_REF / jnp.maximum(mT, T_REF))     # (S,P)
-        delta = -(s_sp[None, :, :, None, None]
-                  * grid.eta[None, None, None, None, :])    # (1,S,P,1,R)
+        yfl = jnp.arctanh(c["tau"] * c["un"] / c["ut"])     # (C,)
+        # Delta = y - eta_phys sampled at y_flow - s*eta_r: centered on the
+        # integrand peak Delta* = +y_flow = atanh(tau u^eta / u^tau)
+        delta = (yfl[:, None, None, None, None]
+                 - s_sp[None, :, :, None, None]
+                 * grid.eta[None, None, None, None, :])     # (C,S,P,1,R)
         ch = jnp.cosh(delta)
         sh = jnp.sinh(delta)
         eta_jac = s_sp[None, :, :, None, None]

@@ -867,10 +867,8 @@ def _reconstruct_packed(packed: dict, mcids_sorted, mcid_order,
             / np.maximum(packed["E"] - packed["pz"], 1e-45))
 
 def _laguerre_device(dtype):
-    from ..io.tables import gauss_laguerre
-    raw = gauss_laguerre(32, alphas=(1, 2))
-    return {a: (jnp.asarray(r, dtype=dtype), jnp.asarray(w, dtype=dtype))
-            for a, (r, w) in raw.items()}
+    from ..io.tables import laguerre_device
+    return laguerre_device(32, (1, 2), dtype=dtype)
 
 
 def _sampler_cols(surface, cfg):
@@ -1063,19 +1061,13 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
     cols = (_vah_sampler_cols(surface, cfg) if cfg.mode in (2, 3)
             else _sampler_cols(surface, cfg))
 
-    # pad to a multiple of n_dev with inert cells (dsigma = 0 => dn_tot = 0)
+    # pad to a multiple of n_dev with inert cells (dsigma pads to 0 =>
+    # dn_tot = 0; physical fields pad to 1 -- shared fill list with the
+    # smooth sharded path)
+    from ..parallel.mesh import _pad_cols_to
     n = cols["tau"].shape[0]
     per_dev = -(-n // n_dev)
-    pad = per_dev * n_dev - n
-    if pad:
-        out_cols = {}
-        for k, v in cols.items():
-            fill = 1.0 if k in ("tau", "T", "E", "P", "Lambda", "aL") else 0.0
-            out_cols[k] = jnp.concatenate(
-                [v, jnp.full((pad,), fill, dtype=v.dtype)])
-        for k in ("dat", "dax", "day", "dan"):
-            out_cols[k] = out_cols[k].at[n:].set(0.0)
-        cols = out_cols
+    cols, _ = _pad_cols_to(cols, per_dev * n_dev)
 
     plasma_avg = (jnp.asarray(plasma.temperature, dtype),
                   jnp.asarray(plasma.baryon_chemical_potential, dtype))
@@ -1161,8 +1153,10 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
                  .at[idx].set(out[k].reshape(-1), mode="drop")
             for k in PACK_FIELDS}
         counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
-        res = (_pack_cast(packed, cfg), counts, jnp.sum(out["acceptances"]),
-               jnp.sum(out["samples"]))
+        # per-event statistics so the host can exclude ragged-tail events
+        # (dispatched for shape stability but never returned)
+        res = (_pack_cast(packed, cfg), counts, out["acceptances"],
+               out["samples"])
         return jax.tree.map(lambda a: a[None], res)  # leading device axis
 
     mcids_np = np.asarray(mcids, dtype=np.int64)
@@ -1183,8 +1177,8 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
                 f"sharded sampler packed-output overflow: "
                 f"{int(counts.sum(axis=1).max())} kept hadrons on one shard "
                 f"> capacity {cap_shard}")
-        total_acc += int(np.asarray(acc).sum())
-        total_samp += int(np.asarray(samp).sum())
+        total_acc += int(np.asarray(acc)[:, :b].sum())
+        total_samp += int(np.asarray(samp)[:, :b].sum())
         _reconstruct_packed(packed, mcids_sorted, mcid_order, mass_np)
         offsets = np.concatenate(
             [np.zeros((n_dev, 1), np.int64), np.cumsum(counts, axis=1)],

@@ -219,40 +219,10 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
         # X = chr*(chs*a - shs*b) + shr*(shs*a - chs*b), which preserves
         # the per-point fused-multiply-add structure at ~2x the fma count
         # (the kernel is transcendental/layout-bound, not fma-bound).
-        (CHR, SHR, CHR2, SHR2, CHRSHR, chs, shs,
-         s_flat) = _rescaled_eta_operands(c, species, grid, S, P, F, M)
-        dan_t = c["dan"] / tau
-        tun = tau * c["un"]
-        tVn = tau * c["Vn"]
-        t_pinn = tau * tau * c["pinn"]
-        t_pitn = tau * c["pitn"]
-        cb4 = lambda x: x[:, None, None, None]
-        A1a = cb4(chs * c["dat"] - shs * dan_t)
-        A1b = cb4(shs * c["dat"] - chs * dan_t)
-        B1a = cb4(chs * c["ut"] + shs * tun)
-        B1b = cb4(shs * c["ut"] + chs * tun)
-        D1a = cb4(chs * c["Vt"] + shs * tVn)
-        D1b = cb4(shs * c["Vt"] + chs * tVn)
-        C2a = cb4(-2.0 * (chs * c["pitx"] + shs * tau * c["pixn"]))
-        C2b = cb4(-2.0 * (shs * c["pitx"] + chs * tau * c["pixn"]))
-        C3a = cb4(-2.0 * (chs * c["pity"] + shs * tau * c["piyn"]))
-        C3b = cb4(-2.0 * (shs * c["pity"] + chs * tau * c["piyn"]))
-        chshs2 = 2.0 * chs * shs
-        C1a = cb4(chs * chs * c["pitt"] + shs * shs * t_pinn
-                  + chshs2 * t_pitn)
-        C1b = cb4(shs * shs * c["pitt"] + chs * chs * t_pinn
-                  + chshs2 * t_pitn)
-        C1c = cb4(chshs2 * (c["pitt"] + t_pinn)
-                  + 2.0 * (chs * chs + shs * shs) * t_pitn)
-
-        pxm = pxf[None, None, None, :]
-        pym = pyf[None, None, None, :]
-        pds = CHR * A1a + SHR * A1b + cm(W1)
-        pdotu = CHR * B1a + SHR * B1b - cm(W2)
-        pipp = (CHR2 * C1a + SHR2 * C1b + CHRSHR * C1c
-                + (CHR * C2a + SHR * C2b) * pxm
-                + (CHR * C3a + SHR * C3b) * pym + cm(C4))
-        Vp = CHR * D1a + SHR * D1b - cm(D2)
+        ops = _rescaled_eta_operands(c, species, grid, S, P, F, M)
+        s_flat = ops[-1]
+        pds, pdotu, pipp, Vp = _rescaled_vh_terms(c, ops, W1, W2, C4, D2,
+                                                  pxf, pyf)
     else:
         ch, sh = _rapidity_factors(c, grid, cfg.dimension)  # (C,R)
         t_sh = sh * tau[:, None]
@@ -307,6 +277,52 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     return CF_PREFACTOR * deg * out
 
 
+# reference temperature of the eta-node remap's s(mT) = sqrt(T_ref/mT)
+# span matching; shared by smooth, feqmod, and polzn
+ETA_REMAP_T_REF = 0.15
+
+
+def _rescaled_vh_terms(c: dict, ops, W1, W2, C4, D2, pxf, pyf):
+    """(pds, pdotu, pipp, Vp) in the (C, R, S, M) block from the remapped
+    eta operands -- the addition-theorem split shared verbatim by the
+    linear-df and feqmod kernels (see _chunk_contribution for the
+    derivation and sign conventions)."""
+    CHR, SHR, CHR2, SHR2, CHRSHR, chs, shs, _ = ops
+    cm = lambda x: x[:, None, None, :]
+    cb4 = lambda x: x[:, None, None, None]
+    tau = c["tau"]
+    dan_t = c["dan"] / tau
+    tun = tau * c["un"]
+    tVn = tau * c["Vn"]
+    t_pinn = tau * tau * c["pinn"]
+    t_pitn = tau * c["pitn"]
+    A1a = cb4(chs * c["dat"] - shs * dan_t)
+    A1b = cb4(shs * c["dat"] - chs * dan_t)
+    B1a = cb4(chs * c["ut"] + shs * tun)
+    B1b = cb4(shs * c["ut"] + chs * tun)
+    D1a = cb4(chs * c["Vt"] + shs * tVn)
+    D1b = cb4(shs * c["Vt"] + chs * tVn)
+    C2a = cb4(-2.0 * (chs * c["pitx"] + shs * tau * c["pixn"]))
+    C2b = cb4(-2.0 * (shs * c["pitx"] + chs * tau * c["pixn"]))
+    C3a = cb4(-2.0 * (chs * c["pity"] + shs * tau * c["piyn"]))
+    C3b = cb4(-2.0 * (shs * c["pity"] + chs * tau * c["piyn"]))
+    chshs2 = 2.0 * chs * shs
+    C1a = cb4(chs * chs * c["pitt"] + shs * shs * t_pinn + chshs2 * t_pitn)
+    C1b = cb4(shs * shs * c["pitt"] + chs * chs * t_pinn + chshs2 * t_pitn)
+    C1c = cb4(chshs2 * (c["pitt"] + t_pinn)
+              + 2.0 * (chs * chs + shs * shs) * t_pitn)
+
+    pxm = pxf[None, None, None, :]
+    pym = pyf[None, None, None, :]
+    pds = CHR * A1a + SHR * A1b + cm(W1)
+    pdotu = CHR * B1a + SHR * B1b - cm(W2)
+    pipp = (CHR2 * C1a + SHR2 * C1b + CHRSHR * C1c
+            + (CHR * C2a + SHR * C2b) * pxm
+            + (CHR * C3a + SHR * C3b) * pym + cm(C4))
+    Vp = CHR * D1a + SHR * D1b - cm(D2)
+    return pds, pdotu, pipp, Vp
+
+
 def _rescaled_eta_operands(c: dict, species, grid, S: int, P: int, F: int,
                            M: int):
     """Block operands + per-cell boost pair + jacobian for the 2+1D
@@ -316,7 +332,7 @@ def _rescaled_eta_operands(c: dict, species, grid, S: int, P: int, F: int,
     chunk scan), (chs, shs) = (cosh, sinh)(-y_flow) per cell, and the
     s(mT) jacobian flattened to (S, M)."""
     mT, _, _ = _momentum_monomials(species, grid)
-    T_REF = jnp.asarray(0.15, mT.dtype)
+    T_REF = jnp.asarray(ETA_REMAP_T_REF, mT.dtype)
     s_sp = jnp.sqrt(T_REF / jnp.maximum(mT, T_REF))        # (S,P)
     se = s_sp[:, :, None] * grid.eta[None, None, :]        # (S,P,R)
     chr_, shr_ = jnp.cosh(se), jnp.sinh(se)

@@ -97,9 +97,8 @@ def sharded_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
 
 
 def _laguerre_default():
-    from ..io.tables import gauss_laguerre
-    raw = gauss_laguerre(32, alphas=(1, 2))
-    return {a: (jnp.asarray(r), jnp.asarray(w)) for a, (r, w) in raw.items()}
+    from ..io.tables import laguerre_device
+    return laguerre_device()
 
 
 def smooth_spectra_sharded(surface, species, grid, df_data, cfg: Config,

@@ -133,6 +133,9 @@ def test_polzn_eta_mT_rescale_converged():
     (where fixed coarse grids under-resolve the narrow (y-eta) integrand)."""
     rng = np.random.default_rng(46)
     surf, _ = make_surface(12, rng, dimension=2)
+    # strong longitudinal flow: y_flow up to ~1, so the test catches a
+    # remap that narrows the node span without recentering on the peak
+    surf = surf.replace(un=jnp.asarray(rng.uniform(-0.25, 0.25, 12)))
     cfg = Config(mode=5, dimension=2, cell_chunk=4)
     sp = _species(1.11568, 1.0)
     gk = dict(dimension=2, n_pT=6, pT_max=4.0, n_phi=4)
