@@ -771,16 +771,23 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
     return out
 
 
-def _one_event(cell, species: SpeciesArrays, mcid_arr, key, lam, n_cap: int,
+def _one_event(cell, species: SpeciesArrays, key, lam, n_cap: int,
                cfg: Config):
-    """Sample one event into fixed-capacity arrays + keep mask."""
+    """Sample one event into fixed-capacity arrays + keep mask.
+
+    Ships the species INDEX as int16 (not the int32 PDG mcid): the PDG
+    list is <=~460 species, so 2 bytes suffice, and the host maps
+    sidx -> (mcid, mass) with one fancy-index each -- cheaper on the
+    bottleneck D2H link and simpler than the searchsorted-on-mcid
+    reconstruction it replaces."""
+    assert species.n_species <= 32767, "species index must fit int16"
     core = _one_event_lrf(cell, species, key, lam, n_cap, cfg)
     mass = core["mass"]
     lab = _lab_kinematics(core["lab_rows"], mass, core["E"], core["px"],
                           core["py"], core["pz"],
                           jax.random.fold_in(key, 987654321), cfg)
     return dict(
-        keep=core["keep"], mcid=mcid_arr[core["sidx"]], mass=mass,
+        keep=core["keep"], sidx=core["sidx"].astype(jnp.int16), mass=mass,
         tau=lab["tau"], x=lab["x"], y=lab["y"], eta=lab["eta"],
         t=lab["tau"] * lab["cosheta"], z=lab["tau"] * lab["sinheta"],
         E=lab["E"], px=lab["px"], py=lab["py"], pz=lab["pz"], yp=lab["yp"],
@@ -792,9 +799,9 @@ EVENT_FIELDS = ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
                 "E", "px", "py", "pz", "yp")
 # fields actually transferred device->host; the rest are exact functions of
 # these and get rebuilt host-side (the tunnel link is the bottleneck):
-# mass = mass(mcid), E = sqrt(mass^2 + p^2) (on-shell by construction),
-# t = tau cosh(eta), z = tau sinh(eta), yp = atanh(pz / E)
-PACK_FIELDS = ("mcid", "tau", "x", "y", "eta", "px", "py", "pz")
+# mcid = mcids[sidx], mass = mass(sidx), E = sqrt(mass^2 + p^2) (on-shell
+# by construction), t = tau cosh(eta), z = tau sinh(eta), yp = atanh(pz / E)
+PACK_FIELDS = ("sidx", "tau", "x", "y", "eta", "px", "py", "pz")
 
 
 def _pack_cast(packed: dict, cfg: Config) -> dict:
@@ -804,19 +811,20 @@ def _pack_cast(packed: dict, cfg: Config) -> dict:
     absolute on positions (values are O(1-10)), far below both the
     sampler's statistical resolution and the reference's own %.6e output
     precision; E stays exactly on-shell because it is rebuilt host-side
-    from the rounded momenta.  mcid stays int32.  "auto" packs f16 only on
-    the f32/bf16 fast path -- f64 parity runs ship exact values."""
+    from the rounded momenta.  The species index ships as int16 always.
+    "auto" packs f16 only on the f32/bf16 fast path -- f64 parity runs
+    ship exact float values."""
     mode = cfg.sampler_pack
     if mode == "auto":
         mode = "f16" if cfg.precision in ("f32", "bf16") else "f32"
     if mode != "f16":
         return packed
-    return {k: (v if k == "mcid" else v.astype(jnp.float16))
+    return {k: (v if k == "sidx" else v.astype(jnp.float16))
             for k, v in packed.items()}
 
 
 @partial(jax.jit, static_argnames=("n_cap", "cap_total", "cfg"))
-def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
+def _event_batch_packed_jit(cell, species, keys, lam, n_cap: int,
                             cap_total: int, cfg: Config):
     """Event batch with on-device stream compaction: only kept hadrons are
     returned, packed event-major into (cap_total,) arrays.  The device to
@@ -828,7 +836,7 @@ def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
     second random-index gather of the 16 lab fields costs more than the
     transcendentals it saves; the single combined row gather wins.)"""
     out = jax.vmap(
-        lambda k: _one_event(cell, species, mcid_arr, k, lam, n_cap, cfg)
+        lambda k: _one_event(cell, species, k, lam, n_cap, cfg)
     )(keys)
     keep = out["keep"].reshape(-1)
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -845,17 +853,17 @@ def _event_batch_packed_jit(cell, species, mcid_arr, keys, lam, n_cap: int,
 # Host orchestration
 # ======================================================================
 
-def _reconstruct_packed(packed: dict, mcids_sorted, mcid_order,
-                        mass_np) -> None:
+def _reconstruct_packed(packed: dict, mcids_np, mass_np) -> None:
     """Rebuild the derived per-hadron fields host-side from PACK_FIELDS
-    (in place): mass from mcid, on-shell E, (t, z) from (tau, eta), yp.
-    f16-transferred fields are upcast to f32 first (see _pack_cast)."""
+    (in place): (mcid, mass) from the int16 species index, on-shell E,
+    (t, z) from (tau, eta), yp.  f16-transferred fields are upcast to
+    f32 first (see _pack_cast)."""
     for k, v in packed.items():
         if v.dtype == np.float16:
             packed[k] = v.astype(np.float32)
-    pos = np.clip(np.searchsorted(mcids_sorted, packed["mcid"]),
-                  0, len(mcid_order) - 1)
-    packed["mass"] = mass_np[mcid_order[pos]].astype(packed["px"].dtype)
+    sidx = np.clip(packed.pop("sidx").astype(np.int64), 0, len(mcids_np) - 1)
+    packed["mcid"] = mcids_np[sidx]
+    packed["mass"] = mass_np[sidx].astype(packed["px"].dtype)
     # on-shell by construction: E is not transferred at all
     packed["E"] = np.sqrt(packed["mass"]**2 + packed["px"]**2
                           + packed["py"]**2 + packed["pz"]**2)
@@ -967,9 +975,6 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
 
     mcids_np = np.asarray(mcids, dtype=np.int64)
     mass_np = np.asarray(species.mass, dtype=np.float64)
-    mcid_order = np.argsort(mcids_np, kind="stable")
-    mcids_sorted = mcids_np[mcid_order]
-    mcid_arr = jnp.asarray(mcids_np, dtype=jnp.int32)
     lam_dev = jnp.asarray(lam, dtype)
 
     # packed-output capacity: the physical mean yield per event (ntot) times
@@ -1003,7 +1008,7 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         total_acc += int(np.asarray(acc)[:b].sum())
         total_samp += int(np.asarray(samp)[:b].sum())
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        _reconstruct_packed(packed, mcids_sorted, mcid_order, mass_np)
+        _reconstruct_packed(packed, mcids_np, mass_np)
         for e in range(b):
             lo, hi = int(offsets[e]), int(offsets[e + 1])
             events.append({k: packed[k][lo:hi] for k in EVENT_FIELDS})
@@ -1020,7 +1025,7 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
             jnp.arange(start, start + B))
         packed, counts, acc, samp = _event_batch_packed_jit(
-            cell, species, mcid_arr, keys, lam_dev, n_cap, cap_total, cfg)
+            cell, species, keys, lam_dev, n_cap, cap_total, cfg)
         in_flight.append((b, packed, counts, acc, samp))
         if len(in_flight) > 3:
             drain(in_flight.pop(0))
@@ -1071,7 +1076,6 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
 
     plasma_avg = (jnp.asarray(plasma.temperature, dtype),
                   jnp.asarray(plasma.baryon_chemical_potential, dtype))
-    mcid_arr = jnp.asarray(np.asarray(mcids), dtype=jnp.int32)
 
     def cell_data(cols_in, species_in, df_in, lag_in, plasma_in):
         if cfg.mode in (2, 3):
@@ -1140,9 +1144,8 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
         dev = jax.lax.axis_index(axis)
 
         def one(k):
-            return _one_event(cell, species_r, mcid_arr,
-                              jax.random.fold_in(k, dev), lam_local, n_cap,
-                              cfg)
+            return _one_event(cell, species_r, jax.random.fold_in(k, dev),
+                              lam_local, n_cap, cfg)
 
         out = jax.vmap(one)(keys_r)
         keep = out["keep"].reshape(-1)
@@ -1161,8 +1164,6 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
 
     mcids_np = np.asarray(mcids, dtype=np.int64)
     mass_np = np.asarray(species.mass, dtype=np.float64)
-    mcid_order = np.argsort(mcids_np, kind="stable")
-    mcids_sorted = mcids_np[mcid_order]
 
     events = []
     total_acc = total_samp = 0
@@ -1179,7 +1180,7 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
                 f"> capacity {cap_shard}")
         total_acc += int(np.asarray(acc)[:, :b].sum())
         total_samp += int(np.asarray(samp)[:, :b].sum())
-        _reconstruct_packed(packed, mcids_sorted, mcid_order, mass_np)
+        _reconstruct_packed(packed, mcids_np, mass_np)
         offsets = np.concatenate(
             [np.zeros((n_dev, 1), np.int64), np.cumsum(counts, axis=1)],
             axis=1)                              # (D, B+1)
