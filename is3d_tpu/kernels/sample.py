@@ -853,6 +853,21 @@ def _event_batch_packed_jit(cell, species, keys, lam, n_cap: int,
 # Host orchestration
 # ======================================================================
 
+def _start_host_transfers(packed: dict, *extras) -> None:
+    """Queue the device->host copies for a just-dispatched batch.
+
+    np.asarray on a jax.Array only STARTS the transfer when called, so
+    without this the drain loop serializes transfer behind compute.
+    copy_to_host_async makes the copy begin the moment each result is
+    ready on device, overlapping with the in-flight batches' compute on
+    the bottleneck link."""
+    for v in (*packed.values(), *extras):
+        try:
+            v.copy_to_host_async()
+        except AttributeError:
+            pass                        # already a numpy array (CPU tests)
+
+
 def _reconstruct_packed(packed: dict, mcids_np, mass_np) -> None:
     """Rebuild the derived per-hadron fields host-side from PACK_FIELDS
     (in place): (mcid, mass) from the int16 species index, on-shell E,
@@ -1026,6 +1041,7 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
             jnp.arange(start, start + B))
         packed, counts, acc, samp = _event_batch_packed_jit(
             cell, species, keys, lam_dev, n_cap, cap_total, cfg)
+        _start_host_transfers(packed, counts, acc, samp)
         in_flight.append((b, packed, counts, acc, samp))
         if len(in_flight) > 3:
             drain(in_flight.pop(0))
@@ -1199,6 +1215,7 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
             jnp.arange(start, start + B))
         packed, counts, acc, samp = run(cols, species, df_data, laguerre,
                                         plasma_avg, keys)
+        _start_host_transfers(packed, counts, acc, samp)
         in_flight.append((b, packed, counts, acc, samp))
         if len(in_flight) > 3:
             drain(in_flight.pop(0))
