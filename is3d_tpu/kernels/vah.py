@@ -71,7 +71,16 @@ def _chunk_vah(c, valid, species, grid, cfg, pointwise: bool = False):
         lam_c = c["Lambda"][:, None, None]
         eta_scale = c["aL"][:, None, None] * jnp.sqrt(
             lam_c / jnp.maximum(mT[None, :, :], lam_c))      # (C,S,P)
-        delta = -eta_scale[..., None] * grid.eta[None, None, None, :]
+        # recenter on the cell's longitudinal-flow rapidity: the f_a
+        # argument peaks at delta = y_flow = atanh(tau u^eta / u^tau)
+        # (p.u = mT u0_perp cosh(delta - y_flow) - p_perp.u_perp), so the
+        # narrowed node span is placed there, delta = y_flow - s*eta --
+        # same recentering as the VH remap (_rescaled_eta_operands) and
+        # the polzn kernel; without it a flow-shifted peak at high pT
+        # falls outside the s-narrowed span
+        y_flow = jnp.arctanh(c["tau"] * c["un"] / c["ut"])
+        delta = (y_flow[:, None, None, None]
+                 - eta_scale[..., None] * grid.eta[None, None, None, :])
         ch_b = jnp.cosh(delta)[:, :, :, None, :]             # (C,S,P,1,R)
         sh_b = jnp.sinh(delta)[:, :, :, None, :]
     else:

@@ -34,7 +34,11 @@ def make_vah_cells(n, rng, dimension=2):
     )
 
 
-def oracle_vah(cells, mass, sign, deg, grid, cfg):
+def oracle_vah(cells, mass, sign, deg, grid, cfg, remap=True):
+    """Direct numpy integral.  remap=True mirrors the kernel's
+    mT-adaptive eta-node map node-exactly; remap=False integrates on the
+    grid's raw (fixed) eta nodes -- with a dense wide grid that is the
+    ground truth any node map must converge to."""
     pT = np.asarray(grid.pT); phi = np.asarray(grid.phi)
     eta = np.asarray(grid.eta); etaw = np.asarray(grid.eta_weight)
     ys = [0.0] if cfg.dimension == 2 else list(np.asarray(grid.y))
@@ -53,12 +57,16 @@ def oracle_vah(cells, mass, sign, deg, grid, cfg):
         xiL = 1.0 / aL**2 - 1.0
         for i, pt_ in enumerate(pT):
             mT = np.sqrt(mass**2 + pt_**2)
-            if cfg.dimension == 2:
-                # same exact eta -> s*eta substitution the kernel applies,
-                # s = aL sqrt(lam / max(mT, lam)) (resolves the narrowed
-                # integrand at high mT; jacobian in the weight)
+            if cfg.dimension == 2 and remap:
+                # same exact eta -> -y_flow + s*eta substitution the
+                # kernel applies, s = aL sqrt(lam / max(mT, lam)) (resolves
+                # the narrowed integrand at high mT, centered on the cell's
+                # longitudinal-flow rapidity; jacobian in the weight)
                 s = aL * np.sqrt(lam / max(mT, lam))
-                etas, ws = s * eta, s * etaw
+                y_flow = np.arctanh(tau * un / ut)
+                etas, ws = -y_flow + s * eta, s * etaw
+            elif cfg.dimension == 2:
+                etas, ws = eta, etaw
             else:
                 etas, ws = [cells["eta"][ic]], [1.0]
             for j, ph in enumerate(phi):
@@ -191,3 +199,43 @@ def test_vah_eta_quadrature_converged_at_high_pT():
                              n_eta=48)
     got = np.asarray(smooth_spectra_vah(surf, sp, g, cfg))
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_vah_eta_quadrature_converged_under_strong_flow():
+    """The eta-node span must stay centered on the cell's
+    longitudinal-flow rapidity: with tau*un large (y_flow ~ 0.7-0.95,
+    beyond the s(mT)-narrowed span s*eta_max ~ 0.8 at the pT = 4 GeV
+    grid edge) an uncentered map loses the integrand peak entirely.
+    The reference here is the GROUND-TRUTH integral on dense FIXED
+    nodes over the full eta range (remap=False oracle) -- a dense run
+    of the remapped kernel itself would share the remap's domain and
+    could not detect mis-centering."""
+    rng = np.random.default_rng(654)
+    n = 6
+    cells = make_vah_cells(n, rng, dimension=2)
+    cells["tau"] = rng.uniform(8.0, 10.0, n)
+    cells["un"] = rng.uniform(0.09, 0.13, n) * rng.choice([-1, 1], n)
+    cells["c0"] = np.full(n, 0.3); cells["c1"] = np.full(n, 0.05)
+    cells["c2"] = np.full(n, 0.07); cells["c3"] = np.full(n, 0.1)
+    cells["c4"] = np.full(n, 0.2)
+    cfg = Config(mode=2, dimension=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 cell_chunk=6)
+    z = jnp.zeros(1)
+    sp = SpeciesArrays(mass=jnp.asarray([0.139]), sign=jnp.asarray([-1.0]),
+                       degeneracy=jnp.asarray([1.0]), baryon=jnp.asarray([0.0]),
+                       equilibrium_density=z, bulk_density=z, diff_density=z)
+    truth_grid = native_momentum_grid(dimension=2, n_pT=4, pT_max=4.0,
+                                      n_phi=2, n_eta=2048, eta_max=8.0)
+    truth = oracle_vah(cells, 0.139, -1.0, 1.0, truth_grid, cfg,
+                       remap=False)
+    g = native_momentum_grid(dimension=2, n_pT=4, pT_max=4.0, n_phi=2,
+                             n_eta=48)
+    from is3d_tpu.kernels.vah import _vah_jit
+    cols = {k: jnp.asarray(v) for k, v in cells.items()
+            if k not in ("x", "y", "T", "E", "P")}
+    got = np.asarray(_vah_jit(cols, sp, g, cfg))[0]
+    # centered map measures <= 1.6e-5 here; the uncentered one is ~15x
+    # worse (2.2e-4 at the pT edge: the narrowed span's edge clips the
+    # flow-shifted peak), so 1e-4 discriminates with margin both ways
+    np.testing.assert_allclose(got, truth, rtol=1e-4)
