@@ -853,6 +853,40 @@ def _event_batch_packed_jit(cell, species, keys, lam, n_cap: int,
 # Host orchestration
 # ======================================================================
 
+class _phase_timer:
+    """Opt-in phase breakdown of the sampler's host loop
+    (IS3D_SAMPLER_TIMINGS=1): wall seconds in dispatch (async enqueue),
+    transfer_wait (blocking on device results), host_assembly (numpy
+    reconstruction + per-event slicing).  No-op otherwise."""
+
+    def __init__(self):
+        import os
+        self.enabled = os.environ.get("IS3D_SAMPLER_TIMINGS", "") == "1"
+        self.acc = {}
+        self._phase = None
+
+    def __call__(self, phase):
+        self._phase = phase
+        return self
+
+    def __enter__(self):
+        if self.enabled:
+            import time
+            self._t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            import time
+            self.acc[self._phase] = (self.acc.get(self._phase, 0.0)
+                                     + time.perf_counter() - self._t0)
+        return False
+
+    def report(self, label):
+        if self.enabled and self.acc:
+            parts = "  ".join(f"{k}={v:.3f}s" for k, v in self.acc.items())
+            print(f"[{label} timings] {parts}")
+
+
 def _start_host_transfers(packed: dict, *extras) -> None:
     """Queue the device->host copies for a just-dispatched batch.
 
@@ -1009,24 +1043,27 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
 
     events = []
     total_acc = total_samp = 0
+    timings = _phase_timer()
 
     def drain(item):
         nonlocal total_acc, total_samp
         b, packed, counts, acc, samp = item
-        counts = np.asarray(counts)      # blocks on this batch's transfer
-        if int(counts.sum()) > cap_total:
-            raise RuntimeError(
-                f"sampler packed-output overflow: {int(counts.sum())} kept "
-                f"hadrons > capacity {cap_total}; the mean-yield estimate "
-                "is inconsistent with the sampled yield")
-        packed = {k: np.asarray(v) for k, v in packed.items()}
-        total_acc += int(np.asarray(acc)[:b].sum())
-        total_samp += int(np.asarray(samp)[:b].sum())
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        _reconstruct_packed(packed, mcids_np, mass_np)
-        for e in range(b):
-            lo, hi = int(offsets[e]), int(offsets[e + 1])
-            events.append({k: packed[k][lo:hi] for k in EVENT_FIELDS})
+        with timings("transfer_wait"):
+            counts = np.asarray(counts)  # blocks on this batch's transfer
+            if int(counts.sum()) > cap_total:
+                raise RuntimeError(
+                    f"sampler packed-output overflow: {int(counts.sum())} kept "
+                    f"hadrons > capacity {cap_total}; the mean-yield estimate "
+                    "is inconsistent with the sampled yield")
+            packed = {k: np.asarray(v) for k, v in packed.items()}
+            total_acc += int(np.asarray(acc)[:b].sum())
+            total_samp += int(np.asarray(samp)[:b].sum())
+        with timings("host_assembly"):
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            _reconstruct_packed(packed, mcids_np, mass_np)
+            for e in range(b):
+                lo, hi = int(offsets[e]), int(offsets[e + 1])
+                events.append({k: packed[k][lo:hi] for k in EVENT_FIELDS})
 
     # keep a few batches in flight: dispatch is async, so the device
     # computes batch k+1..k+3 while the host blocks on batch k's transfer
@@ -1037,16 +1074,18 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         # dispatch a full-width batch even for the ragged tail: one compiled
         # shape total, and per-event statistics are unchanged because event
         # i depends only on fold_in(base_key, i)
-        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-            jnp.arange(start, start + B))
-        packed, counts, acc, samp = _event_batch_packed_jit(
-            cell, species, keys, lam_dev, n_cap, cap_total, cfg)
-        _start_host_transfers(packed, counts, acc, samp)
+        with timings("dispatch"):
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                jnp.arange(start, start + B))
+            packed, counts, acc, samp = _event_batch_packed_jit(
+                cell, species, keys, lam_dev, n_cap, cap_total, cfg)
+            _start_host_transfers(packed, counts, acc, samp)
         in_flight.append((b, packed, counts, acc, samp))
         if len(in_flight) > 3:
             drain(in_flight.pop(0))
     while in_flight:
         drain(in_flight.pop(0))
+    timings.report("sample_particles")
 
     if total_samp:
         eff = 100.0 * total_acc / total_samp
