@@ -70,6 +70,16 @@ class IS3D:
         self.averages: Optional[ThermoAverages] = None
         self._dtype = jnp.float64 if cfg.precision == "f64" else (
             jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32)
+        if cfg.precision == "f64":
+            import jax
+            if not jax.config.jax_enable_x64:
+                # be explicit instead of letting every jnp.asarray emit a
+                # truncation warning: without x64 the arrays ARE f32
+                print("[is3d_tpu] precision=f64 requested but jax x64 is "
+                      "disabled; computing in f32 (enable with "
+                      "JAX_ENABLE_X64=1 -- f64 is recommended on CPU only; "
+                      "it is emulated and slow on TPU)")
+                self._dtype = jnp.float32
 
     # ------------------------------------------------------------ loading
 

@@ -156,13 +156,10 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     grid = grid.replace(eta_mT_rescale=False)
     lag = (laguerre if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3)
            else jnp.zeros(()))
-    if mesh is not None:
-        from ..parallel.mesh import sharded_cell_reduce
-        kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg)
-        acc = sharded_cell_reduce(kern, cols, (species, grid, df_data, lag),
-                                  cfg, mesh)
-    else:
-        acc = _dndx_jit(cols, species, grid, df_data, lag, cfg)
+    from ..parallel.mesh import grouped_cell_reduce
+    kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg)
+    acc = grouped_cell_reduce(kern, cols, (species, grid, df_data, lag),
+                              cfg, mesh)
     acc = {k: np.asarray(v) for k, v in acc.items()}
 
     dtau = (cfg.tau_max - cfg.tau_min) / cfg.tau_bins

@@ -529,11 +529,17 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config):
 def smooth_spectra_feqmod(surface, species: SpeciesArrays, grid: MomentumGrid,
                           df_data: DeltafData, cfg: Config,
                           laguerre=None) -> jnp.ndarray:
-    """dN/(pT dpT dphi dy) with modified equilibrium df (modes 3-4)."""
+    """dN/(pT dpT dphi dy) with modified equilibrium df (modes 3-4).
+
+    Reduced through the canonical group tree (parallel/mesh.py) so the
+    result is bit-identical to the mesh-sharded path."""
     if cfg.df_mode not in (3, 4):
         raise ValueError("smooth_spectra_feqmod handles df modes 3-4")
     if laguerre is None:
         from ..io.tables import laguerre_device
         laguerre = laguerre_device()
     cols = surface_columns(surface, cfg)
-    return _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg)
+    from ..parallel.mesh import grouped_cell_reduce
+    return grouped_cell_reduce(
+        lambda c, s, g, d, lag: _feqmod_spectra_jit(c, s, g, d, lag, cfg),
+        cols, (species, grid, df_data, laguerre), cfg)

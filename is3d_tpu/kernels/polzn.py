@@ -168,13 +168,10 @@ def spin_polarization(surface, species: SpeciesArrays, grid: MomentumGrid,
     cols["eta"] = (surface.eta if surface.eta is not None
                    else jnp.zeros_like(surface.tau))
     T_avg = jnp.asarray(plasma.temperature, surface.tau.dtype)
-    if mesh is not None:
-        from ..parallel.mesh import sharded_cell_reduce
-        kern = lambda c, s, g, t: _polzn_jit(c, s, g, t, cfg)
-        St, Sx, Sy, Sn, Snorm = sharded_cell_reduce(
-            kern, cols, (species, grid, T_avg), cfg, mesh)
-    else:
-        St, Sx, Sy, Sn, Snorm = _polzn_jit(cols, species, grid, T_avg, cfg)
+    from ..parallel.mesh import grouped_cell_reduce
+    kern = lambda c, s, g, t: _polzn_jit(c, s, g, t, cfg)
+    St, Sx, Sy, Sn, Snorm = grouped_cell_reduce(
+        kern, cols, (species, grid, T_avg), cfg, mesh)
     safe = jnp.where(Snorm == 0.0, 1.0, Snorm)
     return dict(St=St, Sx=Sx, Sy=Sy, Sn=Sn, Snorm=Snorm,
                 St_over_Snorm=St / safe, Sx_over_Snorm=Sx / safe,

@@ -420,25 +420,21 @@ def smooth_spectra(surface, species: SpeciesArrays, grid: MomentumGrid,
     """dN/(pT dpT dphi dy) with linear df (modes 1-2), shape
     (S, n_pT, n_phi, n_y_out).
 
-    On TPU in float32 this dispatches to the hand-written Pallas kernel
-    (kernels/pallas_smooth.py, ~18x the XLA path); float64 parity runs and
-    CPU use the XLA kernel."""
+    The fused-XLA kernel is the production path; the hand-written Pallas
+    kernel (kernels/pallas_smooth.py) is a validated opt-in experiment
+    that currently loses to it (see its docstring).
+
+    The cell reduction runs through the canonical group tree
+    (parallel/mesh.grouped_cell_reduce): bit-identical to the mesh-sharded
+    path, with per-group dispatches bounding single-call runtime (the
+    successor of the cell_slab splitting)."""
     if cfg.df_mode not in (1, 2):
         raise ValueError("smooth_spectra handles df modes 1-2; use "
                          "smooth_spectra_feqmod for modes 3-4")
     cols = surface_columns(surface, cfg)
     from .pallas_smooth import pallas_available, smooth_spectra_pallas
+    from ..parallel.mesh import grouped_cell_reduce
     kern = (smooth_spectra_pallas if pallas_available(cfg, surface.tau.dtype)
-            else lambda c, s, g, d, cf: _smooth_spectra_jit(c, s, g, d, cf))
-
-    # split very large surfaces into slabs: bounds single-dispatch runtime
-    # (serving layers may cap per-call duration) and gives progress points
-    n = cols["tau"].shape[0]
-    if n <= cfg.cell_slab:
-        return kern(cols, species, grid, df_data, cfg)
-    acc = None
-    for lo in range(0, n, cfg.cell_slab):
-        part = {k: v[lo:lo + cfg.cell_slab] for k, v in cols.items()}
-        out = kern(part, species, grid, df_data, cfg)
-        acc = out if acc is None else acc + out
-    return acc
+            else _smooth_spectra_jit)
+    return grouped_cell_reduce(lambda c, s, g, d: kern(c, s, g, d, cfg),
+                               cols, (species, grid, df_data), cfg)

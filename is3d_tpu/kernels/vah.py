@@ -216,8 +216,6 @@ def smooth_spectra_vah(surface, species: SpeciesArrays, grid: MomentumGrid,
     kernels; the reference OpenMP-parallelizes its VAH loop at
     emissionfunction_smooth_kernels.cpp:2206)."""
     cols = vah_surface_cols(surface)
-    if mesh is not None:
-        from ..parallel.mesh import sharded_cell_reduce
-        kern = lambda c, s, g: _vah_jit(c, s, g, cfg)
-        return sharded_cell_reduce(kern, cols, (species, grid), cfg, mesh)
-    return _vah_jit(cols, species, grid, cfg)
+    from ..parallel.mesh import grouped_cell_reduce
+    kern = lambda c, s, g: _vah_jit(c, s, g, cfg)
+    return grouped_cell_reduce(kern, cols, (species, grid), cfg, mesh)

@@ -19,11 +19,30 @@ kernel (:2206), and the spin-polarization kernel
 (emissionfunction_polzn_kernels.cpp:105,220).  The Monte-Carlo sampler's
 multi-chip path lives in kernels/sample.py (sample_particles_sharded).
 
-Because every device runs the identical chunk-scan reduction and the final
-combine is a single deterministic psum tree, results are reproducible for a
-fixed mesh shape; across different shard counts they agree to f.p. addition
-order of the shard boundaries (measured <= 1e-12 relative in f64, see
-tests/test_parallel_observables.py).
+Bit-stability across shardings (the BASELINE.md north star): the cell
+reduction is performed over a CANONICAL GROUP TREE that is a function of the
+global surface size and config only -- never of the device count.  The padded
+cell axis is cut into G = Config.reduce_groups groups at global boundaries;
+each group is reduced by the ordinary sequential chunk scan (identical chunk
+boundaries for every sharding, because the group size is global), and the G
+group partials are combined by a SEQUENTIAL left fold in global group order
+(elementwise adds -- value-deterministic, never a reduction whose order the
+compiler picks).  A mesh only changes WHERE group partials are computed:
+each device scans its own contiguous groups, the partial stack is
+re-assembled in global group order, and the same fold runs.  Device counts
+that divide G (1, 2, 4, 8 by default) therefore produce BIT-IDENTICAL
+spectra for the smooth, feqmod, and VAH kernels -- asserted exactly, 2+1D
+and 3+1D, in tests/test_parallel_observables.py.  Other device counts
+append empty pad groups (exact +0.0 partials) and agree to the -0.0 + 0.0
+edge case.
+
+Known limit: the two multi-output binned kernels (dN/dX, polzn) compile to
+very slightly different instruction schedules inside the group-scan loop
+than standalone, drifting <= 1 ulp between device counts with different
+groups-per-device (measured ~1e-18 absolute in f64; D in {2,4} agree with
+each other, D in {1,8} with single-device).  This is within-kernel codegen
+sensitivity, bounded per value -- NOT reduction-order drift, which would
+grow with the shard count; the combine tree is still canonical.
 """
 
 from __future__ import annotations
@@ -65,35 +84,123 @@ def _pad_cols_to(cols: dict, n_target: int) -> tuple[dict, int]:
     return out, n
 
 
-def sharded_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
-                        cfg: Config, mesh: Mesh):
-    """Run ``kernel_fn(cols_shard, *replicated)`` with ``cols`` sharded along
-    the cell axis of ``mesh`` and psum-reduce the (pytree) result over ICI.
+def canonical_groups(cfg: Config, n_cells: int) -> tuple[int, int]:
+    """(G, group_size) of the canonical reduction tree -- a function of the
+    GLOBAL cell count and config only, never of the device count.  G is
+    raised in multiples of reduce_groups so a group never exceeds the
+    cell_slab dispatch bound."""
+    # cap G at the cell count: tiny surfaces must not pay G x the work in
+    # padded groups (the 1-cell toy surface would otherwise run the whole
+    # momentum block 8 times); still a function of global n only, and
+    # meshes wider than G append empty groups whose exact +0.0 partials
+    # leave the fold bits unchanged
+    G = max(1, min(cfg.reduce_groups, n_cells))
+    G *= max(1, -(-n_cells // (G * cfg.cell_slab)))
+    return G, -(-max(n_cells, 1) // G)
 
-    The cell count need not divide the mesh: the surface is padded with
-    inert cells (dsigma = 0 so u.dsigma = 0 and every kernel's contribution
-    vanishes identically).
+
+def _tree_fold(stacked):
+    """Sequential left fold of a stacked pytree over its leading axis:
+    zeros + x_0 + x_1 + ... in index order.  Elementwise adds only, so the
+    result is a value-deterministic function of the partials (IEEE addition
+    has no compiler-chosen order to vary)."""
+    # seed the carry from the data so its varying-manual-axes type matches
+    # under shard_map as well as plain jit (0.0 * x keeps the value exact)
+    zero = jax.tree.map(
+        lambda x: jnp.zeros(x.shape[1:], x.dtype) + 0.0 * x.reshape(-1)[0],
+        stacked)
+    acc, _ = jax.lax.scan(
+        lambda a, p: (jax.tree.map(jnp.add, a, p), None), zero, stacked)
+    return acc
+
+
+_tree_fold_jit = jax.jit(_tree_fold)
+
+
+def _pad_inert(cols: dict, n_target: int) -> dict:
+    """Pad cell columns to n_target with inert cells: dsigma = 0 so
+    u.dsigma = 0 and every kernel's contribution vanishes identically
+    (validity is owned here, not by the kernel)."""
+    cols, n_valid = _pad_cols_to(cols, n_target)
+    if n_valid != n_target:
+        pad_mask = (jnp.arange(n_target) < n_valid).astype(cols["tau"].dtype)
+        for k in ("dat", "dax", "day", "dan"):
+            cols[k] = cols[k] * pad_mask
+    return cols
+
+
+def grouped_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
+                        cfg: Config, mesh: Mesh | None = None):
+    """Reduce ``kernel_fn(cols_group, *replicated)`` (a pytree of
+    accumulators) over the cell axis through the canonical group tree
+    (module docstring).  With ``mesh``, groups are computed shard-locally
+    and the partial stack is all-gathered over ICI before the fold; the
+    combine tree -- and hence every output bit -- is identical for any
+    device count dividing the group count.
+
+    Without a mesh, groups are dispatched one device call at a time (the
+    successor of the cell_slab splitting: bounds single-call runtime and
+    gives progress points) and folded on the host in the same order.
     """
     axis = cfg.mesh_axis
-    n_dev = mesh.shape[axis]
     n = cols["tau"].shape[0]
-    per_dev = -(-n // n_dev)
-    cols, n_valid = _pad_cols_to(cols, per_dev * n_dev)
-    idx = jnp.arange(per_dev * n_dev)
-    # fold the pad mask into dat/dax/day/dan = 0 => u.dsigma = 0 => cell
-    # contributes exactly zero (validity is owned here, not by the kernel)
-    pad_mask = (idx < n_valid).astype(cols["tau"].dtype)
-    for k in ("dat", "dax", "day", "dan"):
-        cols[k] = cols[k] * pad_mask
+    G, gs = canonical_groups(cfg, n)
+
+    if mesh is not None and mesh.shape[axis] == 1:
+        # a 1-device mesh shards nothing; use the dispatch-per-group path
+        # (on a degenerate mesh XLA fuses across the absent collective
+        # boundary and contracts the feqmod kernel's fmas differently --
+        # measured 1-ulp drift -- so don't compile that variant at all)
+        mesh = None
+
+    if mesh is None:
+        cols = _pad_inert(cols, G * gs)
+        acc = None
+        for g in range(G):
+            sub = {k: v[g * gs:(g + 1) * gs] for k, v in cols.items()}
+            part = kernel_fn(sub, *replicated)
+            if acc is None:
+                acc = jax.tree.map(lambda x: jnp.zeros_like(x) + x, part)
+            else:
+                acc = jax.tree.map(jnp.add, acc, part)
+        return acc
+
+    n_dev = mesh.shape[axis]
+    G_pad = -(-G // n_dev) * n_dev       # whole empty groups when n_dev ∤ G
+    cols = _pad_inert(cols, G_pad * gs)
 
     in_specs = ({k: P(axis) for k in cols},) + tuple(P() for _ in replicated)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P())
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
     def run(cols_shard, *reps):
-        local = kernel_fn(cols_shard, *reps)
-        return jax.lax.psum(local, axis)
+        g_local = cols_shard["tau"].shape[0] // gs
+        grouped = {k: v.reshape(g_local, gs) for k, v in cols_shard.items()}
+        def group_body(_, sub):
+            # barrier-isolate the kernel from the scan machinery: without
+            # it XLA fuses the group slicing / output stacking into the
+            # kernel and contracts fmas differently than the standalone
+            # per-group dispatch (measured ulp-level drift in the binned
+            # dN/dX and polzn kernels at g_local > 1)
+            sub = jax.lax.optimization_barrier(sub)
+            return None, jax.lax.optimization_barrier(kernel_fn(sub, *reps))
 
-    return run(cols, *replicated)
+        _, parts = jax.lax.scan(group_body, None, grouped)
+        # block fusion between the kernel scan and the downstream fold: on
+        # multi-device meshes the collective boundary does this naturally,
+        # but on a 1-device mesh XLA would fuse across it and contract the
+        # fold's adds differently (measured 1-ulp drift in feqmod)
+        return jax.lax.optimization_barrier(parts)
+
+    # the shard_map output stacks every device's group partials along the
+    # leading axis in device (= global group) order; the sequential fold
+    # over that axis is the device-count-independent combine
+    return _tree_fold_jit(run(cols, *replicated))
+
+
+def sharded_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
+                        cfg: Config, mesh: Mesh):
+    """Mesh-sharded canonical cell reduction (see grouped_cell_reduce)."""
+    return grouped_cell_reduce(kernel_fn, cols, replicated, cfg, mesh)
 
 
 def _laguerre_default():

@@ -28,7 +28,11 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("df_mode", [1, 2, 3, 4])
-def test_sharded_matches_single_device(smash_table, df_data, df_mode):
+def test_sharded_bit_identical_to_single_device(smash_table, df_data, df_mode):
+    """Spectra are BIT-IDENTICAL across shardings: the canonical group
+    reduction (parallel/mesh.py) makes the combine tree a function of the
+    global surface size only, so 1-, 2-, 4-, and 8-device meshes must all
+    reproduce the single-device bits exactly (the BASELINE.md north star)."""
     rng = np.random.default_rng(71)
     cells = random_cells(53, rng, dimension=2)   # deliberately not % 8
     grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=12)
@@ -37,28 +41,32 @@ def test_sharded_matches_single_device(smash_table, df_data, df_mode):
     cfg = BASE_CFG.replace(df_mode=df_mode)
 
     if df_mode in (1, 2):
-        single = smooth_spectra(surf, species, grid, df_data, cfg)
+        single = np.asarray(smooth_spectra(surf, species, grid, df_data, cfg))
     else:
-        single = smooth_spectra_feqmod(surf, species, grid, df_data, cfg)
-    mesh = default_mesh(axis=cfg.mesh_axis)
-    sharded = smooth_spectra_sharded(surf, species, grid, df_data, cfg,
-                                     mesh=mesh)
-    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
-                               rtol=1e-12, atol=1e-20)
+        single = np.asarray(
+            smooth_spectra_feqmod(surf, species, grid, df_data, cfg))
+    for n_dev in (1, 2, 4, 8):
+        mesh = default_mesh(n_devices=n_dev, axis=cfg.mesh_axis)
+        sharded = smooth_spectra_sharded(surf, species, grid, df_data, cfg,
+                                         mesh=mesh)
+        np.testing.assert_array_equal(
+            np.asarray(sharded), single,
+            err_msg=f"df_mode={df_mode} n_dev={n_dev} not bit-identical")
 
 
-def test_sharded_3d(smash_table, df_data):
+def test_sharded_3d_bit_identical(smash_table, df_data):
     rng = np.random.default_rng(72)
     cells = random_cells(29, rng, dimension=3)
     grid = native_momentum_grid(dimension=3, n_pT=4, n_phi=4, n_y=5)
     species = pikp_species(smash_table)
     surf = to_surface(cells)
     cfg = BASE_CFG.replace(dimension=3)
-    single = smooth_spectra(surf, species, grid, df_data, cfg)
-    sharded = smooth_spectra_sharded(surf, species, grid, df_data, cfg,
-                                     mesh=default_mesh())
-    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
-                               rtol=1e-12, atol=1e-20)
+    single = np.asarray(smooth_spectra(surf, species, grid, df_data, cfg))
+    for n_dev in (2, 8):
+        sharded = smooth_spectra_sharded(surf, species, grid, df_data, cfg,
+                                         mesh=default_mesh(n_devices=n_dev))
+        np.testing.assert_array_equal(np.asarray(sharded), single,
+                                      err_msg=f"n_dev={n_dev}")
 
 
 # ------------------------------------------------------------- observables
@@ -186,12 +194,18 @@ def test_sharded_dndx_matches_single(smash_table, df_data, df_mode):
                            tau_min=0.0, tau_max=12.0, tau_bins=30,
                            r_min=0.0, r_max=12.0, r_bins=20)
     single = spacetime_distributions(surf, sp, grid, df_data, cfg)
+    # 8 devices -> 1 group/device: bit-identical; other divisors agree to
+    # <= 1 ulp (in-loop codegen sensitivity, see parallel/mesh.py docstring)
     sharded = spacetime_distributions(surf, sp, grid, df_data, cfg,
                                       mesh=default_mesh(axis=cfg.mesh_axis))
+    sharded2 = spacetime_distributions(surf, sp, grid, df_data, cfg,
+                                       mesh=default_mesh(n_devices=2,
+                                                         axis=cfg.mesh_axis))
     for k in ("dN_dy", "dN_dydeta", "dN_taudtaudy", "dN_twopirdrdy",
               "dN_twopitaurdtaudrdy"):
-        np.testing.assert_allclose(sharded[k], single[k],
-                                   rtol=1e-12, atol=1e-20, err_msg=k)
+        np.testing.assert_array_equal(sharded[k], single[k], err_msg=k)
+        np.testing.assert_allclose(sharded2[k], single[k],
+                                   rtol=1e-14, atol=1e-17, err_msg=k)
 
 
 def test_sharded_polzn_matches_single():
@@ -210,12 +224,19 @@ def test_sharded_polzn_matches_single():
                        bulk_density=z, diff_density=z)
     plasma = ThermoAverages(0.155, 0.3, 0.05, 0.0, 0.0)
     single = spin_polarization(surf, sp, grid, cfg, plasma)
+    # 8 devices -> 1 group/device: bit-identical; 2 devices agree to
+    # <= 1 ulp (in-loop codegen sensitivity, see parallel/mesh.py docstring)
     sharded = spin_polarization(surf, sp, grid, cfg, plasma,
                                 mesh=default_mesh(axis=cfg.mesh_axis))
+    sharded2 = spin_polarization(surf, sp, grid, cfg, plasma,
+                                 mesh=default_mesh(n_devices=2,
+                                                   axis=cfg.mesh_axis))
     for k in ("St", "Sx", "Sy", "Sn", "Snorm", "St_over_Snorm"):
-        np.testing.assert_allclose(np.asarray(sharded[k]),
+        np.testing.assert_array_equal(np.asarray(sharded[k]),
+                                      np.asarray(single[k]), err_msg=k)
+        np.testing.assert_allclose(np.asarray(sharded2[k]),
                                    np.asarray(single[k]),
-                                   rtol=1e-12, atol=1e-20, err_msg=k)
+                                   rtol=1e-13, atol=1e-17, err_msg=k)
 
 
 def test_sharded_vah_matches_single():
@@ -235,11 +256,13 @@ def test_sharded_vah_matches_single():
                        degeneracy=jnp.asarray([1.0]),
                        baryon=jnp.asarray([0.0]), equilibrium_density=z,
                        bulk_density=z, diff_density=z)
-    single = smooth_spectra_vah(surf, sp, grid, cfg)
-    sharded = smooth_spectra_vah(surf, sp, grid, cfg,
-                                 mesh=default_mesh(axis=cfg.mesh_axis))
-    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
-                               rtol=1e-12, atol=1e-20)
+    single = np.asarray(smooth_spectra_vah(surf, sp, grid, cfg))
+    for n_dev in (2, 8):
+        sharded = smooth_spectra_vah(
+            surf, sp, grid, cfg,
+            mesh=default_mesh(n_devices=n_dev, axis=cfg.mesh_axis))
+        np.testing.assert_array_equal(np.asarray(sharded), single,
+                                      err_msg=f"n_dev={n_dev}")
 
 
 def test_api_routes_mesh_everywhere(tmp_path, smash_table, df_data):
@@ -274,5 +297,4 @@ def test_sharded_vah_dndx_matches_single():
     sharded = spacetime_distributions(surf, sp, grid, None, cfg,
                                       mesh=default_mesh(axis=cfg.mesh_axis))
     for k in ("dN_dy", "dN_dydeta", "dN_taudtaudy", "dN_twopirdrdy"):
-        np.testing.assert_allclose(sharded[k], single[k],
-                                   rtol=1e-12, atol=1e-20, err_msg=k)
+        np.testing.assert_array_equal(sharded[k], single[k], err_msg=k)
