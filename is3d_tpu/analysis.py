@@ -85,12 +85,11 @@ def compare_sampling_smooth(hist: dict, spectra, grid, mcids, species_mcid,
     on the same pT points, and the dN/dy pair.
     """
     from . import observables as obs
-    import jax.numpy as jnp
 
     mcids = np.asarray(mcids)
     i = int(np.nonzero(mcids == species_mcid)[0][0])
-    smooth_pT = np.asarray(obs.dN_twopipTdpTdy(jnp.asarray(spectra), grid))[i, :, 0]
-    smooth_dNdy = np.asarray(obs.dN_dy(jnp.asarray(spectra), grid))[i, 0]
+    smooth_pT = np.asarray(obs.dN_twopipTdpTdy(spectra, grid))[i, :, 0]
+    smooth_dNdy = np.asarray(obs.dN_dy(spectra, grid))[i, 0]
     return dict(
         pT_sampled=hist["pT_mid"],
         dN_2pipTdpTdy_sampled=hist["dN_2pipTdpTdy"][i],
