@@ -90,10 +90,10 @@ class Config:
                                 # runtime; results are summed host-side)
     mesh_axis: str = "cells"    # sharded axis name for multi-chip runs
     reduce_groups: int = 8      # groups of the canonical cell-reduction
-                                # tree (parallel/mesh.py): results are
-                                # bit-identical for any device count that
-                                # divides this (raised in multiples of
-                                # itself so a group stays under cell_slab)
+                                # tree (parallel/mesh.py): spectra are
+                                # bit-identical for every device count
+                                # (raised in multiples of itself so a
+                                # group stays under cell_slab)
     sampler_pack: str = "auto"  # sampled-hadron device->host transfer
                                 # precision: "f16" halves the D2H bytes of
                                 # the bottleneck link (<= 2^-11 relative

@@ -30,11 +30,11 @@ group partials are combined by a SEQUENTIAL left fold in global group order
 compiler picks).  A mesh only changes WHERE group partials are computed:
 each device scans its own contiguous groups, the partial stack is
 re-assembled in global group order, and the same fold runs.  Device counts
-that divide G (1, 2, 4, 8 by default) therefore produce BIT-IDENTICAL
-spectra for the smooth, feqmod, and VAH kernels -- asserted exactly, 2+1D
-and 3+1D, in tests/test_parallel_observables.py.  Other device counts
-append empty pad groups (exact +0.0 partials) and agree to the -0.0 + 0.0
-edge case.
+that do not divide G append empty pad groups whose exact +0.0 partials
+leave the fold bits unchanged, so EVERY device count produces
+BIT-IDENTICAL spectra for the smooth, feqmod, and VAH kernels -- asserted
+exactly for 1-8 devices (divisors and non-divisors of G), 2+1D and 3+1D,
+in tests/test_parallel_observables.py.
 
 Known limit: the two multi-output binned kernels (dN/dX, polzn) compile to
 very slightly different instruction schedules inside the group-scan loop

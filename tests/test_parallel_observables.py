@@ -31,8 +31,10 @@ def test_eight_devices_available():
 def test_sharded_bit_identical_to_single_device(smash_table, df_data, df_mode):
     """Spectra are BIT-IDENTICAL across shardings: the canonical group
     reduction (parallel/mesh.py) makes the combine tree a function of the
-    global surface size only, so 1-, 2-, 4-, and 8-device meshes must all
-    reproduce the single-device bits exactly (the BASELINE.md north star)."""
+    global surface size only -- non-divisor device counts just append
+    empty pad groups with exact +0.0 partials -- so every mesh size must
+    reproduce the single-device bits exactly (the BASELINE.md north
+    star).  3 and 7 devices cover the non-divisor path."""
     rng = np.random.default_rng(71)
     cells = random_cells(53, rng, dimension=2)   # deliberately not % 8
     grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=12)
@@ -45,7 +47,7 @@ def test_sharded_bit_identical_to_single_device(smash_table, df_data, df_mode):
     else:
         single = np.asarray(
             smooth_spectra_feqmod(surf, species, grid, df_data, cfg))
-    for n_dev in (1, 2, 4, 8):
+    for n_dev in (1, 2, 3, 4, 7, 8):
         mesh = default_mesh(n_devices=n_dev, axis=cfg.mesh_axis)
         sharded = smooth_spectra_sharded(surf, species, grid, df_data, cfg,
                                          mesh=mesh)
