@@ -853,38 +853,13 @@ def _event_batch_packed_jit(cell, species, keys, lam, n_cap: int,
 # Host orchestration
 # ======================================================================
 
-class _phase_timer:
-    """Opt-in phase breakdown of the sampler's host loop
-    (IS3D_SAMPLER_TIMINGS=1): wall seconds in dispatch (async enqueue),
-    transfer_wait (blocking on device results), host_assembly (numpy
-    reconstruction + per-event slicing).  No-op otherwise."""
-
-    def __init__(self):
-        import os
-        self.enabled = os.environ.get("IS3D_SAMPLER_TIMINGS", "") == "1"
-        self.acc = {}
-        self._phase = None
-
-    def __call__(self, phase):
-        self._phase = phase
-        return self
-
-    def __enter__(self):
-        if self.enabled:
-            import time
-            self._t0 = time.perf_counter()
-
-    def __exit__(self, *exc):
-        if self.enabled:
-            import time
-            self.acc[self._phase] = (self.acc.get(self._phase, 0.0)
-                                     + time.perf_counter() - self._t0)
-        return False
-
-    def report(self, label):
-        if self.enabled and self.acc:
-            parts = "  ".join(f"{k}={v:.3f}s" for k, v in self.acc.items())
-            print(f"[{label} timings] {parts}")
+def _phase_timer():
+    """Opt-in breakdown of the sampler host loop (IS3D_SAMPLER_TIMINGS=1):
+    wall seconds in dispatch (async enqueue), transfer_wait (blocking on
+    device results), host_assembly (numpy reconstruction + per-event
+    slicing)."""
+    from ..utils import EnvGatedAccumTimer
+    return EnvGatedAccumTimer("IS3D_SAMPLER_TIMINGS")
 
 
 def _start_host_transfers(packed: dict, *extras) -> None:

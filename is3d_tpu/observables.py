@@ -23,7 +23,12 @@ K_MAX = 7  # v_1 .. v_7, reference emissionfunction.h K_MAX
 
 
 def _np(x):
-    return np.asarray(x)
+    a = np.asarray(x)
+    if a.dtype not in (np.float32, np.float64):
+        # numpy einsum has no bfloat16/float16 inner loops (ml_dtypes
+        # arrays raise TypeError), so upcast the fast-path dtypes
+        a = a.astype(np.float32)
+    return a
 
 
 def dN_dphidy(spectra, grid: MomentumGrid) -> np.ndarray:

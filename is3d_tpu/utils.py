@@ -81,6 +81,38 @@ class PhaseTimer:
         return "\n".join(lines)
 
 
+class EnvGatedAccumTimer:
+    """Keyed wall-clock accumulation across loop iterations, enabled by an
+    environment variable; a no-op otherwise.  Complements PhaseTimer (one
+    entry per phase, always on): this one folds repeated enter/exit of the
+    same key into a single total, for opt-in breakdowns of hot host loops
+    (e.g. IS3D_SAMPLER_TIMINGS=1 for the sampler drain loop)."""
+
+    def __init__(self, env_var: str):
+        self.enabled = os.environ.get(env_var, "") == "1"
+        self.acc: dict = {}
+        self._key = None
+
+    def __call__(self, key: str):
+        self._key = key
+        return self
+
+    def __enter__(self):
+        if self.enabled:
+            self._t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            self.acc[self._key] = (self.acc.get(self._key, 0.0)
+                                   + time.perf_counter() - self._t0)
+        return False
+
+    def report(self, label: str):
+        if self.enabled and self.acc:
+            parts = "  ".join(f"{k}={v:.3f}s" for k, v in self.acc.items())
+            print(f"[{label} timings] {parts}")
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str | None):
     """jax.profiler trace context; no-op when log_dir is None."""

@@ -84,6 +84,19 @@ def test_vn_of_isotropic_spectra_is_zero():
                                rtol=1e-8)
 
 
+def test_observables_accept_bf16_spectra():
+    """The bf16 fast path must work through the (numpy) observables:
+    np.einsum has no bfloat16 inner loop, so _np upcasts to f32."""
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=8, n_eta=4,
+                                dtype=jnp.bfloat16)
+    spectra = jnp.ones((2, 4, 8, 1), dtype=jnp.bfloat16)
+    for fn in (observables.dN_dphidy, observables.dN_twopipTdpTdy,
+               observables.dN_dy, observables.mean_pT):
+        assert np.isfinite(fn(spectra, grid)).all()
+    vn, den = observables.continuous_vn(spectra, grid)
+    assert np.isfinite(np.asarray(vn)).all()
+
+
 def test_vn_pure_v2():
     grid = native_momentum_grid(dimension=2, n_pT=3, n_phi=24, n_eta=4)
     phi = np.asarray(grid.phi)
