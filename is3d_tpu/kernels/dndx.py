@@ -159,7 +159,7 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     from ..parallel.mesh import grouped_cell_reduce
     kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg)
     acc = grouped_cell_reduce(kern, cols, (species, grid, df_data, lag),
-                              cfg, mesh)
+                              cfg, mesh, unroll_groups=True)
     acc = {k: np.asarray(v) for k, v in acc.items()}
 
     dtau = (cfg.tau_max - cfg.tau_min) / cfg.tau_bins

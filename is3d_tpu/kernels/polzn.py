@@ -171,7 +171,7 @@ def spin_polarization(surface, species: SpeciesArrays, grid: MomentumGrid,
     from ..parallel.mesh import grouped_cell_reduce
     kern = lambda c, s, g, t: _polzn_jit(c, s, g, t, cfg)
     St, Sx, Sy, Sn, Snorm = grouped_cell_reduce(
-        kern, cols, (species, grid, T_avg), cfg, mesh)
+        kern, cols, (species, grid, T_avg), cfg, mesh, unroll_groups=True)
     safe = jnp.where(Snorm == 0.0, 1.0, Snorm)
     return dict(St=St, Sx=Sx, Sy=Sy, Sn=Sn, Snorm=Snorm,
                 St_over_Snorm=St / safe, Sx_over_Snorm=Sx / safe,

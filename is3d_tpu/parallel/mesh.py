@@ -32,17 +32,15 @@ each device scans its own contiguous groups, the partial stack is
 re-assembled in global group order, and the same fold runs.  Device counts
 that do not divide G append empty pad groups whose exact +0.0 partials
 leave the fold bits unchanged, so EVERY device count produces
-BIT-IDENTICAL spectra for the smooth, feqmod, and VAH kernels -- asserted
-exactly for 1-8 devices (divisors and non-divisors of G), 2+1D and 3+1D,
-in tests/test_parallel_observables.py.
+BIT-IDENTICAL results for EVERY cell-reduced kernel -- smooth, feqmod,
+VAH, dN/dX, and polzn -- asserted exactly for 1-8 devices (divisors and
+non-divisors of G), 2+1D and 3+1D, in tests/test_parallel_observables.py.
 
-Known limit: the two multi-output binned kernels (dN/dX, polzn) compile to
-very slightly different instruction schedules inside the group-scan loop
-than standalone, drifting <= 1 ulp between device counts with different
-groups-per-device (measured ~1e-18 absolute in f64; D in {2,4} agree with
-each other, D in {1,8} with single-device).  This is within-kernel codegen
-sensitivity, bounded per value -- NOT reduction-order drift, which would
-grow with the shard count; the combine tree is still canonical.
+One codegen subtlety: the multi-output binned kernels (dN/dX, polzn)
+compile to ulp-different instruction schedules inside a lax.scan loop than
+standalone, so their call sites pass unroll_groups=True (per-group calls
+inlined in the mesh body); the single-output spectra kernels bit-match
+under the scan and keep it for bounded compile time.
 """
 
 from __future__ import annotations
@@ -130,7 +128,8 @@ def _pad_inert(cols: dict, n_target: int) -> dict:
 
 
 def grouped_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
-                        cfg: Config, mesh: Mesh | None = None):
+                        cfg: Config, mesh: Mesh | None = None,
+                        unroll_groups: bool = False):
     """Reduce ``kernel_fn(cols_group, *replicated)`` (a pytree of
     accumulators) over the cell axis through the canonical group tree
     (module docstring).  With ``mesh``, groups are computed shard-locally
@@ -141,6 +140,14 @@ def grouped_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
     Without a mesh, groups are dispatched one device call at a time (the
     successor of the cell_slab splitting: bounds single-call runtime and
     gives progress points) and folded on the host in the same order.
+
+    unroll_groups: inline the per-group kernel calls in the mesh body
+    instead of lax.scan-ning them.  The multi-output binned kernels
+    (dN/dX, polzn) compile to ulp-different instruction schedules inside
+    a scan loop than standalone; unrolling restores bit-identity with the
+    single-device path at the cost of ~groups-per-device x compile time
+    (bounded: <= reduce_groups / n_dev copies).  The single-output
+    spectra kernels don't need it (scan already bit-matches).
     """
     axis = cfg.mesh_axis
     n = cols["tau"].shape[0]
@@ -175,6 +182,10 @@ def grouped_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
     def run(cols_shard, *reps):
         g_local = cols_shard["tau"].shape[0] // gs
         grouped = {k: v.reshape(g_local, gs) for k, v in cols_shard.items()}
+        if unroll_groups:
+            parts = [kernel_fn({k: v[g] for k, v in grouped.items()}, *reps)
+                     for g in range(g_local)]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *parts)
         def group_body(_, sub):
             # barrier-isolate the kernel from the scan machinery: without
             # it XLA fuses the group slicing / output stacking into the

@@ -209,18 +209,16 @@ def test_sharded_dndx_matches_single(smash_table, df_data, df_mode):
                            tau_min=0.0, tau_max=12.0, tau_bins=30,
                            r_min=0.0, r_max=12.0, r_bins=20)
     single = spacetime_distributions(surf, sp, grid, df_data, cfg)
-    # 8 devices -> 1 group/device: bit-identical; other divisors agree to
-    # <= 1 ulp (in-loop codegen sensitivity, see parallel/mesh.py docstring)
-    sharded = spacetime_distributions(surf, sp, grid, df_data, cfg,
-                                      mesh=default_mesh(axis=cfg.mesh_axis))
-    sharded2 = spacetime_distributions(surf, sp, grid, df_data, cfg,
-                                       mesh=default_mesh(n_devices=2,
-                                                         axis=cfg.mesh_axis))
-    for k in ("dN_dy", "dN_dydeta", "dN_taudtaudy", "dN_twopirdrdy",
-              "dN_twopitaurdtaudrdy"):
-        np.testing.assert_array_equal(sharded[k], single[k], err_msg=k)
-        np.testing.assert_allclose(sharded2[k], single[k],
-                                   rtol=1e-14, atol=1e-17, err_msg=k)
+    # bit-identical at every device count (groups unrolled in the mesh
+    # body for the binned kernels, see parallel/mesh.py docstring)
+    for n_dev in (2, 8):
+        sharded = spacetime_distributions(
+            surf, sp, grid, df_data, cfg,
+            mesh=default_mesh(n_devices=n_dev, axis=cfg.mesh_axis))
+        for k in ("dN_dy", "dN_dydeta", "dN_taudtaudy", "dN_twopirdrdy",
+                  "dN_twopitaurdtaudrdy"):
+            np.testing.assert_array_equal(sharded[k], single[k],
+                                          err_msg=f"{k} n_dev={n_dev}")
 
 
 def test_sharded_polzn_matches_single():
@@ -239,19 +237,16 @@ def test_sharded_polzn_matches_single():
                        bulk_density=z, diff_density=z)
     plasma = ThermoAverages(0.155, 0.3, 0.05, 0.0, 0.0)
     single = spin_polarization(surf, sp, grid, cfg, plasma)
-    # 8 devices -> 1 group/device: bit-identical; 2 devices agree to
-    # <= 1 ulp (in-loop codegen sensitivity, see parallel/mesh.py docstring)
-    sharded = spin_polarization(surf, sp, grid, cfg, plasma,
-                                mesh=default_mesh(axis=cfg.mesh_axis))
-    sharded2 = spin_polarization(surf, sp, grid, cfg, plasma,
-                                 mesh=default_mesh(n_devices=2,
-                                                   axis=cfg.mesh_axis))
-    for k in ("St", "Sx", "Sy", "Sn", "Snorm", "St_over_Snorm"):
-        np.testing.assert_array_equal(np.asarray(sharded[k]),
-                                      np.asarray(single[k]), err_msg=k)
-        np.testing.assert_allclose(np.asarray(sharded2[k]),
-                                   np.asarray(single[k]),
-                                   rtol=1e-13, atol=1e-17, err_msg=k)
+    # bit-identical at every device count (groups unrolled in the mesh
+    # body for the binned kernels, see parallel/mesh.py docstring)
+    for n_dev in (2, 8):
+        sharded = spin_polarization(
+            surf, sp, grid, cfg, plasma,
+            mesh=default_mesh(n_devices=n_dev, axis=cfg.mesh_axis))
+        for k in ("St", "Sx", "Sy", "Sn", "Snorm", "St_over_Snorm"):
+            np.testing.assert_array_equal(np.asarray(sharded[k]),
+                                          np.asarray(single[k]),
+                                          err_msg=f"{k} n_dev={n_dev}")
 
 
 def test_sharded_vah_matches_single():
