@@ -17,7 +17,8 @@ IDENTIFIED_SPECIES = [
     ("Sigma0", 3212), ("Xi", 3312), ("Omega", 3334),
 ]
 
-# charges by |mcid| for the common hadrons (charged-particle observables)
+# fallback charges by |mcid| for the common hadrons; pass a ParticleTable
+# to is_charged/compute_observables for exact per-species charges
 _CHARGED = {211, 321, 2212, 3222, 3112, 3312, 3334, 213, 323, 1114, 2214,
             2224, 3114, 3224, 411, 431}
 
@@ -27,27 +28,54 @@ def _concat(events, keys):
                 if events else np.zeros(0)) for k in keys}
 
 
-def is_charged(mcid):
-    return np.isin(np.abs(np.asarray(mcid)), sorted(_CHARGED))
+def is_charged(mcid, particle_table=None):
+    """Charged-particle mask.  With a ParticleTable (io/pdg.py) the exact
+    per-species charge column decides; the hard-coded fallback set covers
+    only the common hadrons and undercounts charged resonances (e.g.
+    N(1440)+, a1(1260)+, Xi(1530)-)."""
+    mcid = np.asarray(mcid)
+    if particle_table is not None:
+        charge = {int(m): int(q) for m, q in
+                  zip(np.asarray(particle_table.mc_id),
+                      np.asarray(particle_table.charge))}
+        return np.asarray([charge.get(int(m), 0) != 0 for m in mcid.ravel()],
+                          dtype=bool).reshape(mcid.shape)
+    return np.isin(np.abs(mcid), sorted(_CHARGED))
 
 
-def compute_observables(events, n_flow: int = 8) -> dict:
+def pseudorapidity(px, py, pz):
+    """Momentum pseudorapidity eta_p = asinh(pz / pT) (what experimental
+    |eta| cuts mean).  NOT the event's spacetime rapidity 'eta' field,
+    which locates the emission point (t = tau cosh eta, z = tau sinh eta,
+    kernels/sample.py) -- a particle emitted at eta_s = 2 can fly at
+    pseudorapidity 0 and vice versa."""
+    pT = np.hypot(np.asarray(px), np.asarray(py))
+    with np.errstate(divide="ignore"):
+        return np.arcsinh(np.where(pT > 0, np.asarray(pz) / np.maximum(pT, 1e-300),
+                                   np.sign(np.asarray(pz)) * np.inf))
+
+
+def compute_observables(events, n_flow: int = 8, particle_table=None) -> dict:
     """Event-ensemble observables (reference compute_observables.py:80-110).
 
     events: list of per-event dicts with mcid, E, px, py, pz (+eta, yp).
+    particle_table: optional io/pdg.py ParticleTable for exact charges.
     Returns a dict mirroring the reference's results record.
+
+    The |eta| cuts use momentum PSEUDORAPIDITY computed from (px, py, pz),
+    matching the reference script's UrQMD input semantics -- not the
+    sampled event's spacetime-rapidity 'eta' field.
     """
     nsamples = max(len(events), 1)
-    cat = _concat(events, ("mcid", "px", "py", "pz", "E", "eta", "yp"))
+    cat = _concat(events, ("mcid", "px", "py", "pz", "E", "yp"))
     pT = np.hypot(cat["px"], cat["py"])
     mT2 = cat["E"] ** 2 - cat["pz"] ** 2
     ET = np.sqrt(np.maximum(mT2, 0.0)) * np.where(
         cat["E"] > 0, 1.0, 0.0)  # transverse energy ~ mT at midrapidity
     phi = np.arctan2(cat["py"], cat["px"])
     y = cat["yp"]
-    eta = cat["eta"]
-    abs_eta = np.abs(eta)
-    charged = is_charged(cat["mcid"])
+    abs_eta = np.abs(pseudorapidity(cat["px"], cat["py"], cat["pz"]))
+    charged = is_charged(cat["mcid"], particle_table)
     abs_id = np.abs(cat["mcid"])
     midrap = np.abs(y) < 0.5
 
@@ -82,14 +110,18 @@ def compare_sampling_smooth(hist: dict, spectra, grid, mcids, species_mcid,
     validation harness, scripts/compare_sampling_smooth.py).
 
     Returns binned sampled dN/(2 pi pT dpT dy) + the smooth curve evaluated
-    on the same pT points, and the dN/dy pair.
+    on the same pT points, and the dN/dy pair.  In 3+1D the smooth side is
+    taken at the y node closest to midrapidity (the reference script
+    selects the y == 0 rows), not at the grid's first (edge) node.
     """
     from . import observables as obs
 
     mcids = np.asarray(mcids)
     i = int(np.nonzero(mcids == species_mcid)[0][0])
-    smooth_pT = np.asarray(obs.dN_twopipTdpTdy(spectra, grid))[i, :, 0]
-    smooth_dNdy = np.asarray(obs.dN_dy(spectra, grid))[i, 0]
+    iy = (0 if cfg.dimension == 2
+          else int(np.argmin(np.abs(np.asarray(grid.y)))))
+    smooth_pT = np.asarray(obs.dN_twopipTdpTdy(spectra, grid))[i, :, iy]
+    smooth_dNdy = np.asarray(obs.dN_dy(spectra, grid))[i, iy]
     return dict(
         pT_sampled=hist["pT_mid"],
         dN_2pipTdpTdy_sampled=hist["dN_2pipTdpTdy"][i],

@@ -193,6 +193,10 @@ class IS3D:
         from .utils import PhaseTimer
         timer = timer or PhaseTimer(verbose=False)
         cfg = self.cfg
+        if write_files:
+            # the spectra writers append (reference ios_base::app parity);
+            # a rerun into the same results_dir must not duplicate blocks
+            writers.clean_results_dir(self.results_dir)
         with timer.phase("prepare (io, pdg, deltaf)"):
             (particle_table, df_data, species, mcids, grid,
              plasma) = self._prepare()

@@ -30,9 +30,14 @@ from . import writers
 
 
 def ensemble_seeds(base_seed: int, n_workers: int) -> list:
-    """Independent per-worker seeds via numpy's SeedSequence spawning."""
+    """Independent per-worker seeds via numpy's SeedSequence spawning.
+
+    63-bit seeds (jax.random.key takes int64): a 31-bit reduction would
+    give a ~2e-4 birthday-collision chance over a 1000-batch plan, and a
+    colliding pair of batches would produce byte-identical, double-counted
+    sample streams."""
     ss = np.random.SeedSequence(base_seed)
-    return [int(child.generate_state(1)[0] % (2**31))
+    return [int(child.generate_state(2, dtype=np.uint64)[0] % (2**63))
             for child in ss.spawn(n_workers)]
 
 
@@ -202,8 +207,11 @@ def merge_manifests(out_dir: str, n_workers: int) -> dict:
     missing = [b for b in range(len(plan))
                if str(b) not in merged["batches"]
                or not os.path.exists(merged["batches"][str(b)]["file"])]
+    # count only batches inside the re-derived plan: stale entries from an
+    # earlier run with a larger max_batches must not inflate the yield
     merged["total_hadrons"] = sum(v["hadrons"]
-                                  for v in merged["batches"].values())
+                                  for b, v in merged["batches"].items()
+                                  if int(b) < len(plan))
     merged["complete"] = not missing
     merged["missing_batches"] = missing
     _write_manifest(os.path.join(out_dir, "manifest.json"), merged)

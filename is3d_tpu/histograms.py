@@ -141,10 +141,9 @@ def write_sampler_test(hist: dict, mcids, results_dir="results"):
             for x, v in zip(hist["r_mid"], hist["dN_twopirdrdy"][i]):
                 f.write(f"{x:.6e}\t{v:.6e}\n")
 
-    import os as _os
-    with open(_os.path.join(results_dir, "mean_yield.dat"), "w") as f:
+    with open(os.path.join(results_dir, "mean_yield.dat"), "w") as f:
         f.write(f"{hist['mean_yield']}\n")
-    with open(_os.path.join(results_dir, "yield_list.dat"), "w") as f:
+    with open(os.path.join(results_dir, "yield_list.dat"), "w") as f:
         f.write("sampled particle yield\n")
         for n in hist["yield_list"]:
             f.write(f"{int(n)}\n")

@@ -25,6 +25,42 @@ def _ensure_dir(path: str):
         os.makedirs(d, exist_ok=True)
 
 
+# every file pattern a writer in this module can produce; the spectra
+# writers open in append mode (reference ios_base::app parity), so a rerun
+# into the same results_dir must clear its previous outputs first
+_OWNED_PATTERNS = (
+    "dN_pTdpTdphidy.dat", "dN_pTdpTdphidy_*.dat",
+    "dN_dpTdphidy.dat", "dN_dpTdphidy_*.dat",
+    "dN_twopidpTdy_*.dat", "dN_dphidy_*.dat", "dN_twopipTdpTdy_*.dat",
+    "dN_dy_*.dat", "vn_continuous/vn_*.dat",
+    "St.dat", "Sx.dat", "Sy.dat", "Sn.dat", "Snorm.dat",
+    "particle_list_*.dat", "momentum_distribution/pT_pdf_*.dat",
+    "dN_taudtaudy_*.dat", "dN_twopirdrdy_*.dat", "dN_dydeta_*.dat",
+    "sampled_dN_dy_*.dat", "sampled_dN_deta_*.dat",
+    "sampled_dN_2pipTdpTdy_*.dat", "sampled_vn_*.dat",
+    "sampled_dN_taudtaudy_*.dat", "sampled_dN_twopirdrdy_*.dat",
+    "mean_yield.dat", "yield_list.dat",
+)
+
+
+def clean_results_dir(results_dir: str):
+    """Remove previous writer outputs from ``results_dir`` (only files this
+    module owns -- see _OWNED_PATTERNS -- never the whole tree).
+
+    The reference has the same ios_base::app appends and relies on its run
+    scripts' external `rm -r results` (scripts/oversample.sh); without this
+    a rerun into the same directory silently appends duplicate blocks."""
+    import glob
+    if not os.path.isdir(results_dir):
+        return
+    for pat in _OWNED_PATTERNS:
+        for f in glob.glob(os.path.join(results_dir, pat)):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+
 def _y_values(grid, dimension: int):
     return [0.0] if dimension == 2 else [float(v) for v in np.asarray(grid.y)]
 

@@ -93,3 +93,42 @@ def test_compute_observables():
     assert obs["flow"]["Qn"].shape == (8,)
     assert obs["pT_fluct"]["N"] >= 0
     assert is_charged([211]).all() and not is_charged([111]).any()
+    # |eta| cuts use momentum pseudorapidity from (px,py,pz), not the
+    # spacetime 'eta' field: replacing eta with garbage must not change
+    # anything, replacing pz must
+    ev2 = [dict(e, eta=e["eta"] + 100.0) for e in events]
+    obs2 = compute_observables(ev2)
+    assert obs2["dNch_deta"] == obs["dNch_deta"]
+    assert obs2["flow"]["N"] == obs["flow"]["N"]
+    ev3 = [dict(e, pz=e["pz"] + 50.0) for e in events]
+    assert compute_observables(ev3)["dNch_deta"] != obs["dNch_deta"]
+
+
+def test_is_charged_with_particle_table():
+    """Exact charges from the PDG table classify charged resonances the
+    hard-coded fallback set misses (e.g. N(1440)+ = 12212)."""
+    from is3d_tpu.io import pdg
+    table = pdg.read_resonances("/root/reference/PDG", hrg_eos=2)
+    got = is_charged([12212, 211, 111, 2112], particle_table=table)
+    np.testing.assert_array_equal(got, [True, True, False, False])
+    # fallback set misclassifies the resonance
+    assert not is_charged([12212]).any()
+
+
+def test_compare_sampling_smooth_3d_uses_midrapidity_node():
+    from is3d_tpu.analysis import compare_sampling_smooth
+    from is3d_tpu.config import Config
+    from is3d_tpu.io.tables import native_momentum_grid
+    grid = native_momentum_grid(dimension=3, n_pT=3, n_phi=4, n_y=5)
+    iy = int(np.argmin(np.abs(np.asarray(grid.y))))
+    assert iy != 0  # the first node is a grid edge, not midrapidity
+    S, P, F, Y = 1, 3, 4, 5
+    spectra = np.arange(S * P * F * Y, dtype=float).reshape(S, P, F, Y)
+    hist = dict(pT_mid=np.zeros(3), dN_2pipTdpTdy=np.zeros((1, 3)),
+                dN_dy_avg=np.zeros(1), vn=np.zeros((1, 3, 7)))
+    cfg = Config(dimension=3)
+    out = compare_sampling_smooth(hist, spectra, grid, [211], 211, cfg)
+    from is3d_tpu import observables as obs
+    np.testing.assert_array_equal(
+        out["dN_2pipTdpTdy_smooth"],
+        np.asarray(obs.dN_twopipTdpTdy(spectra, grid))[0, :, iy])

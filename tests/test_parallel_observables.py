@@ -147,6 +147,33 @@ def test_writer_formats(tmp_path):
     assert len(dndy) == 2
 
 
+def test_rerun_does_not_duplicate_writer_outputs(tmp_path):
+    """The spectra writers append (reference ios_base::app parity), so
+    clean_results_dir must clear previous outputs: writing twice with a
+    clean in between yields the same bytes as writing once."""
+    grid = native_momentum_grid(dimension=2, n_pT=2, n_phi=2, n_eta=4)
+    spectra = jnp.asarray(np.arange(4, dtype=float).reshape(1, 2, 2, 1) + 1.0)
+    d = str(tmp_path)
+
+    def write_all():
+        writers.write_dN_pTdpTdphidy(spectra, grid, [211], 2, d)
+        writers.write_dN_dy(spectra, grid, [211], 2, d)
+        writers.write_continuous_vn(spectra, grid, [211], 2, d)
+
+    write_all()
+    once = {p: open(f"{d}/{p}").read()
+            for p in ("dN_pTdpTdphidy.dat", "dN_dy_211.dat",
+                      "vn_continuous/vn_211.dat")}
+    # naive rerun appends duplicates...
+    write_all()
+    assert open(f"{d}/dN_dy_211.dat").read() == once["dN_dy_211.dat"] * 2
+    # ...clean_results_dir restores write-once behavior
+    writers.clean_results_dir(d)
+    write_all()
+    for p, want in once.items():
+        assert open(f"{d}/{p}").read() == want, p
+
+
 def test_oscar_writer(tmp_path):
     ev = {k: np.asarray([1.0, 2.0]) for k in
           ("t", "x", "y", "z", "E", "px", "py", "pz")}
