@@ -59,6 +59,16 @@ def main(argv: list[str]) -> int:
     enable_persistent_compilation_cache()
 
     overrides = {k: v for k, v in kv.items() if k not in _OWN_KEYS}
+    # reject mistyped worker keys outright: a typo like n_worker=4 would
+    # otherwise fall through to the config, be silently dropped there
+    # (load_config ignores unknown names), and leave this worker sampling
+    # EVERY batch of the plan with the default manifest name
+    from . import config as _config
+    unknown = sorted(k for k in overrides if k not in _config._FIELD_TYPES)
+    if unknown:
+        raise SystemExit(
+            f"unknown argument(s) {unknown}: not a worker key "
+            f"({', '.join(_OWN_KEYS)}) and not an iS3D config parameter")
     run = IS3D.from_run_dir(kv.get("run_dir", "."), overrides=overrides)
     run.read_fo_surf_from_file(write_averages=False)
     (_table, df_data, species, mcids, _grid, plasma) = run._prepare()

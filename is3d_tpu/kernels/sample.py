@@ -804,6 +804,13 @@ EVENT_FIELDS = ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
 PACK_FIELDS = ("sidx", "tau", "x", "y", "eta", "px", "py", "pz")
 
 
+def _empty_event() -> dict:
+    """A zero-hadron event with the full EVENT_FIELDS schema (downstream
+    writers/histograms index e['mcid'] etc. unconditionally)."""
+    return {k: (np.zeros(0, dtype=np.int64) if k == "mcid"
+                else np.zeros(0)) for k in EVENT_FIELDS}
+
+
 def _pack_cast(packed: dict, cfg: Config) -> dict:
     """Optionally halve the D2H bytes: ship the 7 float fields as f16
     (cfg.sampler_pack == "f16", the default).  f16 keeps 11 significand
@@ -903,6 +910,22 @@ def _laguerre_device(dtype):
     return laguerre_device(32, (1, 2), dtype=dtype)
 
 
+def _sampler_dtype(surface_dtype):
+    """Statistical floor of the sampler: >= f32.  In bfloat16 the cell-CDF
+    cumsum saturates (adding a cell's dn ~ 0.3 to a running total a few
+    hundred times larger is a no-op with an 8-bit mantissa), so most cells
+    of a large surface would silently never emit, and every uniform draw
+    and acceptance weight would carry ~2^-8 quantization.  bf16/f16
+    surfaces are therefore upcast at the sampler boundary; f64 stays f64."""
+    return jnp.promote_types(surface_dtype, jnp.float32)
+
+
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda v: v.astype(dtype)
+        if jnp.issubdtype(v.dtype, jnp.floating) else v, tree)
+
+
 def _sampler_cols(surface, cfg):
     cols = surface_columns(surface, cfg)
     cols["x"] = surface.x
@@ -911,15 +934,18 @@ def _sampler_cols(surface, cfg):
 
 
 def _build_cell_data(surface, species, df_data, cfg, plasma, laguerre):
-    """Phase-A dispatch: VH (modes 0/1/4/5/6/7) or VAH (modes 2/3)."""
-    dtype = surface.tau.dtype
+    """Phase-A dispatch: VH (modes 0/1/4/5/6/7) or VAH (modes 2/3).
+    Inputs are upcast to _sampler_dtype."""
+    dtype = _sampler_dtype(surface.tau.dtype)
+    species = _cast_floats(species, dtype)
     if cfg.mode in (2, 3):
-        return _vah_cell_data_jit(_vah_sampler_cols(surface, cfg), species,
-                                  laguerre, cfg)
+        cols = _cast_floats(_vah_sampler_cols(surface, cfg), dtype)
+        return _vah_cell_data_jit(cols, species, laguerre, cfg)
     plasma_avg = (jnp.asarray(plasma.temperature, dtype),
                   jnp.asarray(plasma.baryon_chemical_potential, dtype))
-    return _cell_data_jit(_sampler_cols(surface, cfg), species, df_data,
-                          laguerre, plasma_avg, cfg)
+    return _cell_data_jit(_cast_floats(_sampler_cols(surface, cfg), dtype),
+                          species, _cast_floats(df_data, dtype), laguerre,
+                          plasma_avg, cfg)
 
 
 def calculate_total_yield(surface, species, df_data, cfg, plasma,
@@ -953,17 +979,22 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     see sample_particles_sharded.
     """
     if mesh is not None:
+        if events_per_batch is not None:
+            raise ValueError("events_per_batch is a single-chip batching "
+                             "knob; the sharded sampler derives its batch "
+                             "width from the slot budget")
         return sample_particles_sharded(
             surface, species, mcids, df_data, cfg, plasma, mesh,
             nevents=nevents, seed=seed, laguerre=laguerre)
-    dtype = surface.tau.dtype
+    dtype = _sampler_dtype(surface.tau.dtype)
+    species = _cast_floats(species, dtype)
     if laguerre is None:
         laguerre = _laguerre_device(dtype)
     cell = _build_cell_data(surface, species, df_data, cfg, plasma, laguerre)
 
     lam = float(jnp.sum(cell["dn_tot"]))
     if lam <= 0.0:
-        return [{} for _ in range(nevents or 1)]
+        return [_empty_event() for _ in range(nevents or 1)]
 
     if nevents is None:
         if cfg.oversample:
@@ -1090,11 +1121,14 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
 
     axis = cfg.mesh_axis
     n_dev = mesh.shape[axis]
-    dtype = surface.tau.dtype
+    dtype = _sampler_dtype(surface.tau.dtype)
+    species = _cast_floats(species, dtype)
+    df_data = (None if df_data is None else _cast_floats(df_data, dtype))
     if laguerre is None:
         laguerre = _laguerre_device(dtype)
-    cols = (_vah_sampler_cols(surface, cfg) if cfg.mode in (2, 3)
-            else _sampler_cols(surface, cfg))
+    cols = _cast_floats(
+        _vah_sampler_cols(surface, cfg) if cfg.mode in (2, 3)
+        else _sampler_cols(surface, cfg), dtype)
 
     # pad to a multiple of n_dev with inert cells (dsigma pads to 0 =>
     # dn_tot = 0; physical fields pad to 1 -- shared fill list with the
@@ -1113,18 +1147,30 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
         return _cell_data_jit(cols_in, species_in, df_in, lag_in, plasma_in,
                               cfg)
 
-    # per-device lambda for capacity planning (cheap full-surface pass)
-    cell_probe = cell_data(cols, species, df_data, laguerre, plasma_avg)
-    dn_tot = np.asarray(cell_probe["dn_tot"]).reshape(n_dev, per_dev)
+    # Phase A once, shard-locally: the cell-data pipeline (LRF tetrads, df
+    # coefficients, feqmod breakdown, exact species-yield quadratures) is
+    # the expensive per-surface work, so it must not re-run per batch.
+    # out_specs P(axis) re-assembles the per-shard results into global
+    # arrays that re-shard to the identical slices in the per-batch call
+    # (cum_dn/rowcum are per-shard cumulatives and stay shard-local).
+    cell_specs = ({k: P(axis) for k in cols}, P(), P(), P(), P())
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=cell_specs,
+             out_specs=P(axis))
+    def build_cells(cols_shard, species_r, df_r, lag_r, plasma_r):
+        return cell_data(cols_shard, species_r, df_r, lag_r, plasma_r)
+
+    cell_global = build_cells(cols, species, df_data, laguerre, plasma_avg)
+    dn_tot = np.asarray(cell_global["dn_tot"]).reshape(n_dev, per_dev)
     lam_max = float(dn_tot.sum(axis=1).max())
     if lam_max <= 0.0:
-        return [{} for _ in range(nevents or 1)]
+        return [_empty_event() for _ in range(nevents or 1)]
 
     if nevents is None:
         # oversampling event count, same policy as the single-chip path
         # (reference: emissionfunction.cpp:1524-1532)
         if cfg.oversample:
-            ntot = float(jnp.sum(cell_probe["mean_cell"]))
+            ntot = float(jnp.sum(cell_global["mean_cell"]))
             if cfg.dimension == 2:
                 ntot *= 2.0 * cfg.y_cut
             ntot = abs(ntot)
@@ -1151,7 +1197,7 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
     B = max(1, min(nevents, (1 << 22) // n_cap))   # see single-chip note
     n_batches = -(-nevents // B)
     B = -(-nevents // n_batches)
-    mean_cell = np.asarray(cell_probe["mean_cell"]).reshape(n_dev, per_dev)
+    mean_cell = np.asarray(cell_global["mean_cell"]).reshape(n_dev, per_dev)
     ntot_shard = np.abs(mean_cell.sum(axis=1))
     if cfg.dimension == 2:
         ntot_shard = ntot_shard * 2.0 * cfg.y_cut
@@ -1160,16 +1206,15 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
                     + 10.0 * math.sqrt(B * ntot_shard_max) + 1024.0)
     cap_shard = min(-(-cap_shard // 128) * 128, B * n_cap)
 
-    in_specs = ({k: P(axis) for k in cols}, P(), P(), P(), P(), P())
+    in_specs = ({k: P(axis) for k in cell_global}, P(), P())
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
              out_specs=P(axis))
-    def run(cols_shard, species_r, df_r, lag_r, plasma_r, keys_r):
+    def run(cell, species_r, keys_r):
         # on-device stream compaction per shard: the device-to-host link is
         # the sampler's bottleneck, so each shard ships only its kept
         # hadrons (packed event-major) + per-event counts instead of the
         # dense (B, n_cap) slot arrays + keep mask
-        cell = cell_data(cols_shard, species_r, df_r, lag_r, plasma_r)
         lam_local = cell["cum_dn"][-1]
         dev = jax.lax.axis_index(axis)
 
@@ -1227,8 +1272,7 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
         b = min(B, nevents - start)
         keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
             jnp.arange(start, start + B))
-        packed, counts, acc, samp = run(cols, species, df_data, laguerre,
-                                        plasma_avg, keys)
+        packed, counts, acc, samp = run(cell_global, species, keys)
         _start_host_transfers(packed, counts, acc, samp)
         in_flight.append((b, packed, counts, acc, samp))
         if len(in_flight) > 3:

@@ -387,3 +387,53 @@ def test_sampler_f16_pack_error_bounds(smash_table, df_data):
         np.testing.assert_allclose(
             a["E"], np.sqrt(a["mass"]**2 + a["px"]**2 + a["py"]**2
                             + a["pz"]**2), rtol=1e-6)
+
+
+# ------------------------------------------- zero-yield and bf16 robustness
+
+def test_zero_yield_surface_returns_schema_complete_events(smash_table,
+                                                           df_data, tmp_path):
+    """All cells with u.dsigma <= 0 must yield empty events that still
+    carry the full EVENT_FIELDS schema (writers/histograms index them
+    unconditionally)."""
+    from is3d_tpu import writers
+    from is3d_tpu.kernels.sample import EVENT_FIELDS
+    surf = small_surface(n=8, seed=11)
+    surf = surf.replace(dat=-jnp.abs(surf.dat) - 1.0,
+                        dax=jnp.zeros_like(surf.dax),
+                        day=jnp.zeros_like(surf.day))
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1)
+    sp = species_with_densities(smash_table, 0.155)
+    events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                              nevents=3, seed=1)
+    assert len(events) == 3
+    for e in events:
+        assert set(e) == set(EVENT_FIELDS)
+        assert all(len(e[k]) == 0 for k in EVENT_FIELDS)
+    # downstream consumers accept them
+    writers.write_particle_list_oscar(events, str(tmp_path / "o.dat"))
+
+
+def test_sampler_bf16_surface_upcasts_statistics(smash_table, df_data):
+    """bf16 surfaces must not run the sampler's statistical spine in bf16:
+    the cell-CDF cumsum saturates with an 8-bit mantissa (cells silently
+    stop emitting).  The sampler upcasts to f32 at its boundary."""
+    import jax
+    from is3d_tpu.kernels.sample import _build_cell_data, _laguerre_device
+    surf = small_surface(n=24, seed=4)
+    surf_bf16 = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if v is not None and jnp.issubdtype(v.dtype, jnp.floating) else v,
+        surf)
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1)
+    sp16 = jax.tree.map(lambda v: v.astype(jnp.bfloat16), 
+                        species_with_densities(smash_table, 0.155))
+    cell = _build_cell_data(surf_bf16, sp16, df_data, cfg, PLASMA,
+                            _laguerre_device(jnp.float32))
+    assert cell["cum_dn"].dtype == jnp.float32
+    assert cell["rowcum"].dtype == jnp.float32
+    events = sample_particles(surf_bf16, sp16, MCIDS, None, df_data, cfg,
+                              PLASMA, nevents=2, seed=3)
+    assert sum(len(e["mcid"]) for e in events) > 0
