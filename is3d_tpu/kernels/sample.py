@@ -948,6 +948,60 @@ def _build_cell_data(surface, species, df_data, cfg, plasma, laguerre):
                           plasma_avg, cfg)
 
 
+def _mean_total_yield(cell, cfg) -> float:
+    """Physical mean hadrons per event (2+1D includes the 2 y_cut factor)."""
+    ntot = float(jnp.sum(cell["mean_cell"]))
+    if cfg.dimension == 2:
+        ntot *= 2.0 * cfg.y_cut
+    return abs(ntot)
+
+
+def _oversample_nevents(nevents, cell, cfg) -> int:
+    """Oversampling event-count policy, shared by the single-chip and
+    sharded paths (reference: emissionfunction.cpp:1524-1532)."""
+    if nevents is not None:
+        return nevents
+    if not cfg.oversample:
+        return 1
+    ntot = _mean_total_yield(cell, cfg)
+    return max(1, min(int(math.ceil(cfg.min_num_hadrons / max(ntot, 1e-30))),
+                      cfg.max_num_samples))
+
+
+def _slot_capacity(lam: float) -> int:
+    """Per-event hadron-slot capacity: mean + 10 sigma, padded to 128."""
+    n_cap = int(lam + 10.0 * math.sqrt(lam) + 64.0)
+    return -(-n_cap // 128) * 128
+
+
+def _resolve_seed(seed, cfg) -> int:
+    if seed is None:
+        seed = cfg.sampler_seed
+    if seed < 0:
+        seed = int(np.random.SeedSequence().entropy % (2**31))
+    return seed
+
+
+def _batch_width(nevents: int, n_cap: int) -> int:
+    """Events per compiled batch under the 4M slot budget: the device-side
+    cost is fixed per slot, so wider batches amortize dispatch round-trips
+    and drain overhead (measured 299 -> 410 k kept hadrons/s going 2M ->
+    4M at lambda ~ 350k; peak scratch ~0.9 GB).  Equal-size batches avoid
+    both a ragged-tail recompile and padded-batch waste."""
+    b_max = max(1, min(nevents, (1 << 22) // n_cap))
+    n_batches = -(-nevents // b_max)
+    return -(-nevents // n_batches)
+
+
+def _packed_capacity(B: int, ntot_est: float, n_cap: int) -> int:
+    """Packed-output capacity for a B-event batch: mean yield + 10 sigma
+    + 25% systematic headroom (the linearized mean-yield estimate can run
+    a few percent off the sampled yield -- clipped df weights, feqmod
+    breakdown branches -- and overflow aborts the run)."""
+    cap = int(1.25 * B * ntot_est + 10.0 * math.sqrt(B * ntot_est) + 1024.0)
+    return min(-(-cap // 128) * 128, B * n_cap)
+
+
 def calculate_total_yield(surface, species, df_data, cfg, plasma,
                           laguerre=None) -> float:
     """Mean total hadron yield of the surface (reference:
@@ -996,56 +1050,19 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     if lam <= 0.0:
         return [_empty_event() for _ in range(nevents or 1)]
 
-    if nevents is None:
-        if cfg.oversample:
-            ntot = float(jnp.sum(cell["mean_cell"]))
-            if cfg.dimension == 2:
-                ntot *= 2.0 * cfg.y_cut
-            ntot = abs(ntot)
-            nevents = max(1, min(int(math.ceil(cfg.min_num_hadrons / max(ntot, 1e-30))),
-                                 cfg.max_num_samples))
-        else:
-            nevents = 1
-
-    # fixed per-event slot capacity: mean + 10 sigma, padded
-    n_cap = int(lam + 10.0 * math.sqrt(lam) + 64.0)
-    n_cap = -(-n_cap // 128) * 128
-
-    if seed is None:
-        seed = cfg.sampler_seed
-    if seed < 0:
-        seed = int(np.random.SeedSequence().entropy % (2**31))
-    base_key = jax.random.key(seed)
-
+    nevents = _oversample_nevents(nevents, cell, cfg)
+    n_cap = _slot_capacity(lam)
+    base_key = jax.random.key(_resolve_seed(seed, cfg))
     if events_per_batch is None:
-        # slot budget 4M: the device-side cost is fixed per slot, so wider
-        # batches amortize dispatch round-trips and drain overhead --
-        # measured 299 -> 410 k kept hadrons/s going from a 2M to a 4M
-        # budget at lambda ~ 350k (peak scratch ~0.9 GB, fine for 16 GB)
-        b_max = max(1, min(nevents, (1 << 22) // n_cap))
-        # balance: equal-size batches avoid both a ragged-tail recompile
-        # and padded-batch waste
-        n_batches = -(-nevents // b_max)
-        events_per_batch = -(-nevents // n_batches)
+        events_per_batch = _batch_width(nevents, n_cap)
 
     mcids_np = np.asarray(mcids, dtype=np.int64)
     mass_np = np.asarray(species.mass, dtype=np.float64)
     lam_dev = jnp.asarray(lam, dtype)
 
-    # packed-output capacity: the physical mean yield per event (ntot) times
-    # the batch width, plus 10 sigma and slack -- overflow probability is
-    # astronomically small and detected below
-    ntot_est = float(jnp.sum(cell["mean_cell"]))
-    if cfg.dimension == 2:
-        ntot_est *= 2.0 * cfg.y_cut
-    ntot_est = min(abs(ntot_est), lam) or lam
     B = events_per_batch
-    # 25% systematic headroom on top of 10 sigma: the linearized mean-yield
-    # estimate can run a few percent off the sampled yield (clipped df
-    # weights, feqmod breakdown branches), and overflow aborts the run
-    cap_total = int(1.25 * B * ntot_est + 10.0 * math.sqrt(B * ntot_est)
-                    + 1024.0)
-    cap_total = min(-(-cap_total // 128) * 128, B * n_cap)
+    ntot_est = min(_mean_total_yield(cell, cfg), lam) or lam
+    cap_total = _packed_capacity(B, ntot_est, n_cap)
 
     events = []
     total_acc = total_samp = 0
@@ -1166,45 +1183,21 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
     if lam_max <= 0.0:
         return [_empty_event() for _ in range(nevents or 1)]
 
-    if nevents is None:
-        # oversampling event count, same policy as the single-chip path
-        # (reference: emissionfunction.cpp:1524-1532)
-        if cfg.oversample:
-            ntot = float(jnp.sum(cell_global["mean_cell"]))
-            if cfg.dimension == 2:
-                ntot *= 2.0 * cfg.y_cut
-            ntot = abs(ntot)
-            nevents = max(1, min(
-                int(math.ceil(cfg.min_num_hadrons / max(ntot, 1e-30))),
-                cfg.max_num_samples))
-        else:
-            nevents = 1
-
+    nevents = _oversample_nevents(nevents, cell_global, cfg)
     # per-event per-shard slot capacity: worst shard's mean + 10 sigma
-    n_cap = int(lam_max + 10.0 * math.sqrt(lam_max) + 64.0)
-    n_cap = -(-n_cap // 128) * 128
+    n_cap = _slot_capacity(lam_max)
+    base_key = jax.random.key(_resolve_seed(seed, cfg))
 
-    if seed is None:
-        seed = cfg.sampler_seed
-    if seed < 0:
-        seed = int(np.random.SeedSequence().entropy % (2**31))
-    base_key = jax.random.key(seed)
-
-    # event batching (one compiled shape) + per-shard packed-output capacity:
-    # kept hadrons per event per shard average ntot_shard, so size to the
-    # worst shard's mean + 10 sigma + headroom, exactly like the single-chip
-    # packed path
-    B = max(1, min(nevents, (1 << 22) // n_cap))   # see single-chip note
-    n_batches = -(-nevents // B)
-    B = -(-nevents // n_batches)
+    # event batching (one compiled shape) + per-shard packed-output
+    # capacity: kept hadrons per event per shard average ntot_shard, so
+    # size to the worst shard's mean, exactly like the single-chip path
+    B = _batch_width(nevents, n_cap)
     mean_cell = np.asarray(cell_global["mean_cell"]).reshape(n_dev, per_dev)
     ntot_shard = np.abs(mean_cell.sum(axis=1))
     if cfg.dimension == 2:
         ntot_shard = ntot_shard * 2.0 * cfg.y_cut
     ntot_shard_max = float(np.maximum(ntot_shard, 1e-3).max())
-    cap_shard = int(1.25 * B * ntot_shard_max
-                    + 10.0 * math.sqrt(B * ntot_shard_max) + 1024.0)
-    cap_shard = min(-(-cap_shard // 128) * 128, B * n_cap)
+    cap_shard = _packed_capacity(B, ntot_shard_max, n_cap)
 
     in_specs = ({k: P(axis) for k in cell_global}, P(), P())
 
@@ -1242,43 +1235,48 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
 
     events = []
     total_acc = total_samp = 0
+    timings = _phase_timer()
 
     def drain(item):
         nonlocal total_acc, total_samp
         b, packed, counts, acc, samp = item
-        counts = np.asarray(counts)              # (D, B)
-        packed = {k: np.asarray(v) for k, v in packed.items()}  # (D, cap)
-        if int(counts.sum(axis=1).max()) > cap_shard:
-            raise RuntimeError(
-                f"sharded sampler packed-output overflow: "
-                f"{int(counts.sum(axis=1).max())} kept hadrons on one shard "
-                f"> capacity {cap_shard}")
-        total_acc += int(np.asarray(acc)[:, :b].sum())
-        total_samp += int(np.asarray(samp)[:, :b].sum())
-        _reconstruct_packed(packed, mcids_np, mass_np)
-        offsets = np.concatenate(
-            [np.zeros((n_dev, 1), np.int64), np.cumsum(counts, axis=1)],
-            axis=1)                              # (D, B+1)
-        for e in range(b):
-            ev = {}
-            for k in EVENT_FIELDS:
-                ev[k] = np.concatenate(
-                    [packed[k][d, offsets[d, e]:offsets[d, e + 1]]
-                     for d in range(n_dev)])
-            events.append(ev)
+        with timings("transfer_wait"):
+            counts = np.asarray(counts)          # (D, B)
+            packed = {k: np.asarray(v) for k, v in packed.items()}  # (D, cap)
+            if int(counts.sum(axis=1).max()) > cap_shard:
+                raise RuntimeError(
+                    f"sharded sampler packed-output overflow: "
+                    f"{int(counts.sum(axis=1).max())} kept hadrons on one "
+                    f"shard > capacity {cap_shard}")
+            total_acc += int(np.asarray(acc)[:, :b].sum())
+            total_samp += int(np.asarray(samp)[:, :b].sum())
+        with timings("host_assembly"):
+            _reconstruct_packed(packed, mcids_np, mass_np)
+            offsets = np.concatenate(
+                [np.zeros((n_dev, 1), np.int64), np.cumsum(counts, axis=1)],
+                axis=1)                          # (D, B+1)
+            for e in range(b):
+                ev = {}
+                for k in EVENT_FIELDS:
+                    ev[k] = np.concatenate(
+                        [packed[k][d, offsets[d, e]:offsets[d, e + 1]]
+                         for d in range(n_dev)])
+                events.append(ev)
 
     in_flight = []
     for start in range(0, nevents, B):
         b = min(B, nevents - start)
-        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-            jnp.arange(start, start + B))
-        packed, counts, acc, samp = run(cell_global, species, keys)
-        _start_host_transfers(packed, counts, acc, samp)
+        with timings("dispatch"):
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                jnp.arange(start, start + B))
+            packed, counts, acc, samp = run(cell_global, species, keys)
+            _start_host_transfers(packed, counts, acc, samp)
         in_flight.append((b, packed, counts, acc, samp))
         if len(in_flight) > 3:
             drain(in_flight.pop(0))
     while in_flight:
         drain(in_flight.pop(0))
+    timings.report("sample_particles_sharded")
 
     if total_samp:
         eff = 100.0 * total_acc / total_samp
