@@ -159,6 +159,13 @@ class IS3D:
         deltaf_io.compute_particle_densities(
             particle_table, cfg.df_mode, avg, df_data,
             include_baryon=bool(cfg.include_baryon))
+        if (cfg.include_baryon and cfg.df_mode in (1, 2, 3)
+                and cfg.mode not in (2, 3) and self.surface.muB is not None):
+            # the nonzero-muB bilinear path silently extrapolates under
+            # jit; fail host-side like the reference (deltafReader.cpp:425)
+            deltaf_io.validate_df_range(df_data,
+                                        np.asarray(self.surface.T),
+                                        np.asarray(self.surface.muB))
 
         chosen_name = self.chosen_file or _CHOSEN_FILES[cfg.hrg_eos]
         chosen_path = os.path.join(self.data_dir, "PDG", chosen_name)
@@ -167,7 +174,8 @@ class IS3D:
         else:  # fall back to every species in the table
             mcids = particle_table.mc_id
         idx = pdg_io.chosen_indices(particle_table, mcids,
-                                    group_by_mass=bool(cfg.group_particles))
+                                    group_by_mass=bool(cfg.group_particles),
+                                    skip_missing=True)
         species = species_from_table(particle_table, idx, dtype=self._dtype)
         chosen_mcids = particle_table.mc_id[idx]
 

@@ -183,6 +183,30 @@ def _zeros_like(T):
     return jnp.zeros_like(T)
 
 
+def validate_df_range(data: DeltafData, T, muB) -> None:
+    """Host-side range check for the nonzero-muB bilinear path: the
+    reference aborts on (T, muB) outside the coefficient table
+    (deltafReader.cpp:425-429), while the jit-side _bilinear can only
+    clamp indices and silently extrapolate (then amplified by the 1/T^4..5
+    unscalings).  Call before kernels run; raises with the offending range."""
+    T = np.asarray(T)
+    muB = np.asarray(muB)
+    T_lo, T_hi = float(data.T_grid[0]), float(data.T_grid[-1])
+    B_lo, B_hi = float(data.muB_grid[0]), float(data.muB_grid[-1])
+    bad_T = (T < T_lo) | (T > T_hi)
+    bad_B = (muB < B_lo) | (muB > B_hi)
+    if bad_T.any() or bad_B.any():
+        raise ValueError(
+            f"surface (T, muB) outside the df coefficient table: "
+            f"T in [{float(T.min()):.4f}, {float(T.max()):.4f}] vs table "
+            f"[{T_lo:.4f}, {T_hi:.4f}] GeV ({int(bad_T.sum())} cells out); "
+            f"muB in [{float(muB.min()):.4f}, {float(muB.max()):.4f}] vs "
+            f"[{B_lo:.4f}, {B_hi:.4f}] GeV ({int(bad_B.sum())} cells out) "
+            f"-- the reference exits here too (deltafReader.cpp:425-429); "
+            f"trim corona cells or regenerate wider tables with "
+            f"tools/deltaf_generator.py")
+
+
 def _bilinear(grid_vals, T_grid, muB_grid, T, muB):
     """Uniform-grid bilinear interpolation of a (nmuB, nT) table."""
     dT = T_grid[1] - T_grid[0]

@@ -292,11 +292,28 @@ def load_chosen_mcids(path: str) -> np.ndarray:
     return np.asarray(ids, dtype=np.int64)
 
 
-def chosen_indices(table: ParticleTable, chosen_mcids, group_by_mass: bool = False) -> np.ndarray:
+def chosen_indices(table: ParticleTable, chosen_mcids,
+                   group_by_mass: bool = False,
+                   skip_missing: bool = False) -> np.ndarray:
     """Map chosen mc ids to table indices, preserving chosen-file order
     (reference: emissionfunction.cpp:336-351); optionally mass-sorted
     (GROUP_PARTICLES bubble sort, emissionfunction.cpp:354-369 — we use a
-    stable sort, equivalent ordering for distinct masses)."""
+    stable sort, equivalent ordering for distinct masses).
+
+    skip_missing: drop (with a warning) chosen ids absent from the table —
+    the reference's matching loop simply never matches them, so e.g. a
+    smash-only resonance in chosen_particles.dat used with hrg_eos=1
+    completes upstream; default is strict for programmatic callers."""
+    if skip_missing:
+        present = [m for m in chosen_mcids if int(m) in
+                   set(int(v) for v in table.mc_id)]
+        missing = [int(m) for m in chosen_mcids
+                   if int(m) not in set(int(v) for v in table.mc_id)]
+        if missing:
+            print(f"[is3d_tpu] warning: {len(missing)} chosen mc id(s) not "
+                  f"in the particle table and skipped: {missing[:10]}"
+                  f"{' ...' if len(missing) > 10 else ''}")
+        chosen_mcids = present
     idx = np.asarray([table.index_of_mcid(m) for m in chosen_mcids], dtype=np.int64)
     if group_by_mass:
         order = np.argsort(table.mass[idx], kind="stable")

@@ -19,7 +19,6 @@ Modes (readindata.cpp:133-144):
 
 from __future__ import annotations
 
-import io
 from dataclasses import dataclass
 from typing import Optional
 
@@ -137,11 +136,23 @@ def load_float_matrix(path_or_text, ncols: Optional[int] = None) -> np.ndarray:
     (matching the reference's stream-extraction semantics, which ignores line
     structure); otherwise rows define the column count.
     """
+    import os
     if hasattr(path_or_text, "read"):
         text = path_or_text.read()
-    elif isinstance(path_or_text, str) and not any(c in path_or_text for c in " \n\t"):
+    elif isinstance(path_or_text, str) and os.path.exists(path_or_text):
+        # an existing file wins -- paths may legally contain spaces
         with open(path_or_text) as f:
             text = f.read()
+    elif isinstance(path_or_text, str) \
+            and not any(c in path_or_text for c in " \n\t"):
+        # single whitespace-free token: a numeric literal is inline data,
+        # anything else is a (missing) path -- fail with the clear error
+        try:
+            float(path_or_text)
+            text = path_or_text
+        except ValueError:
+            with open(path_or_text) as f:   # raises FileNotFoundError
+                text = f.read()
     else:
         text = path_or_text
 
@@ -165,8 +176,11 @@ def load_float_matrix(path_or_text, ncols: Optional[int] = None) -> np.ndarray:
                 f"format table; the reference's ifstream would silently "
                 f"read past EOF here)")
         return flat.reshape(-1, ncols)
-    # infer columns from the first data line
-    first = next(l for l in text.splitlines() if l.split())
+    # infer columns from the first NON-COMMENT data line (the native
+    # tokenizer strips comments itself, so `text` may still carry a '#'
+    # header whose word count is not the column count)
+    first = next(l for l in text.splitlines()
+                 if l.split() and not l.lstrip().startswith("#"))
     ncols = len(first.split())
     if flat.size % ncols:
         raise ValueError("ragged surface file")
@@ -212,7 +226,7 @@ def _read_vh_old(m, include_baryon, include_baryondiff, dimension):
     col = lambda: m[:, next(c)]
     tau, x, y, eta = col(), col(), col(), col()
     dat, dax, day, dan = col(), col(), col(), col()
-    _check_dan(dan, dimension)
+    _check_dan(dan, dimension, strict=True)      # mode 0 exits upstream
     _ut, ux, uy, un = col(), col(), col(), col()  # u^tau re-derived from normalization
     E, T, P = col() * HBARC, col() * HBARC, col() * HBARC
     pitt, pitx, pity, pitn = (col() * HBARC for _ in range(4))
@@ -382,7 +396,12 @@ def _read_vah_pl(m, dimension):
              pixx=pixx, pixy=pixy, pixn=pixn, piyy=piyy, piyn=piyn,
              bulkPi=bulkPi, PL=PL, Wt=Wt, Wx=Wx, Wy=Wy, Wn=Wn,
              Lambda=Lambda, aL=aL)
-    return d, None  # reference mode 2 does not write the averages file
+    # the reference never computes averages for mode 2 (and so never writes
+    # the side-channel file -- api keeps that file behavior), but the
+    # in-memory ThermoAverages is needed downstream (deltaf T_avg, sampler
+    # plasma); compute it like the VH readers, muB = nB = 0
+    return d, _averages(tau, ux, uy, un, dat, dax, day, dan, T, E, P,
+                        0.0, 0.0)
 
 
 def _read_vah_plpt(m, include_baryon, include_baryondiff, dimension):
@@ -393,8 +412,7 @@ def _read_vah_plpt(m, include_baryon, include_baryondiff, dimension):
     col = lambda: m[:, next(c)]
     tau, x, y, eta = col(), col(), col(), col()
     dat, dax, day, dan = col(), col(), col(), col()
-    if dimension == 2 and np.any(dan != 0):
-        raise ValueError("2+1d boost-invariant surface has nonzero dsigma_eta")
+    _check_dan(dan, dimension, strict=True)      # mode 3 exits upstream
     _ut, ux, uy, un = col(), col(), col(), col()
     E, T = col() * HBARC, col() * HBARC
     PL, PT = col() * HBARC, col() * HBARC
@@ -419,13 +437,26 @@ def _read_vah_plpt(m, include_baryon, include_baryondiff, dimension):
         d["Vx"] = col() * HBARC
         d["Vy"] = col() * HBARC
         d["Vn"] = np.zeros_like(tau)
-    return d, None
+    # in-memory averages for downstream consumers (see _read_vah_pl note);
+    # the file carries (PL, PT) but no isotropic P, so use the trace
+    # reconstruction P = (PL + 2 PT) / 3
+    return d, _averages(tau, ux, uy, un, dat, dax, day, dan, T, E,
+                        (PL + 2.0 * PT) / 3.0,
+                        d.get("muB", 0.0), d.get("nB", 0.0))
 
 
-def _check_dan(dan, dimension):
+def _check_dan(dan, dimension, strict: bool = False):
+    """Nonzero dsigma_eta on a 2+1D surface.  The reference exits for
+    modes 0 and 3 (readindata.cpp:183-187, 959-963) but deliberately
+    downgraded the check to a warning for modes 1/2/5 (commented-out
+    exit(-1) at :357, :497, :849 -- round-off-level dan from upstream
+    hydro is common there), so only ``strict`` readers raise."""
     if dimension == 2 and np.any(dan != 0):
-        raise ValueError(
-            "2+1d boost-invariant surface read-in error: dsigma_eta is not zero")
+        msg = ("2+1d boost-invariant surface read-in: dsigma_eta is not "
+               "zero (max |dan| = %g)" % float(np.max(np.abs(dan))))
+        if strict:
+            raise ValueError(msg)
+        print(f"[is3d_tpu] warning: {msg}")
 
 
 def _maybe_baryon(d, include_baryon, include_baryondiff, muB, nB, Vx, Vy, Vn, n):

@@ -16,7 +16,6 @@ is standalone.  All grids end up as a MomentumGrid pytree of device arrays.
 
 from __future__ import annotations
 
-import io as _io
 
 import numpy as np
 import jax.numpy as jnp

@@ -77,11 +77,18 @@ def test_mode7_hiceventgen():
     assert float(s.bulkPi[0]) == pytest.approx(0.01)
 
 
-def test_mode1_rejects_nonzero_dan_2d():
+def test_mode1_warns_mode0_rejects_nonzero_dan_2d(capsys):
+    # reference behavior: mode 1 WARNS on nonzero dsigma_eta
+    # (commented-out exit, readindata.cpp:357); mode 0 exits (:183-187)
     row = [0.5, 0, 0, 0, 1000.0, 0, 0, 0.5, 0, 0, 0, 1.839, 0.786, 0.270,
            0, 0, 0, 0, 0, 0]
+    s, _ = read_surface(" ".join(map(str, row)), mode=1, dimension=2)
+    assert s.n_cells == 1 and "dsigma_eta" in capsys.readouterr().out
+    from is3d_tpu.io.surface import expected_columns
+    n0 = expected_columns(0, False, False)
+    row0 = [0.5, 0, 0, 0, 1000.0, 0, 0, 0.5] + [1.0] * (n0 - 8)
     with pytest.raises(ValueError):
-        read_surface(" ".join(map(str, row)), mode=1, dimension=2)
+        read_surface(" ".join(map(str, row0)), mode=0, dimension=2)
 
 
 def test_thermo_averages_weighting():
@@ -256,7 +263,11 @@ def test_mode3_vah_plpt_layout():
     np.testing.assert_allclose(np.asarray(s.Wt)[0], row[26] * hbarC)
     np.testing.assert_allclose(np.asarray(s.Lambda)[0], row[30] * hbarC)
     np.testing.assert_allclose(np.asarray(s.aL)[0], row[32])
-    assert avg is None     # mode 3 does not write the averages file
+    # mode 3 never writes the averages FILE upstream, but the in-memory
+    # ThermoAverages is computed (P = (PL + 2 PT)/3 trace reconstruction)
+    assert avg is not None
+    np.testing.assert_allclose(
+        avg.pressure, (row[14] + 2 * row[15]) / 3 * hbarC)
 
 
 def test_bilinear_df_evaluation_vs_scipy(reference_dir):
@@ -300,3 +311,61 @@ def test_bilinear_df_evaluation_vs_scipy(reference_dir):
         want = interp(np.stack([np.asarray(muBq), np.asarray(Tq)], 1)) * unscale
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10,
                                    err_msg=name)
+
+
+# -------------------------------- review-fix regressions (io robustness)
+
+def test_load_float_matrix_path_with_spaces(tmp_path):
+    import os
+    d = tmp_path / "my run"
+    d.mkdir()
+    p = d / "m.dat"
+    p.write_text("1.0 2.0\n3.0 4.0\n")
+    from is3d_tpu.io.surface import load_float_matrix
+    m = load_float_matrix(str(p))
+    np.testing.assert_array_equal(m, [[1.0, 2.0], [3.0, 4.0]])
+    # a single numeric token is inline data, not a filename
+    np.testing.assert_array_equal(load_float_matrix("3.14"), [[3.14]])
+
+
+def test_load_float_matrix_infers_columns_past_comment_header():
+    from is3d_tpu.io.surface import load_float_matrix
+    m = load_float_matrix("# tau x y eta and more header words\n1 2 3\n4 5 6\n")
+    assert m.shape == (2, 3)
+
+
+def test_mode1_nonzero_dan_warns_not_raises(capsys):
+    """Reference downgraded the 2+1D dsigma_eta check to a warning for
+    modes 1/2/5 (commented-out exit at readindata.cpp:357); only modes
+    0 and 3 exit."""
+    from is3d_tpu.io.surface import read_surface, expected_columns
+    ncols = expected_columns(1, False, False)
+    row = [2.0, 0, 0, 0, 0.5, 0, 0, 1e-15] + [0.0] * (ncols - 8)
+    row[8 + 0] = 0.0   # ux
+    # E T P block positions don't matter for loading; T must be nonzero
+    text = " ".join(str(v) for v in row)
+    surf, _ = read_surface(text, mode=1, dimension=2)
+    assert "dsigma_eta" in capsys.readouterr().out
+    assert surf.n_cells == 1
+
+
+def test_validate_df_range_raises_out_of_table(reference_dir, smash_table):
+    from is3d_tpu.io import deltaf as deltaf_io
+    dfd = deltaf_io.build_deltaf_data(f"{reference_dir}/deltaf_coefficients",
+                                      hrg_eos=2, particle_table=smash_table,
+                                      T_avg=0.155)
+    T = np.asarray([0.155, 0.05])          # 0.05 below the table
+    muB = np.asarray([0.0, 0.0])
+    with pytest.raises(ValueError, match="outside the df coefficient table"):
+        deltaf_io.validate_df_range(dfd, T, muB)
+    deltaf_io.validate_df_range(dfd, np.asarray([0.155]), np.asarray([0.1]))
+
+
+def test_chosen_indices_skip_missing(smash_table, capsys):
+    from is3d_tpu.io.pdg import chosen_indices
+    idx = chosen_indices(smash_table, [211, 999999321, -211],
+                         skip_missing=True)
+    assert len(idx) == 2
+    assert "skipped" in capsys.readouterr().out
+    with pytest.raises(KeyError):
+        chosen_indices(smash_table, [999999321])

@@ -1,6 +1,7 @@
 """VAH anisotropic-hydro spectra kernel vs a direct numpy oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from is3d_tpu.config import Config
@@ -239,3 +240,63 @@ def test_vah_eta_quadrature_converged_under_strong_flow():
     # worse (2.2e-4 at the pT edge: the narrowed span's edge clips the
     # flow-shifted peak), so 1e-4 discriminates with margin both ways
     np.testing.assert_allclose(got, truth, rtol=1e-4)
+
+
+def _vah_file_text(mode, n=3, seed=9):
+    """Synthetic mode-2/3 surface file text (raw fm units; read_surface
+    multiplies by hbarC)."""
+    from is3d_tpu.units import HBARC
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        tau = rng.uniform(2, 6)
+        pos = [tau, rng.uniform(-5, 5), rng.uniform(-5, 5), 0.0]
+        da = [rng.uniform(0.1, 0.6), rng.uniform(-0.2, 0.2),
+              rng.uniform(-0.2, 0.2), 0.0]
+        ux, uy = rng.uniform(-0.3, 0.3, 2)
+        u = [np.sqrt(1 + ux**2 + uy**2), ux, uy, 0.0]
+        E, T, P = 0.4 / HBARC, 0.155 / HBARC, 0.08 / HBARC
+        pi = list(rng.uniform(-1e-3, 1e-3, 10))
+        W = list(rng.uniform(-1e-3, 1e-3, 4))
+        if mode == 2:
+            PL = P * rng.uniform(0.5, 1.5)
+            rows.append(pos + da + u + [E, T, P, PL] + pi + W + [0.01])
+        else:
+            PL = P * rng.uniform(0.5, 1.5)
+            PT = P * rng.uniform(0.5, 1.5)
+            Lam = 0.16 / HBARC
+            rows.append(pos + da + u + [E, T, PL, PT] + pi + W
+                        + [Lam, 1.1, 0.8])
+    return "\n".join(" ".join(f"{v:.8e}" for v in r) for r in rows)
+
+
+@pytest.mark.parametrize("mode", [2, 3])
+def test_vah_reader_returns_thermo_averages(mode):
+    """The full file path for VAH surfaces needs in-memory ThermoAverages
+    (deltaf T_avg, sampler plasma); returning None crashed
+    run_particlization before any VAH kernel ran."""
+    from is3d_tpu.io.surface import read_surface
+    surf, avg = read_surface(_vah_file_text(mode), mode=mode, dimension=2)
+    assert avg is not None
+    np.testing.assert_allclose(avg.temperature, 0.155, rtol=1e-6)
+    assert np.isfinite(avg.pressure) and avg.pressure > 0
+
+
+def test_vah_run_dir_prepare(tmp_path):
+    """IS3D.from_run_dir with a mode-2 surface must get through the whole
+    prepare phase (the round-2 crash was avg.temperature on None)."""
+    import os
+    from is3d_tpu.api import IS3D
+    d = tmp_path / "run"
+    (d / "input").mkdir(parents=True)
+    (d / "input" / "surface.dat").write_text(_vah_file_text(2))
+    (d / "iS3D_parameters.dat").write_text(
+        "mode = 2\noperation = 1\ndimension = 2\ndf_mode = 2\n")
+    for name in ("PDG", "deltaf_coefficients"):
+        os.symlink(f"/root/reference/{name}", d / name)
+    run = IS3D.from_run_dir(str(d), chosen_file="chosen_particles_pikp.dat")
+    run.read_fo_surf_from_file()
+    assert run.averages is not None
+    _table, _dfd, species, mcids, _grid, plasma = run._prepare()
+    assert plasma.temperature > 0.1
+    assert species.n_species == len(mcids)
