@@ -82,29 +82,32 @@ def _tail_fit_and_patch(logdN, MT_grid, mT_min):
     logdN: (P, F, Y); MT_grid: (P,).  Returns (patched, const (F,Y), slope).
     """
     P, F, Y = logdN.shape
-    const = np.zeros((F, Y))
-    slope = np.zeros((F, Y))
-    patched = logdN.copy()
-    for f in range(F):
-        for y in range(Y):
-            col = logdN[:, f, y]
-            finite = np.isfinite(col)
-            pts = finite & (MT_grid > mT_min)
-            if pts.sum() < 2:
-                pts = finite.copy()
-                if pts.sum() > 2:        # use the last two finite points
-                    idx = np.nonzero(pts)[0][-2:]
-                    pts[:] = False
-                    pts[idx] = True
-            if pts.sum() >= 2:
-                A = np.stack([np.ones(pts.sum()), MT_grid[pts]], 1)
-                x, *_ = np.linalg.lstsq(A, col[pts], rcond=None)
-                const[f, y], slope[f, y] = x
-            else:
-                const[f, y], slope[f, y] = -745.0, 0.0
-            bad = ~finite
-            if bad.any():
-                patched[bad, f, y] = const[f, y] + slope[f, y] * MT_grid[bad]
+    finite = np.isfinite(logdN)                       # (P,F,Y)
+    mt = MT_grid[:, None, None]
+
+    # point selection, all columns at once: the relativistic finite points;
+    # columns with < 2 of them fall back to the LAST TWO finite points
+    # (all finite points when there are <= 2)
+    primary = finite & (mt > mT_min)
+    rank_from_end = np.cumsum(finite[::-1], axis=0)[::-1]   # 1 = last finite
+    fallback = finite & (rank_from_end <= 2)
+    sel = np.where(primary.sum(axis=0, keepdims=True) >= 2, primary, fallback)
+
+    # closed-form masked least-squares line fit log dN = c + s MT
+    # (equivalent to the normal equations of the former per-column lstsq)
+    ylog = np.where(sel, logdN, 0.0)
+    S0 = sel.sum(axis=0)
+    S1 = (sel * mt).sum(axis=0)
+    S2 = (sel * mt * mt).sum(axis=0)
+    T0 = ylog.sum(axis=0)
+    T1 = (ylog * mt).sum(axis=0)
+    det = S0 * S2 - S1 * S1
+    ok = (S0 >= 2) & (np.abs(det) > 0.0)
+    safe_det = np.where(ok, det, 1.0)
+    slope = np.where(ok, (S0 * T1 - S1 * T0) / safe_det, 0.0)
+    const = np.where(ok, (T0 * S2 - T1 * S1) / safe_det, -745.0)
+
+    patched = np.where(finite, logdN, const[None] + slope[None] * mt)
     return patched, const, slope
 
 
@@ -583,15 +586,23 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
                 m1 = float(table.mass[i1])
                 m2 = float(table.mass[i2])
                 M = mass_parent0
-                # width shift to open sub-threshold channels (ref :242-258)
+                # width shift to open sub-threshold channels (ref :242-258);
+                # with all three widths zero the loop cannot make progress,
+                # so such a channel is kinematically closed outright (a
+                # zero-width sub-threshold entry only arises in trimmed /
+                # user-supplied tables, but it must not hang the pass)
                 closed = False
-                while m1 + m2 > M:
-                    M += 0.25 * width_parent
-                    m1 -= 0.5 * float(table.width[i1])
-                    m2 -= 0.5 * float(table.width[i2])
+                w_par = 0.25 * width_parent
+                w1 = 0.5 * float(table.width[i1])
+                w2 = 0.5 * float(table.width[i2])
+                if m1 + m2 > M and w_par == 0.0 and w1 == 0.0 and w2 == 0.0:
+                    closed = True
+                while not closed and m1 + m2 > M:
+                    M += w_par
+                    m1 -= w1
+                    m2 -= w2
                     if m1 < 0.0 or m2 < 0.0:
                         closed = True
-                        break
                 if closed:
                     continue
                 adj_mass = {i1: m1, i2: m2}
@@ -670,11 +681,25 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
             parent = spectra[parent_rows[i]]                      # (P,F,Y)
             if not np.any(parent > 0.0):
                 continue
-            slot = len(wave_parents)
-            logdN, tc, ts, _ = _prepare_parent(parent, pT, parent_mass[i])
-            wave_parents.append((logdN, tc, ts))
-            wtasks2 += [(t[0], t[1], slot) + t[2:] for t in parent_tasks2[i]]
-            wtasks3 += [(t[0], t[1], slot) + t[2:] for t in parent_tasks3[i]]
+            # one slot per distinct (parent, adjusted mass): the MT tail
+            # fit must use the abscissa MT = sqrt(pT^2 + M_adj^2) the task
+            # queries -- the reference refits with the adjusted parent
+            # mass per channel (estimate_MT_function_of_dNdypTdpTdphi
+            # inside two_body_decay).  Unadjusted channels (the vast
+            # majority) share one slot per parent as before.
+            slot_by_M = {}
+
+            def slot_for(M, _parent=parent, _s=slot_by_M):
+                if M not in _s:
+                    logdN, tc, ts, _ = _prepare_parent(_parent, pT, M)
+                    _s[M] = len(wave_parents)
+                    wave_parents.append((logdN, tc, ts))
+                return _s[M]
+
+            wtasks2 += [(t[0], t[1], slot_for(t[6])) + t[2:]
+                        for t in parent_tasks2[i]]
+            wtasks3 += [(t[0], t[1], slot_for(t[4])) + t[2:]
+                        for t in parent_tasks3[i]]
         if not wave_parents:
             continue
         n_channels_done += len(wtasks2) + len(wtasks3)

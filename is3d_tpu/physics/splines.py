@@ -34,7 +34,8 @@ def _thomas(lower, diag, upper, rhs):
     n = len(diag)
     cp = np.empty(n)
     dp = np.empty(n)
-    cp[0] = upper[0] / diag[0]
+    # n == 1 (exactly 3 spline knots -> one interior c): upper is empty
+    cp[0] = upper[0] / diag[0] if n > 1 else 0.0
     dp[0] = rhs[0] / diag[0]
     for i in range(1, n):
         m = diag[i] - lower[i - 1] * cp[i - 1]

@@ -348,3 +348,35 @@ def test_hat_contraction_matches_gather_interpolation():
         a = np.asarray(dk._three_body_integral(*args3, dim, False))
         b = np.asarray(dk._three_body_integral(*args3, dim, True))
         np.testing.assert_allclose(b, a, rtol=5e-13, atol=1e-300)
+
+
+def test_zero_width_subthreshold_channel_is_closed(reference_dir):
+    """A sub-threshold 2-body channel whose parent and daughter widths are
+    ALL zero cannot be opened by the width shift; it must be treated as
+    closed instead of hanging the pass (trimmed/user tables can contain
+    such entries)."""
+    import dataclasses
+    from is3d_tpu.io import pdg
+    table = pdg.read_resonances(f"{reference_dir}/PDG", 1)
+    ti = table.index_of_mcid(113)            # rho0 -> pi+ pi-
+    mass = table.mass.copy()
+    width = table.width.copy()
+    mass[ti] = 0.1                           # below 2 m_pi
+    width[ti] = 0.0
+    for m in (211, -211):
+        width[table.index_of_mcid(m)] = 0.0
+    t2 = dataclasses.replace(table, mass=mass, width=width) \
+        if dataclasses.is_dataclass(table) else None
+    if t2 is None:
+        import copy
+        t2 = copy.copy(table)
+        t2.mass, t2.width = mass, width
+    grid = native_momentum_grid(dimension=2, n_pT=8, pT_max=3.0, n_phi=4,
+                                n_eta=4)
+    mcids = np.asarray([211, -211, 113])
+    spectra = np.zeros((3, grid.n_pT, grid.n_phi, 1))
+    spectra[2] = 1e-3
+    cfg = Config(dimension=2, do_resonance_decays=1, lightest_particle=111)
+    out = dk.do_resonance_decays(spectra, t2, mcids, grid, cfg)
+    # channel closed: pions gain nothing, and we did not hang
+    np.testing.assert_allclose(out[0], spectra[0])

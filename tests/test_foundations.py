@@ -122,3 +122,16 @@ def test_chosen_particles(reference_dir):
     idx_sorted = pdg.chosen_indices(t, [321, 111, 211], group_by_mass=True)
     masses = t.mass[idx_sorted]
     assert np.all(np.diff(masses) >= 0)
+
+
+def test_natural_cubic_three_knots():
+    """Exactly 3 knots -> a 1x1 tridiagonal system; _thomas must not
+    index an empty upper diagonal."""
+    import numpy as np
+    import scipy.interpolate as si
+    from is3d_tpu.physics.splines import build_natural_cubic, evaluate
+    sp = build_natural_cubic([0.0, 1.0, 2.0], [1.0, 2.0, 0.0])
+    ref = si.CubicSpline([0, 1, 2], [1, 2, 0], bc_type="natural")
+    xq = np.linspace(0.0, 2.0, 9)
+    np.testing.assert_allclose(np.asarray(evaluate(sp, xq)), ref(xq),
+                               rtol=1e-12)
