@@ -148,9 +148,16 @@ def _prepare_feqmod_cells(c, species, laguerre, cfg: Config,
     if cfg.df_mode == 3:
         c["breakdown"] = _mode3_breakdown(c, laguerre, cfg)
     else:
-        # mode 4 never falls back (to match J. Bernhard's sampler;
-        # reference: emissionfunction.cpp:139-149)
-        c["breakdown"] = jnp.zeros_like(detA, dtype=bool)
+        # mode 4 normally never falls back (to match J. Bernhard's
+        # sampler; reference: emissionfunction.cpp:139-149) -- EXCEPT
+        # where the modified distribution stops being defined: under
+        # strong negative bulk (measured at bulkPi ~ -0.9 P) the
+        # transform A loses positive definiteness (detA < 0, negative
+        # renormalization), so f_mod is meaningless and the reference
+        # silently evaluates an indefinite momentum transform.  Route
+        # detA <= detA_min cells to the linearized Jonah df, the same
+        # guard mode 3 applies (deliberate, documented divergence).
+        c["breakdown"] = detA <= cfg.deta_min
 
     # renormalization per (cell, species)
     if cfg.include_bulk_deltaf:
@@ -258,13 +265,7 @@ def _pointwise_contribution_feqmod(c, valid, species: SpeciesArrays,
     feqbar = 1.0 - sign_b * feq
 
     q3 = taupn_u
-    pipp = (cc(c["pitt"]) * pt_u * pt_u + cc(c["pixx"]) * px_b * px_b
-            + cc(c["piyy"]) * py_b * py_b + cc(c["pinn"] * tau * tau) * q3 * q3
-            + 2.0 * (-(cc(c["pitx"]) * px_b + cc(c["pity"]) * py_b) * pt_u
-                     + cc(c["pixy"]) * px_b * py_b
-                     + q3 * (cc(c["pixn"] * tau) * px_b
-                             + cc(c["piyn"] * tau) * py_b
-                             - cc(c["pitn"] * tau) * pt_u)))
+    pipp = lrf.milne_pipp_full(c, cc, pt_u, px_b, py_b, taupn_u, tau)
     Vp = (cc(c["Vt"]) * pt_u - cc(c["Vx"]) * px_b - cc(c["Vy"]) * py_b
           - cc(c["Vn"] * tau) * q3)
     f_fallback = _linearized_df_fallback(cfg, c, pdotu, pipp, Vp, mass2_b,
@@ -361,7 +362,7 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         # _prepare_feqmod_cells instead); s(mT) rides the weights below.
         from .smooth import _rescaled_eta_operands, _rescaled_vh_terms
         ops = _rescaled_eta_operands(c, species, grid, S, P, F, M)
-        CHR, SHR, _, _, _, chs, shs, s_flat = ops
+        s_flat = ops[-1]
         pds_u, pdotu, pipp, Vp = _rescaled_vh_terms(c, ops, W1, W2, C4, D2,
                                                     pxf, pyf)
         delta_u = None    # only consulted on the 3+1D narrow-cell mask
@@ -428,19 +429,42 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     E2 = b.Xx[:, None] * pxf[None] + b.Xy[:, None] * pyf[None]
     F2 = b.Yx[:, None] * pxf[None] + b.Yy[:, None] * pyf[None]
     if rescaled:
-        # same node map as the fallback; the ch/sh-linear LRF composites
-        # split by the addition theorem: X = ch*a + sh*b ->
-        # chr*(chs*a - shs*b) + shr*(shs*a - chs*b)
-        pds_s = pds_u
-        Xnt = b.Xn * tau
-        Znt = b.Zn * tau
-        E1a = cb(-(chs * b.Xt + shs * Xnt))
-        E1b = cb(-(shs * b.Xt + chs * Xnt))
-        G1a = cb(-(chs * b.Zt + shs * Znt))
-        G1b = cb(-(shs * b.Zt + chs * Znt))
-        px_LRF = CHR * E1a + SHR * E1b + cm(E2)
+        # feqmod-branch nodes: per-cell LONGITUDINAL compression by A_zz
+        # on top of the shared s(mT) map.  The momentum transform narrows
+        # f_mod's (y - eta) width by ~A_zz (exactly 1 + lambda for mode
+        # 4's isotropic A, where breakdown never reroutes); without it the
+        # shared nodes grossly under-resolve strong-bulk cells (measured
+        # 1e4 relative error at bulkPi = -0.9 P, df_mode 4).  A per-cell
+        # SCALE cannot ride the addition-theorem split, so this branch
+        # pays direct per-cell cosh/sinh like the VAH kernel; the
+        # substitution is exact -- the zscale jacobian is folded into
+        # f_mod below and the s(mT) jacobian into the weights.
+        # width of f_mod in (y - eta): E_mod rises from its minimum by
+        # ~ (mT delta / Azz)^2 / (2 E0), decaying over
+        # delta_w ~ Azz sqrt(T_mod / mT) -- vs the shared map's
+        # sqrt(T_ref / mT) -- so the extra compression is
+        # Azz * sqrt(T_mod / T_ref-ish); use T (~T_ref) as the base the
+        # s(mT) map was built for.  Mode 4 has T_mod = T (pure Azz).
+        # bounded + sanitized: inert pad cells carry extrapolated df
+        # coefficients (T = 1 GeV) that can drive Azz to inf/NaN, and a
+        # non-finite cosh argument poisons the whole chunk through the
+        # 0-mask multiply (inf * 0 = NaN); the upper bound keeps
+        # cosh(zscale * s * eta_max) finite in f32
+        Azz = c["A"][5]
+        zscale = Azz * jnp.sqrt(jnp.clip(c["T_mod"], 1e-6, None) / c["T"])
+        zscale = jnp.clip(jnp.nan_to_num(zscale, nan=1.0, posinf=1.0,
+                                         neginf=1.0), 1e-3, 10.0)
+        yf = jnp.arctanh(tau * c["un"] / c["ut"])
+        delta_s = (yf[:, None, None, None]
+                   + zscale[:, None, None, None]
+                   * grid.eta[None, :, None, None] * s_flat[None, None])
+        ch_s, sh_s = jnp.cosh(delta_s), jnp.sinh(delta_s)
+        pds_s = (sm(mTf) * (cb(c["dat"]) * ch_s + cb(c["dan"] / tau) * sh_s)
+                 + cm(W1))
+        px_LRF = (sm(mTf) * (cb(-b.Xt) * ch_s + cb(b.Xn * tau) * sh_s)
+                  + cm(E2))
         py_LRF = jnp.broadcast_to(cm(F2), px_LRF.shape)
-        pz_LRF = CHR * G1a + SHR * G1b
+        pz_LRF = sm(mTf) * (cb(-b.Zt) * ch_s + cb(b.Zn * tau) * sh_s)
     else:
         A1s, _, t_sh_s = lin_factors(ch_s, sh_s)
         pds_s = sm(mTf) * cr(A1s) + cm(W1)
@@ -467,6 +491,10 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     chem_mod = baryon_b * cb(c["alphaB_mod"])
     f_mod = (jnp.abs(c["renorm"])[:, None, :, None]      # (C,1,S,1)
              / (jnp.exp(E_mod / cb(c["T_mod"]) - chem_mod) + sign_b))
+    if rescaled:
+        # jacobian of the per-cell zscale node compression (the shared
+        # s(mT) jacobian is applied to the reduced output instead)
+        f_mod = f_mod * zscale[:, None, None, None]
 
     # ---- branch selection -------------------------------------------------
     breakdown = c["breakdown"][:, None, None, None]

@@ -67,7 +67,6 @@ def _linear_df(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b, feqbar):
     2 (Chapman-Enskog) (reference: emissionfunction_smooth_kernels.cpp:214-242,
     299-326; formulas documented in SURVEY Appendix B)."""
     cc = lambda x: x[:, None, None, None, None]
-    T = cc(c["T"])
     bulkPi = cc(c["bulkPi"])
 
     if cfg.df_mode == 1:
@@ -362,7 +361,6 @@ def _linear_df_flat(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b,
                     feqbar):
     """_linear_df with (C, R, S, M) broadcasting (cell axis first)."""
     cb = lambda x: x[:, None, None, None]
-    T = cb(c["T"])
     bulkPi = cb(c["bulkPi"])
 
     if cfg.df_mode == 1:
@@ -434,7 +432,11 @@ def smooth_spectra(surface, species: SpeciesArrays, grid: MomentumGrid,
     cols = surface_columns(surface, cfg)
     from .pallas_smooth import pallas_available, smooth_spectra_pallas
     from ..parallel.mesh import grouped_cell_reduce
-    kern = (smooth_spectra_pallas if pallas_available(cfg, surface.tau.dtype)
-            else _smooth_spectra_jit)
+    # the pallas experiment has no eta-node remap: never let it silently
+    # replace the mT-adaptive quadrature on native 2+1D grids (fixed nodes
+    # lose up to ~12% at pT = 4 GeV there, see _chunk_contribution)
+    use_pallas = (pallas_available(cfg, surface.tau.dtype)
+                  and not (cfg.dimension == 2 and grid.eta_mT_rescale))
+    kern = smooth_spectra_pallas if use_pallas else _smooth_spectra_jit
     return grouped_cell_reduce(lambda c, s, g, d: kern(c, s, g, d, cfg),
                                cols, (species, grid, df_data), cfg)

@@ -67,7 +67,7 @@ def _chunk_vah(c, valid, species, grid, cfg, pointwise: bool = False):
     # exactly this trade).  With the mT term the worst-case quadrature
     # error at the pT = 4 GeV grid edge drops from 6e-2 (a_L-only rescale,
     # n_eta = 48) to < 1e-6 (measured vs a 2048-node reference).
-    if cfg.dimension == 2 and not pointwise:
+    if cfg.dimension == 2 and not pointwise and grid.eta_mT_rescale:
         lam_c = c["Lambda"][:, None, None]
         eta_scale = c["aL"][:, None, None] * jnp.sqrt(
             lam_c / jnp.maximum(mT[None, :, :], lam_c))      # (C,S,P)
@@ -110,15 +110,7 @@ def _chunk_vah(c, valid, species, grid, cfg, pointwise: bool = False):
     if cfg.include_shear_deltaf:
         Wp = (cc(c["Wt"]) * pt - cc(c["Wx"]) * px_b - cc(c["Wy"]) * py_b
               - cc(c["Wn"] * tau) * taupn)
-        q3 = taupn
-        pipp = (cc(c["pitt"]) * pt * pt + cc(c["pixx"]) * px_b * px_b
-                + cc(c["piyy"]) * py_b * py_b
-                + cc(c["pinn"] * tau * tau) * q3 * q3
-                + 2.0 * (-(cc(c["pitx"]) * px_b + cc(c["pity"]) * py_b) * pt
-                         + cc(c["pixy"]) * px_b * py_b
-                         + q3 * (cc(c["pixn"] * tau) * px_b
-                                 + cc(c["piyn"] * tau) * py_b
-                                 - cc(c["pitn"] * tau) * pt)))
+        pipp = lrf.milne_pipp_full(c, cc, pt, px_b, py_b, taupn, tau)
         df = df + cc(c["c3"]) * pdotz * Wp + cc(c["c4"]) * pipp
     if cfg.include_bulk_deltaf:
         df = df + (cc(c["c0"]) * mass2_b + cc(c["c1"]) * pdotz * pdotz
@@ -139,9 +131,10 @@ def _chunk_vah(c, valid, species, grid, cfg, pointwise: bool = False):
         return contrib
 
     if cfg.dimension == 2:
-        # jacobian of the eta-node rescale (exact substitution)
-        contrib = contrib * grid.eta_weight[None, None, None, None, :] \
-            * eta_scale[:, :, :, None, None]
+        contrib = contrib * grid.eta_weight[None, None, None, None, :]
+        if grid.eta_mT_rescale:
+            # jacobian of the eta-node rescale (exact substitution)
+            contrib = contrib * eta_scale[:, :, :, None, None]
         out = jnp.sum(contrib, axis=(0, 4))[..., None]
     else:
         out = jnp.sum(contrib, axis=0)

@@ -160,3 +160,20 @@ def boost_pLRF_to_lab(b: MilneBasis, ut, ux, uy, un, E_LRF, px_LRF, py_LRF, pz_L
     py = E_LRF * uy + px_LRF * b.Xy + py_LRF * b.Yy
     pn = E_LRF * un + px_LRF * b.Xn + pz_LRF * b.Zn
     return ptau, px, py, pn
+
+
+def milne_pipp_full(c: dict, cc, pt, px, py, taupn, tau):
+    """pi_{munu} p^mu p^nu from a FULL 10-component Milne shear tensor
+    (covariant contraction with the metric's tau powers folded into
+    (p^tau, p^x, p^y, tau p^eta) = (pt, px, py, taupn); ``cc`` broadcasts a
+    (C,) cell column to the block rank).  Shared by the VAH spectra kernel
+    and feqmod's pointwise linearized fallback -- one definition so a
+    term/sign fix cannot drift between them."""
+    return (cc(c["pitt"]) * pt * pt + cc(c["pixx"]) * px * px
+            + cc(c["piyy"]) * py * py
+            + cc(c["pinn"] * tau * tau) * taupn * taupn
+            + 2.0 * (-(cc(c["pitx"]) * px + cc(c["pity"]) * py) * pt
+                     + cc(c["pixy"]) * px * py
+                     + taupn * (cc(c["pixn"] * tau) * px
+                                + cc(c["piyn"] * tau) * py
+                                - cc(c["pitn"] * tau) * pt)))

@@ -146,3 +146,35 @@ def test_feqmod_eta_mT_rescale_converged(smash_table, df_data):
         scale = np.abs(ref).max()
         rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-5 * scale)
         assert rel.max() < 1e-3, (dfm, rel.max())
+
+
+def test_remap_accuracy_under_strong_bulk(smash_table, df_data):
+    """mT-adaptive remap with per-cell longitudinal (A_zz) compression of
+    the feqmod-branch nodes: moderate-bulk surfaces must match a dense
+    fixed-node truth to ~1e-4, and the formerly catastrophic strong-bulk
+    regime (measured 1.3e4 rel error with shared nodes at bulkPi = -0.9 P,
+    df_mode 4) must stay bounded.  Mode-4 cells where A loses positive
+    definiteness (detA <= deta_min) fall back to the linearized Jonah df
+    (documented divergence; the reference evaluates an indefinite
+    transform there)."""
+    from test_smooth import random_cells, to_surface, pikp_species
+    species = pikp_species(smash_table)
+    g48 = native_momentum_grid(dimension=2, n_pT=6, pT_max=4.0, n_phi=4,
+                               n_eta=48)
+    gdense = native_momentum_grid(dimension=2, n_pT=6, pT_max=4.0, n_phi=4,
+                                  n_eta=3072, eta_max=10.0,
+                                  eta_mT_rescale=False)
+    for dfm, bulk_fac, tol in ((4, -0.30, 2e-4), (3, -0.30, 0.1),
+                               (4, -0.90, 100.0)):
+        cfg = Config(operation=1, mode=1, dimension=2, df_mode=dfm,
+                     include_shear_deltaf=1, include_bulk_deltaf=1,
+                     regulate_deltaf=1, outflow=1, cell_chunk=8)
+        rng = np.random.default_rng(13)
+        cells = random_cells(8, rng, dimension=2)
+        cells["bulkPi"] = bulk_fac * cells["P"]
+        surf = to_surface(cells)
+        a = np.asarray(smooth_spectra_feqmod(surf, species, g48, df_data, cfg))
+        b = np.asarray(smooth_spectra_feqmod(surf, species, gdense, df_data,
+                                             cfg))
+        rel = np.abs(a - b) / np.maximum(np.abs(b), np.abs(b).max() * 1e-12)
+        assert rel.max() < tol, (dfm, bulk_fac, rel.max())
