@@ -183,6 +183,16 @@ class IS3D:
         if os.path.isdir(tables_dir):
             grid = load_momentum_grid(tables_dir, cfg.dimension, cfg.operation,
                                       dtype=self._dtype)
+            if cfg.mode in (2, 3) and cfg.dimension == 2:
+                # VAH surfaces: enable the mT-adaptive eta-node remap even
+                # on file-table grids.  Fixed nodes under-resolve the
+                # narrow anisotropic integrand at high pT (up to ~6e-2 at
+                # the pT grid edge); there is no reference-output parity
+                # to preserve for VAH -- the reference's VAH kernel is
+                # dead code (emissionfunction.cpp:1650-1656) -- unlike
+                # the VH kernels, whose table-grid runs keep fixed-node
+                # reference semantics.
+                grid = grid.replace(eta_mT_rescale=True)
         else:
             grid = native_momentum_grid(cfg.dimension, dtype=self._dtype)
 

@@ -432,9 +432,11 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         # feqmod-branch nodes: per-cell LONGITUDINAL compression by A_zz
         # on top of the shared s(mT) map.  The momentum transform narrows
         # f_mod's (y - eta) width by ~A_zz (exactly 1 + lambda for mode
-        # 4's isotropic A, where breakdown never reroutes); without it the
-        # shared nodes grossly under-resolve strong-bulk cells (measured
-        # 1e4 relative error at bulkPi = -0.9 P, df_mode 4).  A per-cell
+        # 4's isotropic A); without it the shared nodes grossly
+        # under-resolve strong-bulk cells (measured 1e4 relative error at
+        # bulkPi = -0.9 P, df_mode 4; cells where A stops being positive
+        # definite instead reroute to the fallback via the detA <=
+        # deta_min breakdown in _prepare_feqmod_cells).  A per-cell
         # SCALE cannot ride the addition-theorem split, so this branch
         # pays direct per-cell cosh/sinh like the VAH kernel; the
         # substitution is exact -- the zscale jacobian is folded into
@@ -450,11 +452,16 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         # non-finite cosh argument poisons the whole chunk through the
         # 0-mask multiply (inf * 0 = NaN); the upper bound keeps
         # cosh(zscale * s * eta_max) finite in f32
+        # Azz <= 0 means A is indefinite even when detA > deta_min (two
+        # negative eigenvalues): the compression factor is meaningless
+        # there, so revert those cells to the shared map (zscale ~ 1)
+        # instead of letting the clip floor collapse their node span.
         Azz = c["A"][5]
+        Azz = jnp.where(Azz > 1e-3, Azz, 1.0)
         zscale = Azz * jnp.sqrt(jnp.clip(c["T_mod"], 1e-6, None) / c["T"])
         zscale = jnp.clip(jnp.nan_to_num(zscale, nan=1.0, posinf=1.0,
                                          neginf=1.0), 1e-3, 10.0)
-        yf = jnp.arctanh(tau * c["un"] / c["ut"])
+        yf = lrf.flow_rapidity(tau, c["ut"], c["un"])
         delta_s = (yf[:, None, None, None]
                    + zscale[:, None, None, None]
                    * grid.eta[None, :, None, None] * s_flat[None, None])

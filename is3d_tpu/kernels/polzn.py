@@ -56,7 +56,8 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
         from .smooth import ETA_REMAP_T_REF
         T_REF = jnp.asarray(ETA_REMAP_T_REF, mT.dtype)
         s_sp = jnp.sqrt(T_REF / jnp.maximum(mT, T_REF))     # (S,P)
-        yfl = jnp.arctanh(c["tau"] * c["un"] / c["ut"])     # (C,)
+        from ..physics import lrf
+        yfl = lrf.flow_rapidity(c["tau"], c["ut"], c["un"])  # (C,)
         # Delta = y - eta_phys sampled at y_flow - s*eta_r: centered on the
         # integrand peak Delta* = +y_flow = atanh(tau u^eta / u^tau)
         delta = (yfl[:, None, None, None, None]

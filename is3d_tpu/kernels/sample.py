@@ -245,7 +245,15 @@ def _cell_data_jit(cols, species: SpeciesArrays, df_data: DeltafData,
             else:
                 breakdown = _mode3_breakdown(c, laguerre, cfg)
         else:
-            breakdown = jnp.zeros_like(detA, dtype=bool)
+            # mode 4 normally never falls back (J. Bernhard's sampler;
+            # reference: emissionfunction.cpp:139-149), EXCEPT where the
+            # transform A loses positive definiteness under strong
+            # negative bulk (detA <= deta_min): there f_mod is undefined,
+            # so route to the linearized Jonah df -- the same deliberate,
+            # documented divergence as the smooth feqmod kernel
+            # (_prepare_feqmod_cells), keeping sampler and smooth spectra
+            # consistent on strong-bulk surfaces.
+            breakdown = detA <= cfg.deta_min
     else:
         breakdown = jnp.zeros_like(tau, dtype=bool)
     c["breakdown"] = breakdown

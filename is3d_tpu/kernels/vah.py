@@ -78,7 +78,7 @@ def _chunk_vah(c, valid, species, grid, cfg, pointwise: bool = False):
         # same recentering as the VH remap (_rescaled_eta_operands) and
         # the polzn kernel; without it a flow-shifted peak at high pT
         # falls outside the s-narrowed span
-        y_flow = jnp.arctanh(c["tau"] * c["un"] / c["ut"])
+        y_flow = lrf.flow_rapidity(c["tau"], c["ut"], c["un"])
         delta = (y_flow[:, None, None, None]
                  - eta_scale[..., None] * grid.eta[None, None, None, :])
         ch_b = jnp.cosh(delta)[:, :, :, None, :]             # (C,S,P,1,R)

@@ -162,6 +162,19 @@ def boost_pLRF_to_lab(b: MilneBasis, ut, ux, uy, un, E_LRF, px_LRF, py_LRF, pz_L
     return ptau, px, py, pn
 
 
+def flow_rapidity(tau, ut, un):
+    """Longitudinal flow rapidity y_flow = atanh(tau u^eta / u^tau),
+    sanitized for f32: extreme (or corrupted) longitudinal flow rounds
+    tau*un/ut to exactly +-1, arctanh returns inf, and a non-finite
+    cosh(delta) then poisons whole cell chunks through the 0-mask
+    multiplies (inf * 0 = NaN).  Clamp to the principal branch; the
+    clamp bound keeps cosh(y_flow + 10 * eta_max) finite in f32."""
+    x = tau * un / ut
+    x = jnp.clip(jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0),
+                 -0.999999, 0.999999)
+    return jnp.arctanh(x)
+
+
 def milne_pipp_full(c: dict, cc, pt, px, py, taupn, tau):
     """pi_{munu} p^mu p^nu from a FULL 10-component Milne shear tensor
     (covariant contraction with the metric's tau powers folded into

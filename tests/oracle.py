@@ -255,8 +255,11 @@ def oracle_feqmod_spectra(cells, species, grid, df_eval, *,
             [pixz_L*shear_mod, piyz_L*shear_mod, 1.0 + pizz_L*shear_mod + bulk_mod]])
         detA = np.linalg.det(A)
 
-        # breakdown (mode 3 only)
-        breakdown = False
+        # breakdown: mode 3 per the reference test; mode 4 mirrors the
+        # kernel's deliberate divergence (detA <= deta_min -> linearized
+        # Jonah fallback; the reference evaluates an indefinite transform
+        # there, see feqmod._prepare_feqmod_cells)
+        breakdown = (df_mode == 4) and (detA <= deta_min)
         if df_mode == 3:
             mbar_pi = mass_pion0/T
             neq_fact = T**3/TWO_PI2_HBARC3

@@ -218,6 +218,50 @@ def test_sampler_feqmod_runs_and_reasonable(smash_table, df_data, df_mode):
         5.0 * np.sqrt(n_tot) / nev, (yield_sampled, yield_smooth)
 
 
+def test_sampler_mode4_strong_bulk_breakdown(smash_table, df_data):
+    """df_mode 4 under strong negative bulk: cells where the feqmod
+    transform loses positive definiteness (detA <= deta_min) must route to
+    the linearized Jonah fallback in the SAMPLER too, mirroring the smooth
+    kernel's documented divergence from the reference (which evaluates an
+    indefinite transform there).  Checks breakdown cells actually occur,
+    sampled events stay finite/on-shell, and the sampled yield tracks the
+    smooth kernel, which shares the fallback policy."""
+    from is3d_tpu.kernels.sample import _build_cell_data, _laguerre_device
+    surf = small_surface(n=16, seed=13)
+    surf = surf.replace(bulkPi=-0.9 * surf.P)
+    y_cut = 3.0
+    cfg = Config(operation=2, dimension=2, df_mode=4,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, y_cut=y_cut, sampler_seed=5)
+    sp = species_with_densities(smash_table, 0.155)
+
+    cell = _build_cell_data(surf, sp, df_data, cfg, PLASMA,
+                            _laguerre_device(surf.tau.dtype))
+    bk = np.asarray(cell["breakdown"])
+    assert bk.any(), "strong-bulk surface should trip detA <= deta_min"
+
+    nev = 400
+    events = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                              nevents=nev)
+    n_tot = sum(len(e["mcid"]) for e in events)
+    assert n_tot > 0
+    for e in events[:10]:
+        E2 = e["mass"]**2 + e["px"]**2 + e["py"]**2 + e["pz"]**2
+        assert np.isfinite(e["E"]).all()
+        np.testing.assert_allclose(e["E"]**2, E2, rtol=1e-10)
+
+    from is3d_tpu.kernels.feqmod import smooth_spectra_feqmod
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=5.0, n_phi=24,
+                                n_eta=48)
+    spectra = smooth_spectra_feqmod(surf, sp, grid, df_data,
+                                    cfg.replace(operation=1, cell_chunk=16))
+    yield_smooth = float(np.asarray(
+        observables.dN_dy(spectra, grid))[:, 0].sum()) * 2.0 * y_cut
+    yield_sampled = n_tot / nev
+    assert abs(yield_sampled - yield_smooth) < 0.15 * yield_smooth + \
+        5.0 * np.sqrt(n_tot) / nev, (yield_sampled, yield_smooth)
+
+
 def test_sampler_3d(smash_table, df_data):
     """3+1D surface: runs, on-shell, eta taken from the cells."""
     surf = small_surface(n=24, seed=21, dimension=3)

@@ -292,11 +292,16 @@ def test_vah_run_dir_prepare(tmp_path):
     (d / "input" / "surface.dat").write_text(_vah_file_text(2))
     (d / "iS3D_parameters.dat").write_text(
         "mode = 2\noperation = 1\ndimension = 2\ndf_mode = 2\n")
-    for name in ("PDG", "deltaf_coefficients"):
+    for name in ("PDG", "deltaf_coefficients", "tables"):
         os.symlink(f"/root/reference/{name}", d / name)
     run = IS3D.from_run_dir(str(d), chosen_file="chosen_particles_pikp.dat")
     run.read_fo_surf_from_file()
     assert run.averages is not None
-    _table, _dfd, species, mcids, _grid, plasma = run._prepare()
+    _table, _dfd, species, mcids, grid, plasma = run._prepare()
     assert plasma.temperature > 0.1
     assert species.n_species == len(mcids)
+    # file-table grids keep fixed-node reference semantics for VH runs,
+    # but VAH (modes 2/3, dead code in the reference -- no output parity
+    # to preserve) must get the mT-adaptive eta remap: fixed nodes lose
+    # up to ~6e-2 at the pT grid edge on narrow anisotropic integrands
+    assert grid.eta_mT_rescale is True
