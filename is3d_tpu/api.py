@@ -252,7 +252,8 @@ class IS3D:
                 writers.write_continuous_vn(spectra, grid, mcids,
                                             cfg.dimension, self.results_dir)
                 writers.write_dN_dy(spectra, grid, mcids, cfg.dimension,
-                                    self.results_dir)
+                                    self.results_dir,
+                                    compat_dndy=bool(cfg.reference_compat_dndy))
                 writers.write_dN_dphidy(spectra, grid, mcids, cfg.dimension,
                                         self.results_dir)
                 writers.write_dN_twopipTdpTdy(spectra, grid, mcids,

@@ -16,11 +16,27 @@ import sys
 import time
 
 
+_USAGE = (
+    "usage: python -m is3d_tpu [run_dir] [key=value ...]\n"
+    "  run_dir    directory with iS3D_parameters.dat, input/surface.dat,\n"
+    "             PDG/, tables/, deltaf_coefficients/ (default: .)\n"
+    "  key=value  parameter overrides, e.g. mode=1 operation=2\n"
+    "             (reference: ParameterReader::readFromArguments)")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in ("-h", "--help"):
+        print(_USAGE)
+        return 0
     run_dir = "."
     if argv and "=" not in argv[0]:
         run_dir = argv.pop(0)
+    bad = [a for a in argv if "=" not in a]
+    if bad:
+        print(f"unrecognized argument(s): {' '.join(bad)}\n{_USAGE}",
+              file=sys.stderr)
+        return 2
     overrides = dict(a.split("=", 1) for a in argv)
 
     from .api import IS3D

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-K_MAX = 7
+from .observables import K_MAX
 
 
 def _mid(lo, hi, n):

@@ -162,8 +162,10 @@ def load_float_matrix(path_or_text, ncols: Optional[int] = None) -> np.ndarray:
     flat = fast_parse_doubles(text.encode())
     if flat is None:
         if "#" in text:
-            text = "\n".join(l for l in text.splitlines()
-                             if not l.lstrip().startswith("#"))
+            # strip mid-line comments too, matching the native tokenizer's
+            # rules exactly (a trailing '# units' note must parse the same
+            # whether or not a compiler is available)
+            text = "\n".join(l.split("#", 1)[0] for l in text.splitlines())
         flat = np.array(text.split(), dtype=np.float64)
     if ncols is not None:
         if flat.size % ncols:
@@ -179,8 +181,8 @@ def load_float_matrix(path_or_text, ncols: Optional[int] = None) -> np.ndarray:
     # infer columns from the first NON-COMMENT data line (the native
     # tokenizer strips comments itself, so `text` may still carry a '#'
     # header whose word count is not the column count)
-    first = next(l for l in text.splitlines()
-                 if l.split() and not l.lstrip().startswith("#"))
+    first = next(l.split("#", 1)[0] for l in text.splitlines()
+                 if l.split("#", 1)[0].split())
     ncols = len(first.split())
     if flat.size % ncols:
         raise ValueError("ragged surface file")

@@ -6,4 +6,4 @@ compiled at first use with the system toolchain.  Everything degrades
 gracefully to the pure-numpy path if no compiler is available.
 """
 
-from .build import get_fastio, fast_parse_doubles, fast_count_rows  # noqa: F401
+from .build import get_fastio, fast_parse_doubles  # noqa: F401

@@ -6,94 +6,89 @@
 // whole memory buffer with strtod, which is ~an order of magnitude faster
 // for the multi-GB surfaces of production (3+1)D hydro runs.
 //
+// Contract: buf must be NUL-terminated at buf[len] (CPython bytes always
+// are) -- strtod may read past `len` otherwise.  Every numeric token must
+// end at whitespace, '#', or the buffer end; parse_doubles enforces this
+// so a token like "2abc" is rejected (-1) instead of silently splitting.
+//
 // Exposed via ctypes (no pybind11 in this environment); see build.py.
 
 #include <cstdlib>
 #include <cstring>
 #include <cctype>
 #include <cstdint>
+#include <cstdio>
+#include <locale.h>
+
+// strtod and snprintf %e are LC_NUMERIC-sensitive: an embedding process
+// with e.g. a de_DE numeric locale would stop parsing at '.' (silently
+// disabling the fast path) or emit comma decimal separators in the writer.
+// Both halves run under a forced per-thread C locale (uselocale is
+// thread-local).
+static locale_t c_numeric_locale()
+{
+    static locale_t loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    return loc;
+}
+
+// Skip whitespace and '#'-to-end-of-line comments (matches the tolerant
+// Python loader).
+static inline const char* skip_sep(const char* p, const char* end)
+{
+    while (p < end) {
+        if (*p == '#') {
+            while (p < end && *p != '\n') ++p;
+        } else if (isspace((unsigned char)*p)) {
+            ++p;
+        } else {
+            break;
+        }
+    }
+    return p;
+}
 
 extern "C" {
 
 // Parse up to max_out doubles from buf[0..len); returns the number parsed,
-// or -1 if a token failed to parse.  '#' starts a comment that runs to the
-// end of the line (matches the tolerant Python loader).
+// or -1 if a token failed to parse or tokens remain beyond max_out.
 long long parse_doubles(const char* buf, long long len, double* out,
                         long long max_out)
 {
     const char* p = buf;
     const char* end = buf + len;
     long long n = 0;
-    while (p < end) {
-        // skip whitespace and comments
-        while (p < end) {
-            if (*p == '#') {
-                while (p < end && *p != '\n') ++p;
-            } else if (isspace((unsigned char)*p)) {
-                ++p;
-            } else {
-                break;
-            }
-        }
-        if (p >= end) break;
-        if (n >= max_out) return n;
+    locale_t prev = uselocale(c_numeric_locale());
+    while ((p = skip_sep(p, end)) < end) {
+        if (n >= max_out) { n = -1; break; }  // more tokens than promised
         char* next = nullptr;
         double v = strtod(p, &next);
-        if (next == p) return -1;   // not a number
+        if (next == p ||                      // not a number
+            (next < end && !isspace((unsigned char)*next) &&
+             *next != '#')) {                 // token has trailing garbage
+            n = -1;
+            break;
+        }
         out[n++] = v;
         p = next;
     }
+    uselocale(prev);
     return n;
 }
 
-// Count numeric tokens (same comment/whitespace rules) without storing.
+// Count whitespace/comment-separated tokens WITHOUT parsing them (a pure
+// scan, ~2x cheaper than a strtod pass over multi-GB buffers); numeric
+// validation is parse_doubles' job -- on any non-numeric token the counts
+// disagree or parse returns -1, and the caller falls back.
 long long count_doubles(const char* buf, long long len)
 {
     const char* p = buf;
     const char* end = buf + len;
     long long n = 0;
-    while (p < end) {
-        while (p < end) {
-            if (*p == '#') {
-                while (p < end && *p != '\n') ++p;
-            } else if (isspace((unsigned char)*p)) {
-                ++p;
-            } else {
-                break;
-            }
-        }
-        if (p >= end) break;
-        char* next = nullptr;
-        strtod(p, &next);
-        if (next == p) return -1;
+    while ((p = skip_sep(p, end)) < end) {
         ++n;
-        p = next;
+        while (p < end && !isspace((unsigned char)*p) && *p != '#') ++p;
     }
     return n;
-}
-
-// Count non-empty, non-comment lines (surface cell counting,
-// reference FO_data_reader::get_number_cells, readindata.cpp:122-131).
-long long count_rows(const char* buf, long long len)
-{
-    const char* p = buf;
-    const char* end = buf + len;
-    long long rows = 0;
-    while (p < end) {
-        // find content on this line
-        bool content = false;
-        while (p < end && *p != '\n') {
-            if (*p == '#') {            // rest of line is comment
-                while (p < end && *p != '\n') ++p;
-                break;
-            }
-            if (!isspace((unsigned char)*p)) content = true;
-            ++p;
-        }
-        if (content) ++rows;
-        if (p < end) ++p;               // skip the newline
-    }
-    return rows;
 }
 
 }  // extern "C"
@@ -105,19 +100,6 @@ long long count_rows(const char* buf, long long len)
 // error.  Native-runtime counterpart of the reference's C++ writer: the
 // per-hadron Python formatting loop measured 78 k hadrons/s, an order of
 // magnitude slower than the sampler it drains.
-#include <cstdio>
-#include <locale.h>
-
-// snprintf's %e is LC_NUMERIC-sensitive: an embedding process with e.g. a
-// de_DE numeric locale would emit comma decimal separators and silently
-// break byte-parity with the locale-independent Python fallback.  Format
-// under a forced per-thread C locale instead (uselocale is thread-local).
-static locale_t c_numeric_locale()
-{
-    static locale_t loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
-    return loc;
-}
-
 extern "C"
 long long write_oscar_event(const char* path, int append, long long n,
                             const long long* mcid, const double* t,
@@ -166,4 +148,3 @@ long long write_oscar_event(const char* path, int append, long long n,
     if (fclose(f) != 0) return -1;
     return written;
 }
-

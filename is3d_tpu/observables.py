@@ -87,6 +87,9 @@ def continuous_vn(spectra, grid: MomentumGrid, k_max: int = K_MAX):
     im = np.einsum("spfy,kf->skpy", spectra, wsin)
     den = np.einsum("spfy,f->spy", spectra, phi_w)
     mag = np.sqrt(re * re + im * im)
-    vn = mag / np.where(np.abs(den) < 1e-300, 1.0, den)[:, None]
+    # guard at the same 1e-15 the zeroing mask uses: a 1e-300 guard is dead
+    # in f32 (underflows to 0.0) and den == 0 bins then divided by zero;
+    # every |den| < 1e-15 bin is zeroed below, so outputs are unchanged
+    vn = mag / np.where(np.abs(den) < 1.0e-15, 1.0, den)[:, None]
     vn = np.where(den[:, None] < 1.0e-15, 0.0, vn)
     return vn, den

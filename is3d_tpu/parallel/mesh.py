@@ -103,9 +103,13 @@ def _tree_fold(stacked):
     result is a value-deterministic function of the partials (IEEE addition
     has no compiler-chosen order to vary)."""
     # seed the carry from the data so its varying-manual-axes type matches
-    # under shard_map as well as plain jit (0.0 * x keeps the value exact)
+    # under shard_map as well as plain jit; nan_to_num first so a non-finite
+    # first partial element (one overflowed bin) cannot turn the seed into
+    # NaN and poison the ENTIRE accumulator (0.0 * finite == exact +0.0)
     zero = jax.tree.map(
-        lambda x: jnp.zeros(x.shape[1:], x.dtype) + 0.0 * x.reshape(-1)[0],
+        lambda x: jnp.zeros(x.shape[1:], x.dtype)
+        + 0.0 * jnp.nan_to_num(x.reshape(-1)[0], nan=0.0, posinf=0.0,
+                               neginf=0.0),
         stacked)
     acc, _ = jax.lax.scan(
         lambda a, p: (jax.tree.map(jnp.add, a, p), None), zero, stacked)
@@ -232,6 +236,11 @@ def smooth_spectra_sharded(surface, species, grid, df_data, cfg: Config,
         kern = lambda c, s, g, d: _smooth._smooth_spectra_jit(c, s, g, d, cfg)
         return sharded_cell_reduce(kern, cols, (species, grid, df_data),
                                    cfg, mesh)
+    if cfg.df_mode not in (3, 4):
+        # same validation as the unsharded dispatch (kernels/smooth.py);
+        # without it a mesh run would silently feed an out-of-range
+        # df_mode to the feqmod kernel
+        raise ValueError(f"df_mode must be 1-4, got {cfg.df_mode}")
     if laguerre is None:
         laguerre = _laguerre_default()
     kern = lambda c, s, g, d, lag: _feqmod._feqmod_spectra_jit(

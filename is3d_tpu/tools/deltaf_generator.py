@@ -40,34 +40,45 @@ from ..io.tables import gauss_laguerre
 _EOS_DIR = {1: "urqmd", 2: "smash", 3: "smash_box"}
 
 
-def _moments(T, muB, mass, deg, baryon, sign, laguerre):
+def _precompute(T, mass, laguerre, alphas=(1, 2, 3, 4)):
+    """muB-independent quadrature blocks, hoisted out of the muB loop:
+    per alpha the nodes/weights, Ebar = sqrt(pbar^2 + mbar^2), exp(-Ebar),
+    and exp(pbar) -- ALL the heavy transcendentals of the generator.  The
+    per-muB work then reduces to one exp(chem) of shape (nT, S) plus
+    elementwise arithmetic."""
+    mbar = mass[None, :] / T[:, None]                         # (nT, S)
+    pre = {}
+    for alpha in alphas:
+        r, w = laguerre[alpha]
+        Ebar = np.sqrt(r[None, None, :] ** 2 + mbar[:, :, None] ** 2)
+        pre[alpha] = (r, w, Ebar, np.exp(-Ebar), np.exp(r))
+    return pre
+
+
+def _moments(T, muB, mass, deg, baryon, sign, pre):
     """All thermodynamic moments for one muB value, vectorized over
     (T, species, quadrature).  Returns dict of (nT,) arrays."""
     out = {}
-    nT = T.shape[0]
-    mbar = mass[None, :] / T[:, None]                         # (nT, S)
     alphaB = muB / T                                          # (nT,)
     chem = baryon[None, :] * alphaB[:, None]                  # (nT, S)
-
-    def quad(alpha, f_builder, weight_deg):
-        r, w = laguerre[alpha]
-        pbar = r[None, None, :]
-        Ebar = np.sqrt(pbar**2 + mbar[:, :, None] ** 2)
-        x = Ebar - chem[:, :, None]
-        vals = f_builder(pbar, Ebar, x)
-        return np.einsum("tsq,q,s->t", vals, w, weight_deg)
-
     sgn = sign[None, :, None]
+    ech = np.exp(chem)[:, :, None]                            # (nT, S, 1)
 
-    def ff(pbar, Ebar, x):
-        # e^{pbar} feq feqbar = e^{pbar + x} / (e^x + Theta)^2, computed
-        # stably for large x
-        ex = np.exp(-x)
-        return np.exp(pbar) * ex / (1.0 + sgn * ex) ** 2
+    # thermal weights per alpha: e^{pbar} feq (feqbar) with
+    # exp(-(Ebar - chem)) = exp(-Ebar) * exp(chem) -- exp(-Ebar) underflows
+    # to 0 for large Ebar exactly like the reference's exp(chem - Ebar)
+    w_ff, w_feq = {}, {}
+    for alpha, (r, w, Ebar, emE, epbar) in pre.items():
+        ex = emE * ech
+        d = 1.0 + sgn * ex
+        w_feq[alpha] = epbar[None, None, :] * ex / d
+        w_ff[alpha] = w_feq[alpha] / d
 
-    def feq(pbar, Ebar, x):
-        ex = np.exp(-x)
-        return np.exp(pbar) * ex / (1.0 + sgn * ex)
+    def quad(alpha, f_builder, weight_deg, thermal=w_ff):
+        r, w, Ebar, _, _ = pre[alpha]
+        pbar = r[None, None, :]
+        vals = f_builder(pbar, Ebar) * thermal[alpha]
+        return np.einsum("tsq,q,s->t", vals, w, weight_deg)
 
     T3 = T**3 / TWO_PI2_HBARC3
     T4 = T**4 / TWO_PI2_HBARC3
@@ -77,31 +88,33 @@ def _moments(T, muB, mass, deg, baryon, sign, laguerre):
     b = baryon
     b_deg = deg * b
     b2_deg = deg * b * b
+
     m2_deg = deg * mass**2
+    bm2_deg = b_deg * mass**2
 
     # ---- 14-moment moments (feq feqbar weights)
-    out["J20"] = T4 * quad(2, lambda p, E, x: E * ff(p, E, x), deg)
-    out["J21"] = T4 / 3.0 * quad(2, lambda p, E, x: p*p/E * ff(p, E, x), deg)
-    out["J40"] = T6 * quad(4, lambda p, E, x: E**3/(p*p) * ff(p, E, x), deg)
-    out["J41"] = T6 / 3.0 * quad(4, lambda p, E, x: E * ff(p, E, x), deg)
-    out["A20"] = T4 * quad(2, lambda p, E, x: E * ff(p, E, x), m2_deg)
-    out["A21"] = T4 / 3.0 * quad(2, lambda p, E, x: p*p/E * ff(p, E, x), m2_deg)
-    out["B10"] = T3 * quad(1, lambda p, E, x: p * ff(p, E, x), deg * b * mass**2)
-    out["N10"] = T3 * quad(1, lambda p, E, x: p * ff(p, E, x), b_deg)
-    out["N30"] = T5 * quad(3, lambda p, E, x: E*E/p * ff(p, E, x), b_deg)
-    out["N31"] = T5 / 3.0 * quad(3, lambda p, E, x: p * ff(p, E, x), b_deg)
-    out["M20"] = T4 * quad(2, lambda p, E, x: E * ff(p, E, x), b2_deg)
-    out["M21"] = T4 / 3.0 * quad(2, lambda p, E, x: p*p/E * ff(p, E, x), b2_deg)
+    out["J20"] = T4 * quad(2, lambda p, E: E, deg)
+    out["J21"] = T4 / 3.0 * quad(2, lambda p, E: p*p/E, deg)
+    out["J40"] = T6 * quad(4, lambda p, E: E**3/(p*p), deg)
+    out["J41"] = T6 / 3.0 * quad(4, lambda p, E: E, deg)
+    out["A20"] = T4 * quad(2, lambda p, E: E, m2_deg)
+    out["A21"] = T4 / 3.0 * quad(2, lambda p, E: p*p/E, m2_deg)
+    out["B10"] = T3 * quad(1, lambda p, E: p, bm2_deg)
+    out["N10"] = T3 * quad(1, lambda p, E: p, b_deg)
+    out["N30"] = T5 * quad(3, lambda p, E: E*E/p, b_deg)
+    out["N31"] = T5 / 3.0 * quad(3, lambda p, E: p, b_deg)
+    out["M20"] = T4 * quad(2, lambda p, E: E, b2_deg)
+    out["M21"] = T4 / 3.0 * quad(2, lambda p, E: p*p/E, b2_deg)
 
     # ---- Chapman-Enskog moments
-    out["nB"] = T3 * quad(1, lambda p, E, x: p * feq(p, E, x), b_deg)
-    out["e"] = T4 * quad(2, lambda p, E, x: E * feq(p, E, x), deg)
-    out["p"] = T4 / 3.0 * quad(2, lambda p, E, x: p*p/E * feq(p, E, x), deg)
-    out["J30"] = T5 * quad(3, lambda p, E, x: E*E/p * ff(p, E, x), deg)
-    out["J32"] = T5 / 15.0 * quad(3, lambda p, E, x: p**3/(E*E) * ff(p, E, x), deg)
-    out["N20"] = T4 * quad(2, lambda p, E, x: E * ff(p, E, x), b_deg)
-    out["M10"] = T3 * quad(1, lambda p, E, x: p * ff(p, E, x), b2_deg)
-    out["M11"] = T3 / 3.0 * quad(1, lambda p, E, x: p**3/(E*E) * ff(p, E, x), b2_deg)
+    out["nB"] = T3 * quad(1, lambda p, E: p, b_deg, thermal=w_feq)
+    out["e"] = T4 * quad(2, lambda p, E: E, deg, thermal=w_feq)
+    out["p"] = T4 / 3.0 * quad(2, lambda p, E: p*p/E, deg, thermal=w_feq)
+    out["J30"] = T5 * quad(3, lambda p, E: E*E/p, deg)
+    out["J32"] = T5 / 15.0 * quad(3, lambda p, E: p**3/(E*E), deg)
+    out["N20"] = T4 * quad(2, lambda p, E: E, b_deg)
+    out["M10"] = T3 * quad(1, lambda p, E: p, b2_deg)
+    out["M11"] = T3 / 3.0 * quad(1, lambda p, E: p**3/(E*E), b2_deg)
     return out
 
 
@@ -125,8 +138,9 @@ def compute_coefficient_tables(particle_table, T_min=0.1, T_max=0.2, nT=101,
              "betapi")
     tables = {n: np.zeros((nmuB, nT)) for n in names}
 
+    pre = _precompute(T, mass, laguerre)
     for i, mu in enumerate(muB):
-        m = _moments(T, mu, mass, deg, baryon, sign, laguerre)
+        m = _moments(T, mu, mass, deg, baryon, sign, pre)
         # 14-moment coefficient algebra (deltaf_table.cpp:215-240)
         bulk0 = (4.0 * m["N30"] - m["B10"]) * m["N30"] \
             - m["M20"] * (4.0 * m["J40"] - m["A20"])

@@ -91,20 +91,24 @@ class EnvGatedAccumTimer:
     def __init__(self, env_var: str):
         self.enabled = os.environ.get(env_var, "") == "1"
         self.acc: dict = {}
-        self._key = None
+        # (key, t0) stack so nested/interleaved `with timer(k):` blocks
+        # attribute time to the right key instead of silently mixing them
+        self._stack: list = []
+        self._next_key = None
 
     def __call__(self, key: str):
-        self._key = key
+        self._next_key = key
         return self
 
     def __enter__(self):
         if self.enabled:
-            self._t0 = time.perf_counter()
+            self._stack.append((self._next_key, time.perf_counter()))
 
     def __exit__(self, *exc):
         if self.enabled:
-            self.acc[self._key] = (self.acc.get(self._key, 0.0)
-                                   + time.perf_counter() - self._t0)
+            key, t0 = self._stack.pop()
+            self.acc[key] = (self.acc.get(key, 0.0)
+                             + time.perf_counter() - t0)
         return False
 
     def report(self, label: str):

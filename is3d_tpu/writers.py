@@ -35,10 +35,15 @@ _OWNED_PATTERNS = (
     "dN_dy_*.dat", "vn_continuous/vn_*.dat",
     "St.dat", "Sx.dat", "Sy.dat", "Sn.dat", "Snorm.dat",
     "particle_list_*.dat", "momentum_distribution/pT_pdf_*.dat",
-    "dN_taudtaudy_*.dat", "dN_twopirdrdy_*.dat", "dN_dydeta_*.dat",
-    "sampled_dN_dy_*.dat", "sampled_dN_deta_*.dat",
-    "sampled_dN_2pipTdpTdy_*.dat", "sampled_vn_*.dat",
-    "sampled_dN_taudtaudy_*.dat", "sampled_dN_twopirdrdy_*.dat",
+    # smooth dN/dX tree (write_spacetime_distributions) -- the sampled
+    # *_sampled_*_test.dat variants are matched by the same globs
+    "spacetime_distribution/dN_taudtaudy_*.dat",
+    "spacetime_distribution/dN_twopirdrdy_*.dat",
+    "spacetime_distribution/dN_twopitaurdtaudrdy_*.dat",
+    "spacetime_distribution/dN_dydeta_*.dat",
+    # test_sampler histogram tree (histograms.write_sampler_test)
+    "dN_dy/dN_dy_*.dat", "dN_deta/dN_deta_*.dat",
+    "momentum_distribution/dN_2pipTdpTdy_*.dat", "vn/vn_*.dat",
     "mean_yield.dat", "yield_list.dat",
 )
 
@@ -152,7 +157,10 @@ def write_sampled_pT_pdf(events, mcids, cfg, results_dir="results"):
     counts = np.zeros((len(mcids), nbins))
     totals = np.zeros(len(mcids), dtype=np.int64)
     for ev in events:
-        if not ev:
+        # works for dicts AND structured arrays (`not ev` raises on
+        # multi-row structured arrays); schema-complete empty events
+        # (empty dict or zero rows) are skipped either way
+        if len(ev) == 0 or len(np.atleast_1d(ev["mcid"])) == 0:
             continue
         pT = np.hypot(np.asarray(ev["px"]), np.asarray(ev["py"]))
         ids = np.asarray(ev["mcid"])
@@ -201,9 +209,15 @@ def write_dN_twopipTdpTdy(spectra, grid, mcids, dimension, results_dir="results"
                 f.write("\n")
 
 
-def write_dN_dy(spectra, grid, mcids, dimension, results_dir="results"):
-    """results/dN_dy_MCID.dat (reference: emissionfunction.cpp:729-772)."""
-    vals = np.asarray(dN_dy(spectra, grid))
+def write_dN_dy(spectra, grid, mcids, dimension, results_dir="results",
+                compat_dndy: bool = False):
+    """results/dN_dy_MCID.dat (reference: emissionfunction.cpp:729-772;
+    that writer uses default float formatting -- no `scientific` manipulator,
+    unlike the other writers -- hence %.8g here).  ``compat_dndy``
+    (cfg.reference_compat_dndy) reproduces the reference's integral, which
+    omits the pT Jacobian (see observables.dN_dy)."""
+    vals = np.asarray(dN_dy(spectra, grid,
+                            include_pT_jacobian=not compat_dndy))
     ys = _y_values(grid, dimension)
     for s, mcid in enumerate(mcids):
         path = f"{results_dir}/dN_dy_{int(mcid)}.dat"
@@ -240,7 +254,10 @@ def write_polarization(St, Sx, Sy, Sn, Snorm, grid, dimension,
     phis = np.asarray(grid.phi)
     comps = {"St": np.asarray(St), "Sx": np.asarray(Sx),
              "Sy": np.asarray(Sy), "Sn": np.asarray(Sn)}
+    # zero-emission grid points (Snorm == 0) would write nan; guard like
+    # polzn.spin_polarization's *_over_Snorm outputs (0/guard -> 0.0)
     Snorm = np.asarray(Snorm)
+    Snorm = np.where(Snorm == 0.0, 1.0, Snorm)
     for name, arr in comps.items():
         path = f"{results_dir}/{name}.dat"
         _ensure_dir(path)

@@ -174,6 +174,56 @@ def test_rerun_does_not_duplicate_writer_outputs(tmp_path):
         assert open(f"{d}/{p}").read() == want, p
 
 
+def test_clean_results_dir_owns_every_writer_output(tmp_path):
+    """_OWNED_PATTERNS must cover EVERY file any writer or the sampler-test
+    histogram tree produces: a stale pattern list leaves dead-run outputs
+    behind on rerun (downstream analysis then reads them as current)."""
+    import glob as _glob
+    from is3d_tpu import histograms
+    from is3d_tpu.config import Config
+    grid = native_momentum_grid(dimension=2, n_pT=2, n_phi=2, n_eta=4)
+    spectra = jnp.asarray(np.arange(4, dtype=float).reshape(1, 2, 2, 1) + 1.0)
+    d = str(tmp_path)
+    mc = [211]
+    writers.write_dN_pTdpTdphidy(spectra, grid, mc, 2, d)
+    writers.write_dN_dpTdphidy(spectra, grid, mc, 2, d)
+    writers.write_dN_dpTdphidy(spectra, grid, mc, 2, d,
+                               suffix="_resonance_decays")
+    writers.write_dN_twopidpTdy(spectra, grid, mc, 2, d)
+    writers.write_dN_dphidy(spectra, grid, mc, 2, d)
+    writers.write_dN_twopipTdpTdy(spectra, grid, mc, 2, d)
+    writers.write_dN_dy(spectra, grid, mc, 2, d)
+    writers.write_continuous_vn(spectra, grid, mc, 2, d)
+    S = np.ones((1, 2, 2, 1))
+    writers.write_polarization(S, S, S, S, S, grid, 2, d)
+    ev = dict(mcid=np.asarray([211]), tau=np.asarray([1.0]),
+              x=np.asarray([0.0]), y=np.asarray([0.0]),
+              eta=np.asarray([0.0]), E=np.asarray([1.0]),
+              px=np.asarray([0.1]), py=np.asarray([0.1]),
+              pz=np.asarray([0.1]))
+    writers.write_particle_list_csv([ev], d)
+    osc = dict(ev, t=np.asarray([1.0]), z=np.asarray([0.0]))
+    writers.write_particle_list_oscar([osc], f"{d}/particle_list_osc.dat")
+    cfg = Config(operation=2, dimension=2, test_sampler=1)
+    writers.write_sampled_pT_pdf([ev], mc, cfg, d)
+    dX = dict(dN_taudtaudy=np.ones((1, cfg.tau_bins)),
+              dN_twopirdrdy=np.ones((1, cfg.r_bins)),
+              dN_twopitaurdtaudrdy=np.ones((1, cfg.tau_bins, cfg.r_bins)),
+              dN_dydeta=np.ones((1, 4)),
+              tau_mid=np.linspace(0.1, 1.0, cfg.tau_bins),
+              r_mid=np.linspace(0.1, 1.0, cfg.r_bins),
+              eta=np.asarray(grid.eta))
+    writers.write_spacetime_distributions(dX, mc, d)
+    ev2 = dict(ev, yp=np.asarray([0.0]))
+    hist = histograms.sampler_test_histograms([ev2], np.asarray(mc), cfg)
+    histograms.write_sampler_test(hist, mc, d)
+
+    assert _glob.glob(f"{d}/**/*.dat", recursive=True)
+    writers.clean_results_dir(d)
+    left = _glob.glob(f"{d}/**/*.dat", recursive=True)
+    assert not left, f"clean_results_dir left: {left}"
+
+
 def test_oscar_writer(tmp_path):
     ev = {k: np.asarray([1.0, 2.0]) for k in
           ("t", "x", "y", "z", "E", "px", "py", "pz")}

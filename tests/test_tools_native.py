@@ -7,7 +7,7 @@ from is3d_tpu.io import pdg
 from is3d_tpu.io.deltaf import load_deltaf_tables
 from is3d_tpu.tools.deltaf_generator import (compute_coefficient_tables,
                                              write_tables, generate)
-from is3d_tpu.native import fast_parse_doubles, fast_count_rows, get_fastio
+from is3d_tpu.native import fast_parse_doubles, get_fastio
 
 
 def test_generator_matches_shipped_tables(reference_dir):
@@ -85,8 +85,11 @@ def test_native_parser_matches_python():
     np.testing.assert_array_equal(
         fast_parse_doubles(data),
         [1.5, 2, 3e-4, 4, -5, 6, 7, 8, 9.25])
-    assert fast_count_rows(data) == 3
     assert fast_parse_doubles(b"1.0 abc") is None
+    # a numeric prefix with trailing garbage must be rejected, not split
+    # into two tokens or silently truncated
+    assert fast_parse_doubles(b"1.0 2abc") is None
+    assert fast_parse_doubles(b"1.0 2.5#c\n3") is not None  # '#' ends token
 
 
 def test_native_parser_in_surface_loader():
