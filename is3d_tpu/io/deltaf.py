@@ -248,6 +248,12 @@ def evaluate_df_coefficients(data: DeltafData, df_mode: int, include_baryon: boo
         elif df_mode in (2, 3):
             out["F"] = ev("F") * T
             out["betabulk"] = ev("betabulk") * T4
+            # betaV = 1.0 is the REFERENCE's own muB=0 placeholder
+            # (deltafReader.cpp:358): baryon diffusion is inert at muB=0
+            # (V.dsigma = 0 upstream), so the value never reaches an
+            # observable; kept for exact parity.  Any consumer of
+            # diff_density at muB=0 sees the same placeholder scale the
+            # reference produces.
             out["betaV"] = jnp.ones_like(T)
             out["betapi"] = ev("betapi") * T4
         elif df_mode == 4:

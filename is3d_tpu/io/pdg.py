@@ -205,7 +205,14 @@ def decode_mcid(mcid: int) -> dict:
         gspin = nJ if nJ > 0 else 1  # K0L/K0S special-case spin 0
         baryon = 1 if is_baryon_ else 0
         sign = 1 if is_baryon_ else -1
-        has_anti = (baryon != 0) or (nq2 != nq3)
+        # K0L (130) / K0S (310) are self-conjugate, but the digit rule
+        # nq2 != nq3 marks them as having antiparticles -- the reference
+        # (readindata.cpp:1411) has the same defect; it is latent there
+        # and here only because the shipped pdg_box.dat lists kaons as
+        # 311/321.  Guard explicitly so a file listing 130/310 doesn't
+        # double-count them in every HRG sum.
+        has_anti = (mcid not in (130, 310)) and \
+            ((baryon != 0) or (nq2 != nq3))
     return dict(gspin=gspin, baryon=baryon, sign=sign,
                 has_antiparticle=has_anti)
 
@@ -305,10 +312,9 @@ def chosen_indices(table: ParticleTable, chosen_mcids,
     smash-only resonance in chosen_particles.dat used with hrg_eos=1
     completes upstream; default is strict for programmatic callers."""
     if skip_missing:
-        present = [m for m in chosen_mcids if int(m) in
-                   set(int(v) for v in table.mc_id)]
-        missing = [int(m) for m in chosen_mcids
-                   if int(m) not in set(int(v) for v in table.mc_id)]
+        ids = {int(v) for v in table.mc_id}
+        present = [m for m in chosen_mcids if int(m) in ids]
+        missing = [int(m) for m in chosen_mcids if int(m) not in ids]
         if missing:
             print(f"[is3d_tpu] warning: {len(missing)} chosen mc id(s) not "
                   f"in the particle table and skipped: {missing[:10]}"

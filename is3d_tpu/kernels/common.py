@@ -24,6 +24,17 @@ from ..io.deltaf import DeltafData, evaluate_df_coefficients
 from ..physics import lrf
 
 
+def carry_seed_zero(cols: dict):
+    """Exact +0.0 scalar DERIVED FROM the surface data, for seeding scan
+    carries: under shard_map a plain constant carry has the wrong
+    varying-manual-axes type, so the seed must trace back to the sharded
+    input.  nan_to_num first -- with a raw `0.0 * x[0]` one non-finite
+    surface value (a corrupt corona row the validity mask would drop from
+    every sum) turns the seed into NaN and poisons the whole accumulator."""
+    return 0.0 * jnp.nan_to_num(cols["tau"].ravel()[0], nan=0.0,
+                                posinf=0.0, neginf=0.0)
+
+
 def required_fields(cfg) -> list:
     req = ["tau", "dat", "dax", "day", "dan", "ux", "uy", "un", "T"]
     if cfg.dimension == 3:

@@ -32,6 +32,7 @@ from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
 from ..io.deltaf import DeltafData
 from .common import (surface_columns, prepare_cells, pad_and_chunk,
+                     carry_seed_zero,
                      effective_chunk)
 from .smooth import _pointwise_contribution
 from .feqmod import _pointwise_contribution_feqmod, _prepare_feqmod_cells
@@ -78,7 +79,7 @@ def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
 
     # seed the carry from the (possibly device-varying) surface data so the
     # scan carry type matches under shard_map as well as plain jit
-    vz = 0.0 * cols["tau"].ravel()[0]
+    vz = carry_seed_zero(cols)
     acc0 = dict(
         tau_hist=jnp.zeros((S, cfg.tau_bins), dtype) + vz,
         r_hist=jnp.zeros((S, cfg.r_bins), dtype) + vz,

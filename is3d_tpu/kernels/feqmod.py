@@ -33,6 +33,7 @@ from ..io.tables import MomentumGrid
 from ..io.deltaf import DeltafData
 from ..physics import lrf, thermal
 from .common import (surface_columns, prepare_cells, pad_and_chunk,
+                     carry_seed_zero,
                      effective_chunk)
 from .smooth import _momentum_monomials
 
@@ -546,7 +547,7 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config):
     # seed the carry from the (possibly device-varying) surface data so the
     # scan carry type matches under shard_map as well as plain jit
     acc0 = jnp.zeros((species.n_species, grid.n_pT, grid.n_phi, n_y_out),
-                     dtype=cols["tau"].dtype) + 0.0 * cols["tau"].ravel()[0]
+                     dtype=cols["tau"].dtype) + carry_seed_zero(cols)
 
     rescaled = cfg.dimension == 2 and grid.eta_mT_rescale
 

@@ -33,7 +33,7 @@ from jax import lax
 from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
-from .common import pad_and_chunk, effective_chunk
+from .common import pad_and_chunk, effective_chunk, carry_seed_zero
 from .smooth import _momentum_monomials, _rapidity_factors
 
 
@@ -130,7 +130,7 @@ def _polzn_jit(cols, species, grid, T_avg, cfg: Config):
     dtype = cols["tau"].dtype
     # seed the carry from the (possibly device-varying) surface data so the
     # scan carry type matches under shard_map as well as plain jit
-    vz = 0.0 * cols["tau"].ravel()[0]
+    vz = carry_seed_zero(cols)
     acc0 = tuple(jnp.zeros(shape, dtype) + vz for _ in range(5))
 
     def body(acc, inp):

@@ -37,7 +37,7 @@ from ..units import CF_PREFACTOR
 from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
-from .common import pad_and_chunk, effective_chunk
+from .common import pad_and_chunk, effective_chunk, carry_seed_zero
 from .smooth import _momentum_monomials, _rapidity_factors
 from ..physics import lrf
 
@@ -152,7 +152,7 @@ def _vah_jit(cols, species, grid, cfg: Config):
     # seed the carry from the (possibly device-varying) surface data so the
     # scan carry type matches under shard_map as well as plain jit
     acc0 = jnp.zeros((species.n_species, grid.n_pT, grid.n_phi, n_y_out),
-                     dtype=cols["tau"].dtype) + 0.0 * cols["tau"].ravel()[0]
+                     dtype=cols["tau"].dtype) + carry_seed_zero(cols)
 
     def body(acc, inp):
         chunk_cols, m = inp

@@ -9,7 +9,9 @@ the exact deltaf_coefficients/vh/<eos>/ format the runtime loader reads.
 
 The reference evaluates ~13 Gauss-Laguerre integrals per (T, muB, species)
 in quadruple-nested scalar loops; here every moment is one vectorized
-einsum over the (muB, T, species, quadrature) block, chunked over muB rows.
+einsum over the (muB, T, species, quadrature) block, chunked over muB rows,
+with the muB-independent transcendentals (Ebar, exp(-Ebar), exp(pbar))
+hoisted out of the muB loop (full 101x81 urqmd grid: 118 -> 37 s host-side).
 
 Integral definitions follow thermal_integrands.cpp of the generator
 (J/N/M moments with feq feqbar weights; nB/e/p with feq), coefficient

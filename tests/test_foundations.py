@@ -111,6 +111,9 @@ def test_mcid_decode():
     assert not info["has_antiparticle"]
     info = pdg.decode_mcid(2212)  # proton
     assert info["baryon"] == 1 and info["sign"] == 1 and info["gspin"] == 2
+    for kzero in (130, 310):  # K0L/K0S: self-conjugate despite nq2 != nq3
+        info = pdg.decode_mcid(kzero)
+        assert not info["has_antiparticle"] and info["gspin"] == 1
 
 
 def test_chosen_particles(reference_dir):
