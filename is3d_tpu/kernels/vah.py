@@ -14,10 +14,14 @@ with residual 14-moment corrections
 and regulation f = f_a (1 + clamp(fabar df, -1, 1)).
 
 Notes vs the reference:
-* its VAH call sites are commented out (emissionfunction.cpp:1650-1656) and
-  its eta quadrature multiplies the trapezoid weight by delta_eta a second
-  time (:2237-2245 -- the weight column of tables/eta/* already contains
-  delta_eta); we use the weights once, like the VH kernel (:79-80),
+* its VAH call sites are commented out (emissionfunction.cpp:1650-1656) --
+  and would not compile if revived (the dispatcher never allocates the
+  full-10 pi_perp SoA arrays the kernel takes) -- and its eta quadrature
+  multiplies the trapezoid weight by delta_eta a second time (:2237-2245 --
+  the weight column of tables/eta/* already contains delta_eta); we use the
+  weights once, like the VH kernel (:79-80).  Golden parity < 1e-6 against
+  a patched oracle build that supplies the missing plumbing
+  (tests/test_oracle_parity.py::test_parity_vah_smooth_kernel),
 * per-cell df coefficients c0..c4 are optional inputs (zero -> pure f_a);
   the reference reads them from FO_surf fields that its mode-2 reader never
   fills.

@@ -693,3 +693,111 @@ def test_parity_spin_polarization(oracle_binary, tmp_path, reference_dir,
         rel = (np.abs(ours[ok] - ref[ok])
                / np.maximum(np.abs(ref[ok]), 1e-6 * scale))
         assert rel.max() < 1e-6, (comp, float(rel.max()))
+
+
+# ---------------------------------------------------------------- VAH kernel
+
+VAH_ORACLE = "/tmp/is3d_oracle/iS3D_vah.e"
+# the fixed residual-df coefficients compiled into the patched oracle
+# (tools_oracle/build_reference.sh: no reference reader ever fills the
+# FO_surf c0..c4 fields the kernel reads, so the patch pins them)
+VAH_C = dict(c0=0.12, c1=-0.08, c2=0.05, c3=0.40, c4=-0.25)
+
+
+def _make_vah_surface(n, rng, dimension):
+    """Random mode-2 (VAH PL-match) surface: 31 columns, file units
+    (readindata.cpp:813-928).  PL/P kept inside the aL_fit domain."""
+    hbarC = 0.197327053
+    cells = np.zeros((n, 31))
+    tau = rng.uniform(1, 8, n)
+    cells[:, 0] = tau
+    cells[:, 1] = rng.uniform(-5, 5, n)
+    cells[:, 2] = rng.uniform(-5, 5, n)
+    ux = rng.uniform(-0.7, 0.7, n)
+    uy = rng.uniform(-0.7, 0.7, n)
+    un = rng.uniform(-0.05, 0.05, n)
+    if dimension == 3:
+        cells[:, 3] = rng.uniform(-2, 2, n)                # eta
+        cells[:, 7] = rng.uniform(-0.1, 0.1, n)            # dan
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)                # dat
+    cells[:, 5] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 6] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 8] = np.sqrt(1 + ux**2 + uy**2 + tau**2 * un**2)  # ut (recomputed)
+    cells[:, 9], cells[:, 10], cells[:, 11] = ux, uy, un
+    cells[:, 12] = rng.uniform(0.25, 0.40, n) / hbarC      # E
+    cells[:, 13] = rng.uniform(0.148, 0.162, n) / hbarC    # T
+    P = rng.uniform(0.04, 0.08, n) / hbarC
+    cells[:, 14] = P
+    cells[:, 15] = P * rng.uniform(0.3, 1.8, n)            # PL (PL/P < 3)
+    cells[:, 16:26] = rng.normal(0, 0.004, (n, 10)) / hbarC  # pi_perp (10)
+    # Wt (col 26) and Wn (col 29) are read but recomputed from u-orthogonality
+    # by the kernel; Wx, Wy drive the residual shear W-term
+    cells[:, 27] = rng.normal(0, 0.002, n) / hbarC
+    cells[:, 28] = rng.normal(0, 0.002, n) / hbarC
+    cells[:, 30] = rng.normal(0, 0.003, n) / hbarC         # bulkPi
+    return cells
+
+
+@pytest.mark.parametrize("dimension", [2, 3])
+def test_parity_vah_smooth_kernel(oracle_binary, sandbox, dimension):
+    """Golden parity for the anisotropic-hydro smooth kernel against the
+    patched reference build that makes its dead VAH call site reachable
+    (the stock call site is commented out AND references SoA arrays the
+    dispatcher never allocates -- see tools_oracle/build_reference.sh).
+    Exercises f_a at inferred (Lambda, aL), the residual shear (W-term +
+    pi_perp:pp) and bulk corrections with the pinned c0..c4, and the
+    aL_fit/R200 conformal-factorization inversion end-to-end from file.
+
+    Known uniform deviation accounted for here: the reference VAH kernel
+    multiplies the eta table's weight column (which already contains
+    delta_eta) by delta_eta again (smooth_kernels.cpp:2237-2245), a
+    global factor in 2+1D; our kernel uses the weights once like the VH
+    kernel (:79-80)."""
+    d = sandbox
+    rng = np.random.default_rng(31 + dimension)
+    cells = _make_vah_surface(30, rng, dimension)
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_params(d, 4)  # df_mode=4: the only mode that allocates c0..c4
+    import re
+    text = (d / "iS3D_parameters.dat").read_text()
+    text = re.sub(r"^mode .*$", "mode = 2", text, flags=re.M)
+    text = re.sub(r"^dimension.*$", f"dimension = {dimension}", text,
+                  flags=re.M)
+    (d / "iS3D_parameters.dat").write_text(text)
+    # mode-2 readers never write the thermo-averages side-channel, but
+    # Plasma::load_thermodynamic_averages runs unconditionally
+    # (emissionfunction.cpp:1318); pre-write one (values unused by the kernel)
+    (d / "average_thermodynamic_quantities.dat").write_text(
+        "0.155\n0.3\n0.05\n0.0\n0.0\n")
+    _run_ref(VAH_ORACLE, d)
+
+    from is3d_tpu.api import IS3D
+    from is3d_tpu.kernels.vah import smooth_spectra_vah
+    run = IS3D.from_run_dir(str(d), results_dir=str(d / "results_ours"),
+                            chosen_file="chosen_particles.dat")
+    _, _, species, mcids, grid, _ = run._prepare()
+    # node-exact reference semantics (the API default enables the
+    # mT-adaptive eta remap for VAH table runs; parity needs fixed nodes)
+    grid = grid.replace(eta_mT_rescale=False)
+    n = cells.shape[0]
+    surf = run.surface.replace(
+        **{k: np.full(n, v) for k, v in VAH_C.items()})
+    cfg = run.cfg.replace(outflow=0)  # the reference VAH kernel has no
+    # Theta(p.dsigma) outflow test, regardless of the outflow switch
+    ours_all = np.asarray(smooth_spectra_vah(surf, species, grid, cfg))
+
+    if dimension == 2:
+        eta = np.asarray(grid.eta)
+        delta_eta = float(eta[1] - eta[0])
+        ours_all = ours_all * delta_eta   # the reference's double delta_eta
+    for mcid in MCIDS:
+        ref = np.loadtxt(d / "results" / f"dN_pTdpTdphidy_{mcid}.dat",
+                         skiprows=1)[:, 3]
+        i = list(mcids).index(mcid)
+        if dimension == 2:
+            ours = np.transpose(ours_all[i][:, :, 0], (1, 0)).ravel()
+        else:
+            ours = np.transpose(ours_all[i], (2, 1, 0)).ravel()
+        scale = np.abs(ref).max()
+        rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6 * scale)
+        assert rel.max() < 1e-6, (dimension, mcid, float(rel.max()))
