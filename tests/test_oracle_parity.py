@@ -801,3 +801,63 @@ def test_parity_vah_smooth_kernel(oracle_binary, sandbox, dimension):
         scale = np.abs(ref).max()
         rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6 * scale)
         assert rel.max() < 1e-6, (dimension, mcid, float(rel.max()))
+
+
+# ------------------------------------------------------- smash / smash-box
+
+@pytest.mark.parametrize("hrg_eos,mcids", [
+    (2, (211, -211, 321, -321, 2212, -2212)),
+    (3, (211, -211, 321, -321)),
+])
+def test_parity_hrg_eos_smash(oracle_binary, sandbox, hrg_eos, mcids):
+    """Golden spectra parity with the smash (hrg_eos=2, conventional
+    reader on pdg_smash.dat) and smash-box (hrg_eos=3, read_mcid
+    digit-field decoder on pdg_box.dat, readindata.cpp:1201-1438,1571-)
+    particle lists and their eos-specific deltaf coefficient tables --
+    every other golden test runs urqmd (hrg_eos=1)."""
+    d = sandbox
+    # standard 50-cell 2+1D mode-1 surface
+    rng = np.random.default_rng(123)
+    n = 50
+    hbarC = 0.197327053
+    cells = np.zeros((n, 20))
+    cells[:, 0] = rng.uniform(1, 8, n)
+    cells[:, 1] = rng.uniform(-5, 5, n)
+    cells[:, 2] = rng.uniform(-5, 5, n)
+    cells[:, 4] = rng.uniform(-0.2, 1.0, n)
+    cells[:, 5] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 6] = rng.uniform(-0.5, 0.5, n)
+    cells[:, 8] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 9] = rng.uniform(-0.7, 0.7, n)
+    cells[:, 10] = rng.uniform(-0.05, 0.05, n)
+    cells[:, 11] = rng.uniform(0.25, 0.40, n) / hbarC
+    cells[:, 12] = rng.uniform(0.148, 0.162, n) / hbarC
+    cells[:, 13] = rng.uniform(0.04, 0.08, n) / hbarC
+    cells[:, 14:19] = rng.normal(0, 0.004, (n, 5)) / hbarC
+    cells[:, 19] = rng.normal(0, 0.003, n) / hbarC
+    np.savetxt(d / "input" / "surface.dat", cells, fmt="%.17e")
+    _write_params(d, 2)
+    import re
+    text = (d / "iS3D_parameters.dat").read_text()
+    text = re.sub(r"^hrg_eos.*$", f"hrg_eos = {hrg_eos}", text, flags=re.M)
+    text = re.sub(r"^dimension.*$", "dimension = 2", text, flags=re.M)
+    (d / "iS3D_parameters.dat").write_text(text)
+    chosen = d / "PDG" / "chosen_particles.dat"
+    saved = chosen.read_text()
+    chosen.write_text("\n".join(str(m) for m in mcids) + "\n")
+    try:
+        _run_ref(oracle_binary, d)
+        from is3d_tpu.api import IS3D
+        run = IS3D.from_run_dir(str(d), results_dir=str(d / "results_ours"),
+                                chosen_file="chosen_particles.dat")
+        res = run.run_particlization(write_files=False)
+        for mcid in mcids:
+            ref = np.loadtxt(d / "results" / f"dN_pTdpTdphidy_{mcid}.dat",
+                             skiprows=1)[:, 3]
+            i = list(res.mcids).index(mcid)
+            ours = np.transpose(res.spectra[i][:, :, 0], (1, 0)).ravel()
+            scale = np.abs(ref).max()
+            rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6 * scale)
+            assert rel.max() < 1e-6, (hrg_eos, mcid, float(rel.max()))
+    finally:
+        chosen.write_text(saved)   # module-scoped sandbox: restore pikp list
