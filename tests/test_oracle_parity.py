@@ -142,9 +142,11 @@ def _compare_spectra(d, res, rtol=1e-6):
         assert rel.max() < rtol, (mcid, float(rel.max()))
 
 
-@pytest.mark.parametrize("df_mode", [2, 3])
+@pytest.mark.parametrize("df_mode", [1, 2, 3, 4])
 def test_parity_3plus1d(oracle_binary, sandbox, df_mode):
-    """3+1D (dimension 3): mode-1 surface with eta and dsigma_eta."""
+    """3+1D (dimension 3): mode-1 surface with eta and dsigma_eta, all
+    four df modes (1/2 linear 14-moment/CE; 3/4 feqmod incl. breakdown
+    fallback and Jonah renormalization)."""
     d = sandbox
     rng = np.random.default_rng(7)
     n = 20
