@@ -88,5 +88,22 @@ def main():
     }))
 
 
+def _main_with_retry():
+    # the serving tunnel occasionally drops a dispatch with a transient
+    # backend error (observed: JaxRuntimeError FAILED_PRECONDITION on a
+    # first post-idle run); the driver invokes this once per round, so
+    # retry in a fresh attempt instead of reporting a red benchmark
+    for attempt in range(3):
+        try:
+            return main()
+        except Exception as e:               # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"bench attempt {attempt + 1} failed "
+                  f"({type(e).__name__}: {e}); retrying",
+                  file=sys.stderr)
+            time.sleep(10)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
