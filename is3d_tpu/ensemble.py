@@ -224,7 +224,8 @@ def multiprocess_oversample(run_dir: str, out_dir: str, n_workers: int = 2,
                             platform: str | None = None,
                             mesh_devices: int | None = None,
                             host_devices: int | None = None,
-                            timeout: float = 3600.0) -> dict:
+                            timeout: float = 3600.0,
+                            stagger_cold_start: bool = True) -> dict:
     """Spawn ``n_workers`` sampler worker processes over disjoint batch
     ranges of the same oversampling plan and merge their manifests.
 
@@ -237,6 +238,15 @@ def multiprocess_oversample(run_dir: str, out_dir: str, n_workers: int = 2,
     pool (share-nothing; per-batch output files; no collectives).  Crashed
     or killed workers can simply be re-launched: per-batch checkpointing
     in the worker manifests makes the rerun resume where it stopped.
+
+    With ``stagger_cold_start`` (default), worker 0 is launched alone and
+    the rest only once its first batch lands (or it exits): the sampler's
+    phase-A compile is ~3 min machine-cold on the serving TPU backend, and
+    simultaneously-launched workers would each pay it redundantly because
+    none finds a persistent-cache entry until the first compile finishes.
+    After worker 0's first batch the cache is populated and the remaining
+    workers start warm.  On a warm machine the stagger costs one short
+    batch of worker-0 solo time.
 
     Returns the merged manifest (see merge_manifests)."""
     import subprocess
@@ -258,12 +268,27 @@ def multiprocess_oversample(run_dir: str, out_dir: str, n_workers: int = 2,
 
     import time as _time
 
-    procs = []
-    for w in range(n_workers):
+    def _spawn(w):
         cmd = [sys.executable, "-m", "is3d_tpu.ensemble_worker",
                f"worker_id={w}", *args_common]
-        procs.append(subprocess.Popen(cmd))
+        return subprocess.Popen(cmd)
+
     deadline = _time.monotonic() + timeout
+    procs = [_spawn(0)]
+    if n_workers > 1 and stagger_cold_start:
+        # wait for worker 0's first completed batch (see docstring)
+        m0 = os.path.join(out_dir, "manifest_worker0.json")
+        while _time.monotonic() < deadline:
+            if procs[0].poll() is not None:
+                break               # worker 0 done/failed; launch the rest
+            try:
+                with open(m0) as f:
+                    if json.load(f).get("batches"):
+                        break
+            except (OSError, ValueError):
+                pass                # not written yet / mid-rewrite
+            _time.sleep(0.5)
+    procs += [_spawn(w) for w in range(1, n_workers)]
     try:
         rcs = [p.wait(timeout=max(1.0, deadline - _time.monotonic()))
                for p in procs]
