@@ -1,10 +1,13 @@
 """VAH smooth-spectra throughput (anisotropic-hydro kernel, 2+1D).
 
 No reference numbers exist (the reference's VAH kernel is dead code);
-measured here at production shapes: ~40 Geval/s on one v5e chip, f32
-(vs ~60 for the VH linear-df kernel -- f_a costs an extra sqrt+cosh/sinh
-family per point).  Fresh surface per rep + forced readback (serving-layer
-countermeasures, see NOTES_ROUND1.md).
+measured here at production shapes: ~49 Geval/s on one v5e chip, f32
+(vs ~60 for the VH linear-df kernel).  The lane-tiled (C, R, S, M)
+relayout of the spectra block bought +24% over the naive
+(C, S, PT, PHI, R) layout (39 -> 49); a transcendental-stub probe shows
+sqrt/exp/cosh/sinh are fully hidden in both, so the kernel is
+layout/op-count-bound, not transcendental-bound.  Fresh surface per rep +
+forced readback (serving-layer countermeasures, see NOTES_ROUND1.md).
 
 Usage: PYTHONPATH=. python experiments/bench_vah.py [n_cells]
 """

@@ -50,47 +50,23 @@ def _chunk_vah(c, valid, species, grid, cfg, pointwise: bool = False):
     """VAH emission contribution of one cell chunk.
 
     pointwise=False (spectra): eta-reduced (S, PT, PHI, Y_out) with
-    degeneracy and CF prefactor, mT-adaptive eta nodes in 2+1D.
+    degeneracy and CF prefactor, mT-adaptive eta nodes in 2+1D, computed
+    in the lane-tiled (C, R, S, M = PT*PHI) layout (see _chunk_vah_spectra).
     pointwise=True (dN/dX): masked p.dsigma*f at every
     (C, S, PT, PHI, R) point at FIXED eta nodes (common across cells, as
     the spacetime binning requires), no weights/prefactor -- mirrors
     smooth._pointwise_contribution."""
+    if not pointwise:
+        return _chunk_vah_spectra(c, valid, species, grid, cfg)
     cc = lambda x: x[:, None, None, None, None]
     mT, px, py = _momentum_monomials(species, grid)
     mT_b = mT[None, :, :, None, None]
     px_b = px[None, None, :, :, None]
     py_b = py[None, None, :, :, None]
 
-    # 2+1D: integrate over eta with nodes rescaled per (cell, species, pT)
-    # by s = a_L * sqrt(Lambda / max(mT, Lambda)) -- an exact substitution
-    # (jacobian applied below).  The f_a integrand's (y - eta) width is
-    # sigma ~ a_L sqrt(Lambda/mT) (exponent (mT/Lambda)(1 + D^2/(2 a_L^2))
-    # near the peak), so both small a_L and large mT narrow it; a fixed
-    # node table under-resolves the high-pT tail (the reference carries a
-    # 9..4001-point eta-table ladder, tables/eta/ + iS3D.cpp:161-167, for
-    # exactly this trade).  With the mT term the worst-case quadrature
-    # error at the pT = 4 GeV grid edge drops from 6e-2 (a_L-only rescale,
-    # n_eta = 48) to < 1e-6 (measured vs a 2048-node reference).
-    if cfg.dimension == 2 and not pointwise and grid.eta_mT_rescale:
-        lam_c = c["Lambda"][:, None, None]
-        eta_scale = c["aL"][:, None, None] * jnp.sqrt(
-            lam_c / jnp.maximum(mT[None, :, :], lam_c))      # (C,S,P)
-        # recenter on the cell's longitudinal-flow rapidity: the f_a
-        # argument peaks at delta = y_flow = atanh(tau u^eta / u^tau)
-        # (p.u = mT u0_perp cosh(delta - y_flow) - p_perp.u_perp), so the
-        # narrowed node span is placed there, delta = y_flow - s*eta --
-        # same recentering as the VH remap (_rescaled_eta_operands) and
-        # the polzn kernel; without it a flow-shifted peak at high pT
-        # falls outside the s-narrowed span
-        y_flow = lrf.flow_rapidity(c["tau"], c["ut"], c["un"])
-        delta = (y_flow[:, None, None, None]
-                 - eta_scale[..., None] * grid.eta[None, None, None, :])
-        ch_b = jnp.cosh(delta)[:, :, :, None, :]             # (C,S,P,1,R)
-        sh_b = jnp.sinh(delta)[:, :, :, None, :]
-    else:
-        ch, sh = _rapidity_factors(c, grid, cfg.dimension)
-        ch_b = ch[:, None, None, None, :]
-        sh_b = sh[:, None, None, None, :]
+    ch, sh = _rapidity_factors(c, grid, cfg.dimension)
+    ch_b = ch[:, None, None, None, :]
+    sh_b = sh[:, None, None, None, :]
     pt = mT_b * ch_b
     taupn = mT_b * sh_b                              # tau * p^eta
 
@@ -129,19 +105,159 @@ def _chunk_vah(c, valid, species, grid, cfg, pointwise: bool = False):
     if cfg.outflow:
         contrib = jnp.where(pds > 0.0, contrib, 0.0)
     mask = valid.astype(contrib.dtype)
-    contrib = contrib * cc(mask)
+    return contrib * cc(mask)
 
-    if pointwise:
-        return contrib
+
+def _chunk_vah_spectra(c, valid, species, grid, cfg):
+    """Spectra contribution of one cell chunk: (S, PT, PHI, Y_out).
+
+    Layout: the elementwise block runs as (C, R, S, M = PT*PHI) so the two
+    minor dims map onto full (sublane, lane) vector tiles -- same layout as
+    the VH kernel (smooth._chunk_contribution), and for the same measured
+    reason: the naive (C, S, PT, PHI, R) layout leaves 5/8 of the 128
+    lanes idle (R = 48 minor), which bounds the kernel at ~39 Geval/s while
+    a transcendental-stub probe shows sqrt/exp/cosh/sinh are fully hidden.
+    Every composite that is linear/quadratic in (p^tau, tau p^eta) =
+    mT (cosh, sinh)(Delta) is built at (C, R[, S, P]) rank and enters the
+    full-rank block through an mT-monomial fma.
+
+    2+1D eta quadrature: nodes rescaled per (cell, species, pT) by
+    s = a_L * sqrt(Lambda / max(mT, Lambda)) -- an exact substitution
+    (jacobian folded into the reduction).  The f_a integrand's (y - eta)
+    width is sigma ~ a_L sqrt(Lambda/mT) (exponent (mT/Lambda)
+    (1 + D^2/(2 a_L^2)) near the peak), so both small a_L and large mT
+    narrow it; a fixed node table under-resolves the high-pT tail (the
+    reference carries a 9..4001-point eta-table ladder, tables/eta/ +
+    iS3D.cpp:161-167, for exactly this trade).  With the mT term the
+    worst-case quadrature error at the pT = 4 GeV grid edge drops from
+    6e-2 (a_L-only rescale, n_eta = 48) to < 1e-6 (measured vs a
+    2048-node reference).  The node span is recentered on the cell's
+    longitudinal-flow rapidity y_flow = atanh(tau u^eta / u^tau) (the f_a
+    argument peaks there); without it a flow-shifted peak at high pT
+    falls outside the s-narrowed span.
+    """
+    S, P, F = species.n_species, grid.n_pT, grid.n_phi
+    M = P * F
+    mT, px, py = _momentum_monomials(species, grid)    # (S,P),(P,F),(P,F)
+    pxf = px.reshape(M)
+    pyf = py.reshape(M)
+    mTf = jnp.broadcast_to(mT[:, :, None], (S, P, F)).reshape(S, M)
+
+    cb = lambda x: x[:, None, None, None]              # (C,) -> block
+    cm = lambda x: x[:, None, None, :]                 # (C,M)
+    sm = lambda x: x[None, None, :, :]                 # (S,M)
+    sb = lambda x: x[None, None, :, None]              # (S,)
+    MT = sm(mTf)
+    MT2 = sm(mTf * mTf)
+
+    def bb(x):
+        """(C, R, s, p) composite -> block operand (broadcast p over phi)."""
+        if x.shape[-1] == 1:
+            return x
+        xb = jnp.broadcast_to(x[..., None], x.shape + (F,))
+        return xb.reshape(x.shape[:-1] + (M,))
+
+    tau = c["tau"]
+    remap = cfg.dimension == 2 and grid.eta_mT_rescale
+    if remap:
+        lam_cp = c["Lambda"][:, None, None]
+        s_cp = c["aL"][:, None, None] * jnp.sqrt(
+            lam_cp / jnp.maximum(mT[None, :, :], lam_cp))    # (C,S,P)
+        y_flow = lrf.flow_rapidity(tau, c["ut"], c["un"])
+        delta = (y_flow[:, None, None, None]
+                 - s_cp[:, None, :, :] * grid.eta[None, :, None, None])
+    elif cfg.dimension == 2:
+        delta = -grid.eta[None, :, None, None] + 0.0 * cb(tau)  # (C,R,1,1)
+    else:
+        delta = (grid.y[None, :, None, None]
+                 - c["eta"][:, None, None, None])              # (C,R,1,1)
+    ch = jnp.cosh(delta)
+    sh = jnp.sinh(delta)
+
+    c_ = lambda x: x[:, None, None, None]
+    t_sh = sh * c_(tau)
+
+    # --- composites at (C, R[, S, P]) rank: coefficients of mT / mT^2.
+    # NOTE a variant that folds the mT monomials and 1/Lambda into these
+    # composites (removing ~8 full-rank multiplies) measured SLOWER
+    # (36 vs 49 Geval/s on a v5e chip): XLA schedules the hoisted
+    # loop-invariant (S, M) monomial operands better than deeper
+    # cell-varying composite chains.  Keep the monomials in the block.
+    A1 = ch * c_(c["dat"]) + sh * c_(c["dan"] / tau)           # p.dsigma
+    B1 = ch * c_(c["ut"]) - sh * c_(tau * c["un"])             # u.p
+    Z1 = ch * c_(c["zt"]) - sh * c_(tau * c["zn"])             # z.p / mT
+    xiL = 1.0 / (c["aL"] ** 2) - 1.0
+    ZZ = c_(xiL) * Z1 * Z1                                     # (Ea^2-u.p^2)/mT^2
+    inv_lam = cb(1.0 / c["Lambda"])
+
+    # --- transverse composites (C, M)
+    W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
+    W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
+
+    sign_b = sb(species.sign)
+    mass2_b = sb(species.mass ** 2)
+
+    # --- full-rank block (C, R, S, M): a handful of fmas + exp/sqrt/div
+    pds = MT * bb(A1) + cm(W1)
+    pdotu = MT * bb(B1) - cm(W2)
+    Ea = jnp.sqrt(pdotu * pdotu + MT2 * bb(ZZ))
+    fa = 1.0 / (jnp.exp(Ea * inv_lam) + sign_b)
+    fabar = 1.0 - sign_b * fa
+
+    df = None
+    if cfg.include_shear_deltaf:
+        # c4 * pi_perp:pp with c4 folded into the composites
+        c4c = c_(c["c4"])
+        C1 = c4c * (ch * ch * c_(c["pitt"]) + t_sh * t_sh * c_(c["pinn"])
+                    - 2.0 * ch * t_sh * c_(c["pitn"]))
+        C2 = -2.0 * c4c * (ch * c_(c["pitx"]) - t_sh * c_(c["pixn"]))
+        C3 = -2.0 * c4c * (ch * c_(c["pity"]) - t_sh * c_(c["piyn"]))
+        C4 = c["c4"][:, None] * (
+            c["pixx"][:, None] * (pxf * pxf)[None]
+            + c["piyy"][:, None] * (pyf * pyf)[None]
+            + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])    # (C,M)
+        # c3 (z.p)(W.p) = mT^2 (c3 Z1 E1) - mT (c3 Z1) WW
+        E1 = ch * c_(c["Wt"]) - sh * c_(tau * c["Wn"])
+        WW = c["Wx"][:, None] * pxf[None] + c["Wy"][:, None] * pyf[None]
+        Z3 = c_(c["c3"]) * Z1
+        low2 = C1 + Z3 * E1                  # coefficient of mT^2
+        df = (MT2 * bb(low2) + (MT * bb(C2)) * pxf[None, None, None, :]
+              + (MT * bb(C3)) * pyf[None, None, None, :]
+              + cm(C4) - (MT * bb(Z3)) * cm(WW))
+    if cfg.include_bulk_deltaf:
+        # (c0 m^2 + c1 (z.p)^2 + c2 (u.p)^2) * bulkPi
+        bulk0 = cb(c["bulkPi"] * c["c0"]) * mass2_b
+        bulk1 = MT2 * bb(c_(c["bulkPi"] * c["c1"]) * Z1 * Z1)
+        bulk2 = cb(c["bulkPi"] * c["c2"]) * pdotu * pdotu
+        dfb = bulk0 + bulk1 + bulk2
+        df = dfb if df is None else df + dfb
+
+    if df is None:
+        f = fa
+    elif cfg.regulate_deltaf:
+        f = fa * (1.0 + jnp.clip(fabar * df, -1.0, 1.0))
+    else:
+        f = fa * (1.0 + fabar * df)
+
+    contrib = pds * f
+    if cfg.outflow:
+        contrib = jnp.where(pds > 0.0, contrib, 0.0)
+    mask = valid.astype(contrib.dtype)
 
     if cfg.dimension == 2:
-        contrib = contrib * grid.eta_weight[None, None, None, None, :]
-        if grid.eta_mT_rescale:
-            # jacobian of the eta-node rescale (exact substitution)
-            contrib = contrib * eta_scale[:, :, :, None, None]
-        out = jnp.sum(contrib, axis=(0, 4))[..., None]
+        w = grid.eta_weight[None, :, None, None]
+        if remap:
+            # jacobian of the eta-node rescale (exact substitution),
+            # folded with the validity mask into one block operand
+            jm = s_cp * mask[:, None, None]                    # (C,S,P)
+            contrib = contrib * (w * bb(jm[:, None, :, :]))
+        else:
+            contrib = contrib * (w * cb(mask))
+        out = jnp.sum(contrib, axis=(0, 1)).reshape(S, P, F, 1)
     else:
-        out = jnp.sum(contrib, axis=0)
+        out = jnp.sum(contrib * cb(mask), axis=0)              # (R,S,M)
+        out = jnp.transpose(out, (1, 2, 0)).reshape(S, P, F, grid.n_y)
+
     deg = species.degeneracy[:, None, None, None]
     return CF_PREFACTOR * deg * out
 
