@@ -7,9 +7,9 @@ covariant polarization vector
     S_mu(p) = -(1 - sign f0) / (8 m) * 2 * eps_{mu nu rho sigma} p^nu w^{rho sigma}
 
 is integrated over the surface with measure p.dsigma f0, normalized by
-Snorm = int p.dsigma f0.  Same chunked lax.scan skeleton as the spectra
-kernels; the (C x S x PT x PHI x R) block is fused on the VPU and reduced
-over cells.
+Snorm = int p.dsigma f0.  Same chunked lax.scan skeleton and lane-tiled
+(C, R, S, M = PT*PHI) block layout as the spectra kernels, fused on the
+VPU and reduced over cells.
 
 Reference quirks handled deliberately:
 * the reference indexes the vorticity arrays with the in-chunk index
@@ -34,17 +34,42 @@ from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
 from .common import pad_and_chunk, effective_chunk, carry_seed_zero
-from .smooth import _momentum_monomials, _rapidity_factors
+from .smooth import _momentum_monomials
 
 
 def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
-    cc = lambda x: x[:, None, None, None, None]
-    mT, px, py = _momentum_monomials(species, grid)
-    mT_b = mT[None, :, :, None, None]
-    px_b = px[None, None, :, :, None]
-    py_b = py[None, None, :, :, None]
+    """Polarization contribution of one cell chunk, five reduced sums
+    (St, Sx, Sy, Sn, Snorm) each (S, PT, PHI, Y_out).
 
-    if cfg.dimension == 2 and grid.eta_mT_rescale:
+    Layout: the elementwise block runs as (C, R, S, M = PT*PHI) -- full
+    (sublane, lane) vector tiles, same relayout as the VH/VAH spectra
+    kernels and for the same measured reason (an R-minor block leaves most
+    of the 128 lanes idle).  Every epsilon-contraction term that is linear
+    in (p^tau, p^eta) = (mT/1, mT/tau)(cosh, sinh)(Delta) is factored into
+    a per-(cell, rapidity[, species, pT]) composite entering the block
+    through one mT fma."""
+    S, P, F = species.n_species, grid.n_pT, grid.n_phi
+    M = P * F
+    mT, px, py = _momentum_monomials(species, grid)    # (S,P),(P,F),(P,F)
+    pxf = px.reshape(M)
+    pyf = py.reshape(M)
+    mTf = jnp.broadcast_to(mT[:, :, None], (S, P, F)).reshape(S, M)
+
+    cb = lambda x: x[:, None, None, None]              # (C,)
+    cm = lambda x: x[:, None, None, :]                 # (C,M)
+    sb = lambda x: x[None, None, :, None]              # (S,)
+    MT = mTf[None, None, :, :]
+
+    def bb(x):
+        """(C, R, s, p) composite -> block operand (broadcast p over phi)."""
+        if x.shape[-1] == 1:
+            return x
+        xb = jnp.broadcast_to(x[..., None], x.shape + (F,))
+        return xb.reshape(x.shape[:-1] + (M,))
+
+    tau = c["tau"]
+    remap = cfg.dimension == 2 and grid.eta_mT_rescale
+    if remap:
         # mT-adaptive eta-node remap (exact substitution, same trick as
         # the spectra kernels): S_mu(p) and Snorm are pT-differential, so
         # per-(species, pT) node positions are legitimate here (unlike
@@ -52,71 +77,91 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
         # nodes are recentered on the cell's longitudinal-flow rapidity
         # y_flow = atanh(tau u^eta / u^tau) -- without the shift the
         # narrowed span can miss a flow-shifted integrand peak at high pT.
-        # Jacobian applied below (the shift's jacobian is 1).
+        # Jacobian applied to the reduced output below (node positions are
+        # cell-independent only through y_flow; the s(mT) scale is shared,
+        # so the jacobian factors out of the cell sum).
         from .smooth import ETA_REMAP_T_REF
         T_REF = jnp.asarray(ETA_REMAP_T_REF, mT.dtype)
         s_sp = jnp.sqrt(T_REF / jnp.maximum(mT, T_REF))     # (S,P)
         from ..physics import lrf
-        yfl = lrf.flow_rapidity(c["tau"], c["ut"], c["un"])  # (C,)
+        yfl = lrf.flow_rapidity(tau, c["ut"], c["un"])      # (C,)
         # Delta = y - eta_phys sampled at y_flow - s*eta_r: centered on the
         # integrand peak Delta* = +y_flow = atanh(tau u^eta / u^tau)
-        delta = (yfl[:, None, None, None, None]
-                 - s_sp[None, :, :, None, None]
-                 * grid.eta[None, None, None, None, :])     # (C,S,P,1,R)
-        ch = jnp.cosh(delta)
-        sh = jnp.sinh(delta)
-        eta_jac = s_sp[None, :, :, None, None]
+        delta = (yfl[:, None, None, None]
+                 - s_sp[None, None, :, :] * grid.eta[None, :, None, None])
+        s_flat = jnp.broadcast_to(s_sp[:, :, None], (S, P, F)).reshape(S, M)
+    elif cfg.dimension == 2:
+        delta = -grid.eta[None, :, None, None] + 0.0 * cb(tau)  # (C,R,1,1)
+        s_flat = None
     else:
-        ch2, sh2 = _rapidity_factors(c, grid, cfg.dimension)
-        ch = ch2[:, None, None, None, :]
-        sh = sh2[:, None, None, None, :]
-        eta_jac = None
-    pt = mT_b * ch
-    # p^eta (not tau p^eta): the vorticity contraction uses pn directly
-    pn = (mT_b / cc(c["tau"])) * sh
+        delta = (grid.y[None, :, None, None]
+                 - c["eta"][:, None, None, None])              # (C,R,1,1)
+        s_flat = None
+    ch = jnp.cosh(delta)
+    sh = jnp.sinh(delta)
 
-    tau2 = c["tau"] ** 2
-    pds = (pt * cc(c["dat"]) + px_b * cc(c["dax"]) + py_b * cc(c["day"])
-           + pn * cc(c["dan"]))
-    pdotu = (pt * cc(c["ut"]) - px_b * cc(c["ux"]) - py_b * cc(c["uy"])
-             - pn * cc(tau2 * c["un"]))
+    c_ = lambda x: x[:, None, None, None]
+    # p^eta (not tau p^eta) contracts the vorticity: sh_t = sh / tau
+    sh_t = sh * c_(1.0 / tau)
 
-    sign_b = species.sign[None, :, None, None, None]
-    f0 = 1.0 / (jnp.exp(pdotu / T_avg) + sign_b)
+    # --- composites (coefficients of mT) and transverse composites (C, M)
+    inv_T = 1.0 / T_avg
+    A1 = ch * c_(c["dat"]) + sh_t * c_(c["dan"])               # p.dsigma
+    B1 = (ch * c_(c["ut"]) - sh * c_(tau * c["un"])) * inv_T   # u.p / T
+    W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
+    W2 = ((c["ux"] * inv_T)[:, None] * pxf[None]
+          + (c["uy"] * inv_T)[:, None] * pyf[None])
+    # epsilon-contraction composites: S_mu = pref * (mT * s1_mu + s2_mu)
+    st1 = c_(c["wxy"]) * sh_t
+    sx1 = c_(c["wyn"]) * ch + c_(c["wty"]) * sh_t
+    sy1 = -(c_(c["wxn"]) * ch + c_(c["wtx"]) * sh_t)
+    sn1 = c_(c["wxy"]) * ch
+    st2 = -c["wxn"][:, None] * pyf[None] + c["wyn"][:, None] * pxf[None]
+    sx2 = -c["wtn"][:, None] * pyf[None]
+    sy2 = c["wtn"][:, None] * pxf[None]
+    sn2 = c["wtx"][:, None] * pyf[None] - c["wty"][:, None] * pxf[None]
 
-    mass_b = species.mass[None, :, None, None, None]
-    pref = -(1.0 / (8.0 * mass_b)) * (1.0 - sign_b * f0) * 2.0
+    sign_b = sb(species.sign)
 
-    wtx, wty, wtn = cc(c["wtx"]), cc(c["wty"]), cc(c["wtn"])
-    wxy, wxn, wyn = cc(c["wxy"]), cc(c["wxn"]), cc(c["wyn"])
+    # --- full-rank block (C, R, S, M)
+    pds = MT * bb(A1) + cm(W1)
+    f0 = 1.0 / (jnp.exp(MT * bb(B1) - cm(W2)) + sign_b)
+    pref = (-0.25 / sb(species.mass)) * (1.0 - sign_b * f0)
 
-    St = pref * (wxy * pn - wxn * py_b + wyn * px_b)
-    Sx = pref * (wyn * pt - wtn * py_b + wty * pn)
-    Sy = pref * (-wxn * pt + wtn * px_b - wtx * pn)
-    Sn = pref * (wtx * py_b + wxy * pt - wty * px_b)
-
-    meas = pds * f0
-    mask = (valid & c["valid"]).astype(meas.dtype)
-    meas = meas * cc(mask)
-
+    mask = (valid & c["valid"]).astype(pds.dtype)
     if cfg.dimension == 2:
-        if eta_jac is not None:
-            # clean quadrature weight x substitution jacobian (the raw
-            # S_mu/Snorm sums rescale together; normalized outputs are
-            # identical up to quadrature accuracy)
-            w = grid.eta_weight[None, None, None, None, :] * eta_jac
+        if remap:
+            # clean quadrature weight; the s(mT) substitution jacobian is
+            # applied to the reduced (S, M) output (the raw S_mu/Snorm
+            # sums rescale together; normalized outputs are identical up
+            # to quadrature accuracy)
+            w = grid.eta_weight[None, :, None, None]
         else:
             # eta_weight * delta_eta with uniform spacing assumed
             # (reference quirk, :62-71; divides out in S_mu/Snorm)
             eta = grid.eta
-            delta = (eta[1] - eta[0]) if eta.shape[0] > 1 else 1.0
-            w = (grid.eta_weight * delta)[None, None, None, None, :]
-        red = lambda a: jnp.sum(a * w, axis=(0, 4))[..., None]
-    else:
-        red = lambda a: jnp.sum(a, axis=0)
+            d_eta = (eta[1] - eta[0]) if eta.shape[0] > 1 else 1.0
+            w = (grid.eta_weight * d_eta)[None, :, None, None]
+        meas = pds * f0 * (w * cb(mask))
 
-    return (red(meas * St), red(meas * Sx), red(meas * Sy), red(meas * Sn),
-            red(meas))
+        def red(a):
+            out = jnp.sum(a, axis=(0, 1))              # (S,M)
+            if remap:
+                out = out * s_flat
+            return out.reshape(S, P, F, 1)
+    else:
+        meas = pds * f0 * cb(mask)
+
+        def red(a):
+            out = jnp.sum(a, axis=0)                   # (R,S,M)
+            return jnp.transpose(out, (1, 2, 0)).reshape(S, P, F, grid.n_y)
+
+    mp = meas * pref
+    St = mp * (MT * bb(st1) + cm(st2))
+    Sx = mp * (MT * bb(sx1) + cm(sx2))
+    Sy = mp * (MT * bb(sy1) + cm(sy2))
+    Sn = mp * (MT * bb(sn1) + cm(sn2))
+    return red(St), red(Sx), red(Sy), red(Sn), red(meas)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
