@@ -34,7 +34,8 @@ from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
 from .common import pad_and_chunk, effective_chunk, carry_seed_zero
-from .smooth import _momentum_monomials
+from .smooth import (_flat_monomials, _phi_broadcast, _block_delta,
+                     _reduce_cells_3d)
 
 
 def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
@@ -50,22 +51,13 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
     through one mT fma."""
     S, P, F = species.n_species, grid.n_pT, grid.n_phi
     M = P * F
-    mT, px, py = _momentum_monomials(species, grid)    # (S,P),(P,F),(P,F)
-    pxf = px.reshape(M)
-    pyf = py.reshape(M)
-    mTf = jnp.broadcast_to(mT[:, :, None], (S, P, F)).reshape(S, M)
+    mT, mTf, pxf, pyf = _flat_monomials(species, grid)
 
     cb = lambda x: x[:, None, None, None]              # (C,)
     cm = lambda x: x[:, None, None, :]                 # (C,M)
     sb = lambda x: x[None, None, :, None]              # (S,)
     MT = mTf[None, None, :, :]
-
-    def bb(x):
-        """(C, R, s, p) composite -> block operand (broadcast p over phi)."""
-        if x.shape[-1] == 1:
-            return x
-        xb = jnp.broadcast_to(x[..., None], x.shape + (F,))
-        return xb.reshape(x.shape[:-1] + (M,))
+    bb = lambda x: _phi_broadcast(x, F)
 
     tau = c["tau"]
     remap = cfg.dimension == 2 and grid.eta_mT_rescale
@@ -90,17 +82,13 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
         delta = (yfl[:, None, None, None]
                  - s_sp[None, None, :, :] * grid.eta[None, :, None, None])
         s_flat = jnp.broadcast_to(s_sp[:, :, None], (S, P, F)).reshape(S, M)
-    elif cfg.dimension == 2:
-        delta = -grid.eta[None, :, None, None] + 0.0 * cb(tau)  # (C,R,1,1)
-        s_flat = None
     else:
-        delta = (grid.y[None, :, None, None]
-                 - c["eta"][:, None, None, None])              # (C,R,1,1)
+        delta = _block_delta(c, grid, cfg.dimension)           # (C,R,1,1)
         s_flat = None
     ch = jnp.cosh(delta)
     sh = jnp.sinh(delta)
 
-    c_ = lambda x: x[:, None, None, None]
+    c_ = cb
     # p^eta (not tau p^eta) contracts the vorticity: sh_t = sh / tau
     sh_t = sh * c_(1.0 / tau)
 
@@ -153,8 +141,7 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
         meas = pds * f0 * cb(mask)
 
         def red(a):
-            out = jnp.sum(a, axis=0)                   # (R,S,M)
-            return jnp.transpose(out, (1, 2, 0)).reshape(S, P, F, grid.n_y)
+            return _reduce_cells_3d(a, S, P, F, grid.n_y)
 
     mp = meas * pref
     St = mp * (MT * bb(st1) + cm(st2))

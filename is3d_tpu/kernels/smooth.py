@@ -46,6 +46,44 @@ def _momentum_monomials(species: SpeciesArrays, grid: MomentumGrid):
     return mT, px, py
 
 
+def _flat_monomials(species: SpeciesArrays, grid: MomentumGrid):
+    """Momentum monomials for the lane-tiled (C, R, S, M = PT*PHI) block
+    layout shared by the VH, VAH, and polzn kernels: returns
+    (mT (S,P), mTf (S,M), pxf (M,), pyf (M,))."""
+    S, P, F = species.n_species, grid.n_pT, grid.n_phi
+    mT, px, py = _momentum_monomials(species, grid)
+    mTf = jnp.broadcast_to(mT[:, :, None], (S, P, F)).reshape(S, P * F)
+    return mT, mTf, px.reshape(P * F), py.reshape(P * F)
+
+
+def _phi_broadcast(x, F: int):
+    """(C, R[, s, p]) composite -> (C, R, s, p*F) block operand: broadcast
+    the trailing pT axis over phi so it aligns with the flattened M = P*F
+    minor dim.  Rank-preserving no-op for p = 1 composites."""
+    if x.shape[-1] == 1:
+        return x
+    xb = jnp.broadcast_to(x[..., None], x.shape + (F,))
+    return xb.reshape(x.shape[:-1] + (x.shape[-1] * F,))
+
+
+def _block_delta(c: dict, grid: MomentumGrid, dimension: int):
+    """Fixed-node Delta = (y - eta) at (C, R, 1, 1) block rank (2+1D: y = 0
+    with eta the quadrature axis; 3+1D: y grid minus per-cell surface eta).
+    The `+ 0.0 * tau` term seeds the cell axis so the operand is
+    device-varying under shard_map."""
+    if dimension == 2:
+        return (-grid.eta[None, :, None, None]
+                + 0.0 * c["tau"][:, None, None, None])
+    return grid.y[None, :, None, None] - c["eta"][:, None, None, None]
+
+
+def _reduce_cells_3d(x, S: int, P: int, F: int, n_y: int):
+    """3+1D reduction of a (C, R, S, M) block: cell sum, then the
+    (R, S, M) -> (S, P, F, n_y) transpose/reshape (R is the y grid)."""
+    out = jnp.sum(x, axis=0)
+    return jnp.transpose(out, (1, 2, 0)).reshape(S, P, F, n_y)
+
+
 def _rapidity_factors(c: dict, grid: MomentumGrid, dimension: int):
     """cosh/sinh of (y - eta) per (cell, rapidity node), fixed-node form.
 
@@ -188,10 +226,7 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     cm = lambda x: x[:, None, None, :]                 # (C,M)
     sm = lambda x: x[None, None, :, :]                 # (S,M)
 
-    mT, px, py = _momentum_monomials(species, grid)    # (S,P),(P,F),(P,F)
-    pxf = px.reshape(M)
-    pyf = py.reshape(M)
-    mTf = jnp.broadcast_to(mT[:, :, None], (S, P, F)).reshape(S, M)
+    mT, mTf, pxf, pyf = _flat_monomials(species, grid)
     mT2f = mTf * mTf
     mTpxf = mTf * pxf[None, :]
     mTpyf = mTf * pyf[None, :]
@@ -270,8 +305,7 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
             out = out * s_flat
         out = out.reshape(S, P, F, 1)
     else:
-        out = jnp.sum(contrib, axis=0)                 # (R,S,M)
-        out = jnp.transpose(out, (1, 2, 0)).reshape(S, P, F, grid.n_y)
+        out = _reduce_cells_3d(contrib, S, P, F, grid.n_y)
 
     deg = species.degeneracy[:, None, None, None]
     return CF_PREFACTOR * deg * out

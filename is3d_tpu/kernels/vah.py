@@ -42,7 +42,8 @@ from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
 from .common import pad_and_chunk, effective_chunk, carry_seed_zero
-from .smooth import _momentum_monomials, _rapidity_factors
+from .smooth import (_momentum_monomials, _rapidity_factors, _flat_monomials,
+                     _phi_broadcast, _block_delta, _reduce_cells_3d)
 from ..physics import lrf
 
 
@@ -138,10 +139,7 @@ def _chunk_vah_spectra(c, valid, species, grid, cfg):
     """
     S, P, F = species.n_species, grid.n_pT, grid.n_phi
     M = P * F
-    mT, px, py = _momentum_monomials(species, grid)    # (S,P),(P,F),(P,F)
-    pxf = px.reshape(M)
-    pyf = py.reshape(M)
-    mTf = jnp.broadcast_to(mT[:, :, None], (S, P, F)).reshape(S, M)
+    mT, mTf, pxf, pyf = _flat_monomials(species, grid)
 
     cb = lambda x: x[:, None, None, None]              # (C,) -> block
     cm = lambda x: x[:, None, None, :]                 # (C,M)
@@ -149,13 +147,7 @@ def _chunk_vah_spectra(c, valid, species, grid, cfg):
     sb = lambda x: x[None, None, :, None]              # (S,)
     MT = sm(mTf)
     MT2 = sm(mTf * mTf)
-
-    def bb(x):
-        """(C, R, s, p) composite -> block operand (broadcast p over phi)."""
-        if x.shape[-1] == 1:
-            return x
-        xb = jnp.broadcast_to(x[..., None], x.shape + (F,))
-        return xb.reshape(x.shape[:-1] + (M,))
+    bb = lambda x: _phi_broadcast(x, F)
 
     tau = c["tau"]
     remap = cfg.dimension == 2 and grid.eta_mT_rescale
@@ -166,15 +158,12 @@ def _chunk_vah_spectra(c, valid, species, grid, cfg):
         y_flow = lrf.flow_rapidity(tau, c["ut"], c["un"])
         delta = (y_flow[:, None, None, None]
                  - s_cp[:, None, :, :] * grid.eta[None, :, None, None])
-    elif cfg.dimension == 2:
-        delta = -grid.eta[None, :, None, None] + 0.0 * cb(tau)  # (C,R,1,1)
     else:
-        delta = (grid.y[None, :, None, None]
-                 - c["eta"][:, None, None, None])              # (C,R,1,1)
+        delta = _block_delta(c, grid, cfg.dimension)           # (C,R,1,1)
     ch = jnp.cosh(delta)
     sh = jnp.sinh(delta)
 
-    c_ = lambda x: x[:, None, None, None]
+    c_ = cb
     t_sh = sh * c_(tau)
 
     # --- composites at (C, R[, S, P]) rank: coefficients of mT / mT^2.
@@ -255,8 +244,7 @@ def _chunk_vah_spectra(c, valid, species, grid, cfg):
             contrib = contrib * (w * cb(mask))
         out = jnp.sum(contrib, axis=(0, 1)).reshape(S, P, F, 1)
     else:
-        out = jnp.sum(contrib * cb(mask), axis=0)              # (R,S,M)
-        out = jnp.transpose(out, (1, 2, 0)).reshape(S, P, F, grid.n_y)
+        out = _reduce_cells_3d(contrib * cb(mask), S, P, F, grid.n_y)
 
     deg = species.degeneracy[:, None, None, None]
     return CF_PREFACTOR * deg * out
