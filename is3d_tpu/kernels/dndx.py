@@ -34,28 +34,29 @@ from ..io.deltaf import DeltafData
 from .common import (surface_columns, prepare_cells, pad_and_chunk,
                      carry_seed_zero,
                      effective_chunk)
-from .smooth import _pointwise_contribution
-from .feqmod import _pointwise_contribution_feqmod, _prepare_feqmod_cells
+from .smooth import _chunk_contribution
+from .feqmod import _chunk_contribution_feqmod, _prepare_feqmod_cells
 
 
 def _cell_dNdy(contrib, species, grid, cfg):
-    """(C, S, P, F, R) -> per-cell momentum-integrated dN/dy (C, S) and the
-    eta-node distribution contribution (S, R)."""
+    """Lane-tiled pointwise block (C, R, S, M = PT*PHI) -> per-cell
+    momentum-integrated dN/dy (C, S) and the eta-node distribution
+    contribution (S, R)."""
     # include the pT Jacobian (the reference's dN_dX momentum integral omits
     # it, :1372 -- same quirk as its write_dN_dy_toFile; see observables.dN_dy);
     # cfg.reference_compat_dndy reproduces the reference
     wp = (grid.pT_weight if cfg.reference_compat_dndy
           else grid.pT_weight * grid.pT)
-    wf = grid.phi_weight
+    wM = (wp[:, None] * grid.phi_weight[None, :]).reshape(-1)
+    t = jnp.einsum("crsm,m->crs", contrib, wM)
     # dN/dy/deta: no eta weight (reference divides it back out, :1366)
-    dydeta = jnp.einsum("cspfr,p,f->sr", contrib, wp, wf)
+    dydeta = jnp.sum(t, axis=0).T                      # (S,R)
     if cfg.dimension == 2:
-        per_cell = jnp.einsum("cspfr,p,f,r->cs", contrib, wp, wf,
-                              grid.eta_weight)
+        per_cell = jnp.einsum("crs,r->cs", t, grid.eta_weight)
     else:
         # 3+1D: the reference sums the y grid without weights (:1312-1374,
         # boost-invariance is the stated scope of this kernel)
-        per_cell = jnp.einsum("cspfr,p,f->cs", contrib, wp, wf)
+        per_cell = jnp.sum(t, axis=1)
     deg = species.degeneracy
     return (CF_PREFACTOR * per_cell * deg[None, :],
             CF_PREFACTOR * dydeta * deg[:, None])
@@ -94,16 +95,19 @@ def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
             # anisotropic-hydro surface: VAH emission function at fixed
             # eta nodes (a capability the reference lacks entirely -- its
             # VAH block is dead code and has no dN/dX path)
-            from .vah import _chunk_vah, _complete_vah_cells
+            from .vah import _chunk_vah_spectra, _complete_vah_cells
             c = _complete_vah_cells(chunk_cols)
-            contrib = _chunk_vah(c, m, species, grid, cfg, pointwise=True)
+            contrib = _chunk_vah_spectra(c, m, species, grid, cfg,
+                                         reduce=False)
         elif cfg.df_mode in (3, 4):
             c = prepare_cells(chunk_cols, cfg, df_data)
             c = _prepare_feqmod_cells(c, species, laguerre, cfg)
-            contrib = _pointwise_contribution_feqmod(c, m, species, grid, cfg)
+            contrib = _chunk_contribution_feqmod(c, m, species, grid, cfg,
+                                                 reduce=False)
         else:
             c = prepare_cells(chunk_cols, cfg, df_data)
-            contrib = _pointwise_contribution(c, m, species, grid, cfg)
+            contrib = _chunk_contribution(c, m, species, grid, cfg,
+                                          reduce=False)
         per_cell, dydeta = _cell_dNdy(contrib, species, grid, cfg)
 
         tau = c["tau"]

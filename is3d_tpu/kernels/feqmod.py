@@ -35,7 +35,7 @@ from ..physics import lrf, thermal
 from .common import (surface_columns, prepare_cells, pad_and_chunk,
                      carry_seed_zero,
                      effective_chunk)
-from .smooth import _momentum_monomials
+from .smooth import _flat_monomials
 
 
 def _sym_matvec(M, v):
@@ -194,136 +194,17 @@ def _prepare_feqmod_cells(c, species, laguerre, cfg: Config,
     return c
 
 
-def _linearized_df_fallback(cfg, c, pdotu, pipp, Vp, mass2_b, baryon_b,
-                            feq, feqbar):
-    """Fallback distribution when feqmod breaks down: linearized CE df for
-    mode 3, linearized Jonah df for mode 4 (reference: :835-876)."""
-    cc = lambda x: x[:, None, None, None, None]
-    df = c["df"]
-    T = cc(c["T"])
-    if cfg.df_mode == 3:
-        shear_coeff = cc(0.5 / (df.betapi * c["T"]))
-        bulk0 = cc(df.F / (c["T"] ** 2 * df.betabulk))
-        bulk1 = cc(df.G / df.betabulk)
-        bulk2 = cc(1.0 / (3.0 * c["T"] * df.betabulk))
-        out = feqbar * (shear_coeff * pipp / pdotu
-                        + (bulk0 * pdotu + bulk1 * baryon_b
-                           + bulk2 * (pdotu - mass2_b / pdotu)) * cc(c["bulkPi"])
-                        + (cc(c["baryon_enthalpy_ratio"]) - baryon_b / pdotu)
-                        * Vp / cc(df.betaV))
-    else:
-        shear_coeff = cc(0.5 / (df.betapi * c["T"]))
-        df_shear = feqbar * shear_coeff * pipp / pdotu
-        df_bulk = (cc(df.delta_z) - 3.0 * cc(df.delta_lambda)
-                   + feqbar * cc(df.delta_lambda) * (pdotu - mass2_b / pdotu) / T)
-        out = df_shear + df_bulk
-    if cfg.regulate_deltaf:
-        out = jnp.clip(out, -1.0, 1.0)
-    return feq * (1.0 + out)
-
-
-def _pointwise_contribution_feqmod(c, valid, species: SpeciesArrays,
-                                   grid: MomentumGrid, cfg: Config):
-    """Masked p.dsigma * f at every point: (C, S, PT, PHI, R); feqmod/fallback
-    branch selection included, no quadrature weights or prefactor."""
-    cc = lambda x: x[:, None, None, None, None]
-    mT, px, py = _momentum_monomials(species, grid)
-    mT_b = mT[None, :, :, None, None]
-    px_b = px[None, None, :, :, None]
-    py_b = py[None, None, :, :, None]
-
-    C = c["tau"].shape[0]
-    tau = c["tau"]
-    sign_b = species.sign[None, :, None, None, None]
-    baryon_b = species.baryon[None, :, None, None, None]
-    mass2_b = (species.mass ** 2)[None, :, None, None, None]
-
-    # ---- rapidity factors: unscaled (fallback) and detA-scaled (feqmod)
-    if cfg.dimension == 2:
-        delta_u = jnp.broadcast_to(-grid.eta[None, :], (C, grid.n_eta))
-        delta_s = -c["eta_scale"][:, None] * grid.eta[None, :]
-    else:
-        delta_u = grid.y[None, :] - c["eta"][:, None]
-        delta_s = delta_u
-    ch_u, sh_u = jnp.cosh(delta_u), jnp.sinh(delta_u)
-    ch_s, sh_s = jnp.cosh(delta_s), jnp.sinh(delta_s)
-
-    def kinematics(ch, sh):
-        pt = mT_b * ch[:, None, None, None, :]
-        taupn = mT_b * sh[:, None, None, None, :]
-        pds = (pt * cc(c["dat"]) + px_b * cc(c["dax"]) + py_b * cc(c["day"])
-               + taupn * cc(c["dan"] / tau))
-        return pt, taupn, pds
-
-    # ---- fallback branch (linearized df at unscaled rapidity) ------------
-    pt_u, taupn_u, pds_u = kinematics(ch_u, sh_u)
-    pdotu = (pt_u * cc(c["ut"]) - px_b * cc(c["ux"]) - py_b * cc(c["uy"])
-             - taupn_u * cc(tau * c["un"]))
-    chem = baryon_b * cc(c["alphaB"])
-    if cfg.df_mode == 4:
-        chem = jnp.zeros_like(chem)  # Jonah fallback feq has no chem term (:861)
-    feq = 1.0 / (jnp.exp(pdotu / cc(c["T"]) - chem) + sign_b)
-    feqbar = 1.0 - sign_b * feq
-
-    q3 = taupn_u
-    pipp = lrf.milne_pipp_full(c, cc, pt_u, px_b, py_b, taupn_u, tau)
-    Vp = (cc(c["Vt"]) * pt_u - cc(c["Vx"]) * px_b - cc(c["Vy"]) * py_b
-          - cc(c["Vn"] * tau) * q3)
-    f_fallback = _linearized_df_fallback(cfg, c, pdotu, pipp, Vp, mass2_b,
-                                         baryon_b, feq, feqbar)
-
-    # ---- feqmod branch (momentum transform at scaled rapidity) -----------
-    pt_s, taupn_s, pds_s = kinematics(ch_s, sh_s)
-    b = c["basis"]
-    tau2pn = taupn_s * cc(tau)
-    px_LRF = (-cc(b.Xt) * pt_s + cc(b.Xx) * px_b + cc(b.Xy) * py_b
-              + cc(b.Xn) * tau2pn)
-    py_LRF = cc(b.Yx) * px_b + cc(b.Yy) * py_b
-    pz_LRF = -cc(b.Zt) * pt_s + cc(b.Zn) * tau2pn
-
-    A = tuple(cc(a) for a in c["A"])
-    A_inv = tuple(cc(a) for a in c["A_inv"])
-    p = (px_LRF, py_LRF, pz_LRF)
-    x = _sym_matvec(A_inv, p)
-    for _ in range(2):  # residual refinement (reference does <= 5 passes)
-        Ax = _sym_matvec(A, x)
-        r = tuple(pi - Axi for pi, Axi in zip(p, Ax))
-        dx = _sym_matvec(A_inv, r)
-        x = tuple(xi + dxi for xi, dxi in zip(x, dx))
-    E_mod = jnp.sqrt(mass2_b + x[0] ** 2 + x[1] ** 2 + x[2] ** 2)
-
-    chem_mod = baryon_b * cc(c["alphaB_mod"])
-    renorm = jnp.abs(c["renorm"])[:, :, None, None, None]
-    f_mod = renorm / (jnp.exp(E_mod / cc(c["T_mod"]) - chem_mod) + sign_b)
-
-    # ---- branch selection -------------------------------------------------
-    breakdown = c["breakdown"][:, None, None, None, None]
-    if cfg.dimension == 3:
-        narrow = ((c["detA"][:, None] < 0.01)
-                  & (jnp.abs(delta_u) < c["detA"][:, None]))
-        breakdown = breakdown | narrow[:, None, None, None, :]
-
-    pds = jnp.where(breakdown, pds_u, pds_s)
-    f = jnp.where(breakdown, f_fallback, f_mod)
-
-    contrib = pds * f
-    if cfg.outflow:
-        contrib = jnp.where(pds > 0.0, contrib, 0.0)
-
-    # renorm_ok gates the whole (cell, species) row (reference :773-778)
-    mask = (valid & c["valid"]).astype(contrib.dtype)
-    ok = c["renorm_ok"].astype(contrib.dtype)[:, :, None, None, None]
-    return contrib * cc(mask) * ok
-
-
 def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
-                               grid: MomentumGrid, cfg: Config):
+                               grid: MomentumGrid, cfg: Config,
+                               reduce: bool = True):
     """Spectra contribution of one cell chunk, (S, PT, PHI, Y_out).
 
     Computed in the TPU-friendly (C, R, S, M = PT*PHI) layout (full lane
     tiles; see kernels/smooth._chunk_contribution) with the same factored
     composites; both the feqmod and the linearized-fallback branches are
-    evaluated and masked per cell."""
+    evaluated and masked per cell.  With reduce=False, returns the masked
+    pointwise emission block at (C, R, S, M) -- no weights or prefactor --
+    consumed by the dN/dX spacetime kernel (fixed eta nodes only)."""
     S = species.n_species
     P, F = grid.n_pT, grid.n_phi
     M = P * F
@@ -333,10 +214,7 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     sm = lambda x: x[None, None, :, :]
     sb = lambda x: x[None, None, :, None]
 
-    mT, px, py = _momentum_monomials(species, grid)
-    pxf = px.reshape(M)
-    pyf = py.reshape(M)
-    mTf = jnp.broadcast_to(mT[:, :, None], (S, P, F)).reshape(S, M)
+    mT, mTf, pxf, pyf = _flat_monomials(species, grid)
     mT2f = mTf * mTf
     mTpxf = mTf * pxf[None, :]
     mTpyf = mTf * pyf[None, :]
@@ -521,6 +399,11 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     mask = (valid & c["valid"]).astype(contrib.dtype)
     ok = c["renorm_ok"].astype(contrib.dtype)[:, None, :, None]
     contrib = contrib * cb(mask) * ok
+
+    if not reduce:
+        # pointwise consumers need common nodes across (cell, species)
+        assert not rescaled, "reduce=False requires fixed eta nodes"
+        return contrib                                 # (C,R,S,M)
 
     if cfg.dimension == 2:
         w = grid.eta_weight[None, :, None, None]

@@ -101,117 +101,13 @@ def _rapidity_factors(c: dict, grid: MomentumGrid, dimension: int):
     return jnp.cosh(delta), jnp.sinh(delta)
 
 
-def _linear_df(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b, feqbar):
-    """Linear viscous correction, df modes 1 (Grad 14-moment) and
-    2 (Chapman-Enskog) (reference: emissionfunction_smooth_kernels.cpp:214-242,
-    299-326; formulas documented in SURVEY Appendix B)."""
-    cc = lambda x: x[:, None, None, None, None]
-    bulkPi = cc(c["bulkPi"])
-
-    if cfg.df_mode == 1:
-        shear_coeff = cc(0.5 / (c["T"] ** 2 * (c["E"] + c["P"])))
-        bulk0 = cc(df.c0 - df.c2)
-        bulk1 = cc(df.c1)
-        bulk2 = cc(4.0 * df.c2 - df.c0)
-        df_shear = shear_coeff * pipp
-        df_bulk = (bulk0 * mass2_b + (bulk1 * baryon_b + bulk2 * pdotu) * pdotu) * bulkPi
-        df_diff = (cc(df.c3) * baryon_b + cc(df.c4) * pdotu) * Vp
-    elif cfg.df_mode == 2:
-        shear_coeff = cc(0.5 / (df.betapi * c["T"]))
-        bulk0 = cc(df.F / (c["T"] ** 2 * df.betabulk))
-        bulk1 = cc(df.G / df.betabulk)
-        bulk2 = cc(1.0 / (3.0 * c["T"] * df.betabulk))
-        df_shear = shear_coeff * pipp / pdotu
-        df_bulk = (bulk0 * pdotu + bulk1 * baryon_b
-                   + bulk2 * (pdotu - mass2_b / pdotu)) * bulkPi
-        df_diff = (cc(c["baryon_enthalpy_ratio"]) - baryon_b / pdotu) * Vp / cc(df.betaV)
-    else:
-        raise ValueError("linear df kernel supports df_mode 1 or 2")
-
-    out = feqbar * (df_shear + df_bulk + df_diff)
-    if cfg.regulate_deltaf:
-        out = jnp.clip(out, -1.0, 1.0)
-    return out
-
-
-def _pointwise_contribution(c: dict, valid, species: SpeciesArrays,
-                            grid: MomentumGrid, cfg: Config):
-    """Masked p.dsigma * f at every (cell, species, pT, phi, rapidity-node)
-    point: (C, S, PT, PHI, R).  No quadrature weights, no prefactor/degeneracy
-    -- shared by the spectra reduction and the dN/dX spacetime kernel.
-
-    TPU op-count optimization: every contraction that is linear or quadratic
-    in (p^tau, tau p^eta) = mT (cosh, sinh)(y - eta) is factored into
-    per-(cell, rapidity-node) composites, and the purely transverse parts
-    into per-(cell, pT, phi) composites, so the full-rank block touches each
-    point with a handful of fused multiply-adds instead of re-deriving the
-    four-momentum contractions (profiled VPU-bound; exp is not the limiter).
-    """
-    cc = lambda x: x[:, None, None, None, None]        # (C,) -> broadcast
-    cr = lambda x: x[:, None, None, None, :]           # (C,R)
-    cpf = lambda x: x[:, None, :, :, None]             # (C,P,F)
-    sp = lambda x: x[None, :, :, None, None]           # (S,P)
-    spf = lambda x: x[None, :, :, :, None]             # (S,P,F)
-
-    mT, px, py = _momentum_monomials(species, grid)    # (S,P), (P,F), (P,F)
-    ch, sh = _rapidity_factors(c, grid, cfg.dimension)  # (C,R)
-
-    tau = c["tau"]
-    t_sh = sh * tau[:, None]                           # tau * sh, (C,R)
-
-    # --- per-(cell, rapidity) composites (coefficients of mT / mT^2)
-    A1 = ch * c["dat"][:, None] + sh * (c["dan"] / tau)[:, None]
-    B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
-    C1 = (ch * ch * c["pitt"][:, None] + t_sh * t_sh * c["pinn"][:, None]
-          - 2.0 * ch * t_sh * c["pitn"][:, None])
-    C2 = -2.0 * (ch * c["pitx"][:, None] - t_sh * c["pixn"][:, None])
-    C3 = -2.0 * (ch * c["pity"][:, None] - t_sh * c["piyn"][:, None])
-    D1 = ch * c["Vt"][:, None] - t_sh * c["Vn"][:, None]
-
-    # --- per-(cell, pT, phi) transverse composites
-    pxx = px * px
-    pyy = py * py
-    pxy = px * py
-    W1 = (c["dax"][:, None, None] * px[None] + c["day"][:, None, None] * py[None])
-    W2 = (c["ux"][:, None, None] * px[None] + c["uy"][:, None, None] * py[None])
-    C4 = (c["pixx"][:, None, None] * pxx[None] + c["piyy"][:, None, None] * pyy[None]
-          + 2.0 * c["pixy"][:, None, None] * pxy[None])
-    D2 = (c["Vx"][:, None, None] * px[None] + c["Vy"][:, None, None] * py[None])
-
-    # --- species-side composites
-    mT2 = mT * mT                                      # (S,P)
-    mTpx = mT[:, :, None] * px[None]                   # (S,P,F)
-    mTpy = mT[:, :, None] * py[None]
-
-    # --- full-rank block: few fmas per point
-    pds = sp(mT) * cr(A1) + cpf(W1)
-    pdotu = sp(mT) * cr(B1) - cpf(W2)
-    pipp = (sp(mT2) * cr(C1) + spf(mTpx) * cr(C2) + spf(mTpy) * cr(C3)
-            + cpf(C4))
-    Vp = sp(mT) * cr(D1) - cpf(D2)
-
-    sign_b = species.sign[None, :, None, None, None]
-    baryon_b = species.baryon[None, :, None, None, None]
-    mass2_b = (species.mass ** 2)[None, :, None, None, None]
-    chem = baryon_b * cc(c["alphaB"])
-
-    feq = 1.0 / (jnp.exp(pdotu / cc(c["T"]) - chem) + sign_b)
-    feqbar = 1.0 - sign_b * feq
-
-    df = _linear_df(cfg, c["df"], c, pdotu, pipp, Vp, mass2_b, baryon_b, feqbar)
-    f = feq * (1.0 + df)
-
-    contrib = pds * f
-    if cfg.outflow:
-        contrib = jnp.where(pds > 0.0, contrib, 0.0)
-
-    mask = (valid & c["valid"]).astype(contrib.dtype)
-    return contrib * cc(mask)
-
-
 def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
-                        grid: MomentumGrid, cfg: Config):
+                        grid: MomentumGrid, cfg: Config,
+                        reduce: bool = True):
     """Spectra contribution of one cell chunk: (S, PT, PHI, Y_out).
+    With reduce=False, returns the masked pointwise emission block
+    p.dsigma * f at (C, R, S, M) instead -- no quadrature weights, no
+    prefactor/degeneracy -- consumed by the dN/dX spacetime kernel.
 
     TPU layout optimization: the elementwise block is computed as
     (C, R, S, M) with the transverse momentum grid flattened to
@@ -296,6 +192,11 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
         contrib = jnp.where(pds > 0.0, contrib, 0.0)
     mask = (valid & c["valid"]).astype(contrib.dtype)
     contrib = contrib * cb(mask)
+
+    if not reduce:
+        # pointwise consumers need common nodes across (cell, species)
+        assert not rescaled, "reduce=False requires fixed eta nodes"
+        return contrib                                 # (C,R,S,M)
 
     if cfg.dimension == 2:
         w = grid.eta_weight[None, :, None, None]
@@ -394,7 +295,10 @@ def _rescaled_eta_operands(c: dict, species, grid, S: int, P: int, F: int,
 
 def _linear_df_flat(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b,
                     feqbar):
-    """_linear_df with (C, R, S, M) broadcasting (cell axis first)."""
+    """Linear viscous correction, df modes 1 (Grad 14-moment) and
+    2 (Chapman-Enskog), with (C, R, S, M) block broadcasting (reference:
+    emissionfunction_smooth_kernels.cpp:214-242, 299-326; formulas
+    documented in SURVEY Appendix B)."""
     cb = lambda x: x[:, None, None, None]
     bulkPi = cb(c["bulkPi"])
 

@@ -42,75 +42,16 @@ from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
 from .common import pad_and_chunk, effective_chunk, carry_seed_zero
-from .smooth import (_momentum_monomials, _rapidity_factors, _flat_monomials,
-                     _phi_broadcast, _block_delta, _reduce_cells_3d)
+from .smooth import (_flat_monomials, _phi_broadcast, _block_delta,
+                     _reduce_cells_3d)
 from ..physics import lrf
 
 
-def _chunk_vah(c, valid, species, grid, cfg, pointwise: bool = False):
-    """VAH emission contribution of one cell chunk.
-
-    pointwise=False (spectra): eta-reduced (S, PT, PHI, Y_out) with
-    degeneracy and CF prefactor, mT-adaptive eta nodes in 2+1D, computed
-    in the lane-tiled (C, R, S, M = PT*PHI) layout (see _chunk_vah_spectra).
-    pointwise=True (dN/dX): masked p.dsigma*f at every
-    (C, S, PT, PHI, R) point at FIXED eta nodes (common across cells, as
-    the spacetime binning requires), no weights/prefactor -- mirrors
-    smooth._pointwise_contribution."""
-    if not pointwise:
-        return _chunk_vah_spectra(c, valid, species, grid, cfg)
-    cc = lambda x: x[:, None, None, None, None]
-    mT, px, py = _momentum_monomials(species, grid)
-    mT_b = mT[None, :, :, None, None]
-    px_b = px[None, None, :, :, None]
-    py_b = py[None, None, :, :, None]
-
-    ch, sh = _rapidity_factors(c, grid, cfg.dimension)
-    ch_b = ch[:, None, None, None, :]
-    sh_b = sh[:, None, None, None, :]
-    pt = mT_b * ch_b
-    taupn = mT_b * sh_b                              # tau * p^eta
-
-    tau = c["tau"]
-    pds = (pt * cc(c["dat"]) + px_b * cc(c["dax"]) + py_b * cc(c["day"])
-           + taupn * cc(c["dan"] / tau))
-    pdotu = (pt * cc(c["ut"]) - px_b * cc(c["ux"]) - py_b * cc(c["uy"])
-             - taupn * cc(tau * c["un"]))
-    # z.p with z = (zt, 0, 0, zn): zt pt - tau^2 zn pn = zt pt - (tau zn) taupn
-    pdotz = pt * cc(c["zt"]) - taupn * cc(tau * c["zn"])
-
-    sign_b = species.sign[None, :, None, None, None]
-    mass2_b = (species.mass ** 2)[None, :, None, None, None]
-
-    xiL = cc(1.0 / (c["aL"] ** 2) - 1.0)
-    Ea = jnp.sqrt(pdotu * pdotu + xiL * pdotz * pdotz)
-    fa = 1.0 / (jnp.exp(Ea / cc(c["Lambda"])) + sign_b)
-    fabar = 1.0 - sign_b * fa
-
-    df = jnp.zeros_like(fa)
-    if cfg.include_shear_deltaf:
-        Wp = (cc(c["Wt"]) * pt - cc(c["Wx"]) * px_b - cc(c["Wy"]) * py_b
-              - cc(c["Wn"] * tau) * taupn)
-        pipp = lrf.milne_pipp_full(c, cc, pt, px_b, py_b, taupn, tau)
-        df = df + cc(c["c3"]) * pdotz * Wp + cc(c["c4"]) * pipp
-    if cfg.include_bulk_deltaf:
-        df = df + (cc(c["c0"]) * mass2_b + cc(c["c1"]) * pdotz * pdotz
-                   + cc(c["c2"]) * pdotu * pdotu) * cc(c["bulkPi"])
-
-    if cfg.regulate_deltaf:
-        f = fa * (1.0 + jnp.clip(fabar * df, -1.0, 1.0))
-    else:
-        f = fa * (1.0 + fabar * df)
-
-    contrib = pds * f
-    if cfg.outflow:
-        contrib = jnp.where(pds > 0.0, contrib, 0.0)
-    mask = valid.astype(contrib.dtype)
-    return contrib * cc(mask)
-
-
-def _chunk_vah_spectra(c, valid, species, grid, cfg):
+def _chunk_vah_spectra(c, valid, species, grid, cfg, reduce: bool = True):
     """Spectra contribution of one cell chunk: (S, PT, PHI, Y_out).
+    With reduce=False, returns the masked pointwise emission block
+    p.dsigma * f at (C, R, S, M) -- no weights or prefactor -- consumed by
+    the dN/dX spacetime kernel (fixed eta nodes only).
 
     Layout: the elementwise block runs as (C, R, S, M = PT*PHI) so the two
     minor dims map onto full (sublane, lane) vector tiles -- same layout as
@@ -233,6 +174,11 @@ def _chunk_vah_spectra(c, valid, species, grid, cfg):
         contrib = jnp.where(pds > 0.0, contrib, 0.0)
     mask = valid.astype(contrib.dtype)
 
+    if not reduce:
+        # pointwise consumers need common nodes across (cell, species)
+        assert not remap, "reduce=False requires fixed eta nodes"
+        return contrib * cb(mask)                      # (C,R,S,M)
+
     if cfg.dimension == 2:
         w = grid.eta_weight[None, :, None, None]
         if remap:
@@ -265,7 +211,7 @@ def _vah_jit(cols, species, grid, cfg: Config):
     def body(acc, inp):
         chunk_cols, m = inp
         c = _complete_vah_cells(chunk_cols)
-        return acc + _chunk_vah(c, m, species, grid, cfg), None
+        return acc + _chunk_vah_spectra(c, m, species, grid, cfg), None
 
     acc, _ = lax.scan(body, acc0, (chunked, mask))
     return acc

@@ -173,20 +173,3 @@ def flow_rapidity(tau, ut, un):
     x = jnp.clip(jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0),
                  -0.999999, 0.999999)
     return jnp.arctanh(x)
-
-
-def milne_pipp_full(c: dict, cc, pt, px, py, taupn, tau):
-    """pi_{munu} p^mu p^nu from a FULL 10-component Milne shear tensor
-    (covariant contraction with the metric's tau powers folded into
-    (p^tau, p^x, p^y, tau p^eta) = (pt, px, py, taupn); ``cc`` broadcasts a
-    (C,) cell column to the block rank).  Shared by the VAH spectra kernel
-    and feqmod's pointwise linearized fallback -- one definition so a
-    term/sign fix cannot drift between them."""
-    return (cc(c["pitt"]) * pt * pt + cc(c["pixx"]) * px * px
-            + cc(c["piyy"]) * py * py
-            + cc(c["pinn"] * tau * tau) * taupn * taupn
-            + 2.0 * (-(cc(c["pitx"]) * px + cc(c["pity"]) * py) * pt
-                     + cc(c["pixy"]) * px * py
-                     + taupn * (cc(c["pixn"] * tau) * px
-                                + cc(c["piyn"] * tau) * py
-                                - cc(c["pitn"] * tau) * pt)))
