@@ -119,24 +119,24 @@ def compute_jonah_arrays(mass, gspin, sign, T_avg: float, laguerre=None):
 
     lambdas = np.linspace(LAMBDA_MIN, LAMBDA_MAX, JONAH_POINTS)
 
-    # quadrature over pbar for all (lambda, species) at once
-    pbar = r2[None, None, :]                        # (1,1,Q)
-    mb = mbar[None, :, None]                        # (1,S,1)
-    lam = lambdas[:, None, None]                    # (L,1,1)
-    scale2 = (1.0 + lam) ** 2
-    ebar = np.sqrt(pbar**2 + mb**2)
-    bose = np.exp(pbar) / (np.exp(ebar) + sgn[None, :, None])
-    emod_arg = np.sqrt(pbar**2 * scale2 + mb**2)
-    E_mod_i = (w2 * emod_arg * bose).sum(-1)                    # (L,S)
-    P_mod_i = (w2 * pbar**2 * scale2 / emod_arg * bose).sum(-1)  # (L,S)
-
-    E_mod = (deg * E_mod_i).sum(-1)                # (L,)
-    P_mod = (deg * P_mod_i).sum(-1) / 3.0
+    # quadrature over pbar for all (lambda, species) at once.  The only
+    # (L, S, Q)-rank work is the modified dispersion sqrt and the two
+    # weighted contractions; the thermal weight w2 * deg * e^pbar f_eq and
+    # the P_mod integrand identity pbar^2 scale2 / E_mod = E_mod - mb^2 /
+    # E_mod keep this to ~5 full-rank passes (this runs host-side in every
+    # process's prepare phase)
+    ebar = np.sqrt(r2[None, :] ** 2 + mbar[:, None] ** 2)        # (S,Q)
+    common = (w2[None, :] * deg[:, None] * np.exp(r2)[None, :]
+              / (np.exp(ebar) + sgn[:, None]))                   # (S,Q)
+    common_m = common * (mbar ** 2)[:, None]
+    scale2 = (1.0 + lambdas[:, None, None]) ** 2                 # (L,1,1)
+    x2 = scale2 * (r2 ** 2)[None, None, :] + (mbar ** 2)[None, :, None]
+    emod = np.sqrt(x2)                                           # (L,S,Q)
+    E_mod = np.einsum("lsq,sq->l", emod, common)
+    P_mod = (E_mod - np.einsum("lsq,sq->l", 1.0 / emod, common_m)) / 3.0
     # equilibrium E, P: the scale2 = 1 (lambda = 0) evaluation, done exactly
-    ebar_eq = np.sqrt(r2[None, :] ** 2 + mbar[:, None] ** 2)
-    bose_eq = np.exp(r2[None, :]) / (np.exp(ebar_eq) + sgn[:, None])
-    E_eq = (deg * (w2 * ebar_eq * bose_eq).sum(-1)).sum()
-    P_eq = (deg * (w2 * r2[None, :] ** 2 / ebar_eq * bose_eq).sum(-1)).sum() / 3.0
+    E_eq = float((ebar * common).sum())
+    P_eq = float((E_eq - (common_m / ebar).sum()) / 3.0)
 
     z = E_eq / E_mod
     bulkPi_over_Peq = (P_mod / P_eq) * z - 1.0
@@ -179,8 +179,19 @@ def build_deltaf_data(coeff_dir: str, hrg_eos: int,
 
 # ------------------------------------------------------------- evaluation
 
-def _zeros_like(T):
-    return jnp.zeros_like(T)
+def _xp_for(queries, tables):
+    """jnp if any query is a JAX array/tracer or any table is a tracer;
+    numpy otherwise.  Concrete device-resident tables queried with plain
+    numpy evaluate host-side in numpy (one small D2H pull) -- the setup
+    paths avoid eager per-op JAX compiles this way (see physics.thermal)."""
+    import jax
+    for x in queries:
+        if isinstance(x, (jax.Array, jax.core.Tracer)):
+            return jnp
+    for x in tables:
+        if isinstance(x, jax.core.Tracer):
+            return jnp
+    return np
 
 
 def validate_df_range(data: DeltafData, T, muB) -> None:
@@ -209,12 +220,16 @@ def validate_df_range(data: DeltafData, T, muB) -> None:
 
 def _bilinear(grid_vals, T_grid, muB_grid, T, muB):
     """Uniform-grid bilinear interpolation of a (nmuB, nT) table."""
+    xp = _xp_for((T, muB), (grid_vals, T_grid, muB_grid))
+    if xp is np:
+        grid_vals, T_grid, muB_grid = (np.asarray(a) for a in
+                                       (grid_vals, T_grid, muB_grid))
     dT = T_grid[1] - T_grid[0]
     dmuB = muB_grid[1] - muB_grid[0]
-    iT = jnp.clip(jnp.floor((T - T_grid[0]) / dT).astype(jnp.int32), 0,
-                  T_grid.shape[0] - 2)
-    iB = jnp.clip(jnp.floor((muB - muB_grid[0]) / dmuB).astype(jnp.int32), 0,
-                  muB_grid.shape[0] - 2)
+    iT = xp.clip(xp.floor((T - T_grid[0]) / dT).astype(xp.int32), 0,
+                 T_grid.shape[0] - 2)
+    iB = xp.clip(xp.floor((muB - muB_grid[0]) / dmuB).astype(xp.int32), 0,
+                 muB_grid.shape[0] - 2)
     tT = (T - T_grid[iT]) / dT
     tB = (muB - muB_grid[iB]) / dmuB
     f00 = grid_vals[iB, iT]
@@ -232,9 +247,10 @@ def evaluate_df_coefficients(data: DeltafData, df_mode: int, include_baryon: boo
     Undoes the temperature-power scaling of the tabulated values exactly as
     the reference (deltafReader.cpp:325-484).
     """
-    z0 = _zeros_like(T)
+    xp = _xp_for((T, muB, E, P, bulkPi), ())
+    z0 = xp.zeros_like(T)
     out = dict(c0=z0, c1=z0, c2=z0, c3=z0, c4=z0, shear14=z0, F=z0, G=z0,
-               betabulk=z0, betaV=jnp.ones_like(T), betapi=z0,
+               betabulk=z0, betaV=xp.ones_like(T), betapi=z0,
                lam=z0, z=z0, delta_lambda=z0, delta_z=z0)
 
     T4 = T**4
@@ -254,12 +270,12 @@ def evaluate_df_coefficients(data: DeltafData, df_mode: int, include_baryon: boo
             # observable; kept for exact parity.  Any consumer of
             # diff_density at muB=0 sees the same placeholder scale the
             # reference produces.
-            out["betaV"] = jnp.ones_like(T)
+            out["betaV"] = xp.ones_like(T)
             out["betapi"] = ev("betapi") * T4
         elif df_mode == 4:
             x = bulkPi / P
             lam2 = data.lambda2_spline(x)
-            out["lam"] = jnp.sign(bulkPi) * jnp.sqrt(jnp.maximum(lam2, 0.0))
+            out["lam"] = xp.sign(bulkPi) * xp.sqrt(xp.maximum(lam2, 0.0))
             out["z"] = data.z_spline(x)
             betapi = ev("betapi") * T4
             out["betapi"] = betapi
@@ -304,15 +320,14 @@ def compute_particle_densities(particle_table, df_mode: int, avg,
     averaged state (reference: deltafReader.cpp:536-650).  Mutates and returns
     the particle table (numpy, host-side).
 
-    Runs on the host CPU device: this is a handful of ~(species x 32)-point
-    quadratures, and dispatching them to an attached accelerator costs one
+    Runs entirely in numpy: this is a handful of ~(species x 32)-point
+    quadratures; dispatching them to an attached accelerator costs one
     remote compile per integrand (~2 min of startup on a serving-layer TPU
-    for ~10k flops of work).  All results are returned as numpy."""
-    import jax
-    with jax.default_device(jax.devices("cpu")[0]):
-        return _compute_particle_densities_cpu(
-            particle_table, df_mode, avg, deltaf_data, include_baryon,
-            laguerre)
+    for ~10k flops of work), and even the eager JAX CPU backend pays ~60
+    tiny op-by-op compiles (~4 s/process, measured -- below the persistent
+    cache's 1 s threshold, so every process repays them)."""
+    return _compute_particle_densities_cpu(
+        particle_table, df_mode, avg, deltaf_data, include_baryon, laguerre)
 
 
 def _compute_particle_densities_cpu(particle_table, df_mode, avg,
@@ -332,9 +347,9 @@ def _compute_particle_densities_cpu(particle_table, df_mode, avg,
     benth = nB / (E + P)
 
     df = evaluate_df_coefficients(deltaf_data, df_mode, include_baryon,
-                                  jnp.asarray(T), jnp.asarray(muB),
-                                  jnp.asarray(E), jnp.asarray(P),
-                                  jnp.asarray(0.0))
+                                  np.float64(T), np.float64(muB),
+                                  np.float64(E), np.float64(P),
+                                  np.float64(0.0))
     df = {k: float(getattr(df, k)) for k in
           ("c0", "c1", "c2", "c3", "c4", "F", "G", "betabulk", "betaV")}
 
@@ -344,9 +359,9 @@ def _compute_particle_densities_cpu(particle_table, df_mode, avg,
     sign = np.asarray(particle_table.sign, dtype=np.float64)
     mbar = mass / T
 
-    gt = lambda integrand, r, w: np.asarray(
-        thermal.gauss_thermal(integrand, jnp.asarray(r), jnp.asarray(w),
-                              mbar, alphaB, baryon, sign))
+    # all-numpy inputs keep thermal.gauss_thermal in numpy (no JAX dispatch)
+    gt = lambda integrand, r, w: thermal.gauss_thermal(
+        integrand, np.asarray(r), np.asarray(w), mbar, alphaB, baryon, sign)
 
     neq_fact = deg * T**3 / TWO_PI2_HBARC3
     neq = neq_fact * gt(thermal.neq_int, r1, w1)

@@ -11,6 +11,7 @@ to machine precision while being vectorizable on TPU.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -84,9 +85,20 @@ def evaluate(spline: CubicSpline, xq):
     Queries outside the knot range are clamped to the end intervals (the
     reference only evaluates in-domain; clamping gives graceful extrapolation
     instead of GSL's hard error).
+
+    Dispatch: a traced spline or JAX query evaluates in jnp; a concrete
+    spline queried with plain numpy evaluates in numpy (host-side setup
+    paths avoid eager per-op JAX compiles this way).
     """
-    xq = jnp.asarray(xq)
-    n = spline.x.shape[0]
-    idx = jnp.clip(jnp.searchsorted(spline.x, xq, side="right") - 1, 0, n - 2)
-    t = xq - spline.x[idx]
-    return spline.y[idx] + t * (spline.b[idx] + t * (spline.c[idx] + t * spline.d[idx]))
+    if (isinstance(xq, (jax.Array, jax.core.Tracer))
+            or isinstance(spline.x, jax.core.Tracer)):
+        xp, x, y, b, c, d = jnp, spline.x, spline.y, spline.b, spline.c, spline.d
+    else:
+        xp = np
+        x, y, b, c, d = (np.asarray(a) for a in
+                         (spline.x, spline.y, spline.b, spline.c, spline.d))
+    xq = xp.asarray(xq)
+    n = x.shape[0]
+    idx = xp.clip(xp.searchsorted(x, xq, side="right") - 1, 0, n - 2)
+    t = xq - x[idx]
+    return y[idx] + t * (b[idx] + t * (c[idx] + t * d[idx]))

@@ -7,34 +7,55 @@ generalized Gauss-Laguerre rule of order alpha absorbs pbar^alpha e^-pbar, so
 each integrand carries a compensating e^{+pbar} factor exactly as in the
 reference.
 
-Everything is jnp and broadcasts: scalars or arrays of any matching shape for
+Everything broadcasts: scalars or arrays of any matching shape for
 (mbar, alphaB, baryon, sign); the quadrature axis is appended internally.
 Dimensionful prefactors (powers of T / two_pi2_hbarC3, degeneracy) are applied
 by the callers (reference: deltafReader.cpp:536-650).
+
+Dispatch: the integrals run in whichever array library the inputs live in.
+JAX arrays / tracers use jnp (the kernels call these inside jit); plain
+numpy inputs stay in numpy end to end -- the host-side density setup
+(io/deltaf.compute_particle_densities) is a handful of (species x 32)-point
+quadratures, and evaluating them eagerly through the JAX CPU backend costs
+dozens of tiny op-by-op compiles per process (~4 s measured) for microseconds
+of arithmetic.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 
+def _mod(*xs):
+    """jnp if any input is a JAX array/tracer, else numpy."""
+    for x in xs:
+        if isinstance(x, (jax.Array, jax.core.Tracer)):
+            return jnp
+    return np
+
+
 def _ebar(pbar, mbar):
-    return jnp.sqrt(pbar * pbar + mbar * mbar)
+    return _mod(pbar, mbar).sqrt(pbar * pbar + mbar * mbar)
 
 
-def _expand(roots, mbar, alphaB, baryon, sign):
+def _expand(xp, roots, mbar, alphaB, baryon, sign):
     """Broadcast species args against the quadrature axis."""
-    mbar = jnp.asarray(mbar)[..., None]
-    alphaB = jnp.asarray(alphaB)[..., None]
-    baryon = jnp.asarray(baryon)[..., None]
-    sign = jnp.asarray(sign)[..., None]
+    mbar = xp.asarray(mbar)[..., None]
+    alphaB = xp.asarray(alphaB)[..., None]
+    baryon = xp.asarray(baryon)[..., None]
+    sign = xp.asarray(sign)[..., None]
     return roots, mbar, alphaB, baryon, sign
 
 
 def gauss_thermal(integrand, roots, weights, mbar, alphaB, baryon, sign):
     """sum_k w_k * integrand(r_k, ...) (reference: gaussThermal.cpp:7-15)."""
-    pbar, mbar, alphaB, baryon, sign = _expand(roots, mbar, alphaB, baryon, sign)
-    return jnp.sum(weights * integrand(pbar, mbar, alphaB, baryon, sign), axis=-1)
+    xp = _mod(roots, weights, mbar, alphaB, baryon, sign)
+    pbar, mbar, alphaB, baryon, sign = _expand(xp, roots, mbar, alphaB,
+                                               baryon, sign)
+    return xp.sum(weights * integrand(pbar, mbar, alphaB, baryon, sign),
+                  axis=-1)
 
 
 # ---- integrands (reference: gaussThermal.cpp:19-85); quadrature alpha noted
@@ -49,14 +70,16 @@ def gauss_thermal(integrand, roots, weights, mbar, alphaB, baryon, sign):
 def _feq_w(pbar, mbar, alphaB, baryon, sign):
     """e^pbar / (e^{Ebar - chem} + sign), overflow-safe."""
     x = _ebar(pbar, mbar) - baryon * alphaB
-    return jnp.exp(pbar - x) / (1.0 + sign * jnp.exp(-x))
+    xp = _mod(x, sign)
+    return xp.exp(pbar - x) / (1.0 + sign * xp.exp(-x))
 
 
 def _ff_w(pbar, mbar, alphaB, baryon, sign):
     """e^{pbar + Ebar - chem} / (e^{Ebar - chem} + sign)^2, overflow-safe."""
     x = _ebar(pbar, mbar) - baryon * alphaB
-    d = 1.0 + sign * jnp.exp(-x)
-    return jnp.exp(pbar - x) / (d * d)
+    xp = _mod(x, sign)
+    d = 1.0 + sign * xp.exp(-x)
+    return xp.exp(pbar - x) / (d * d)
 
 
 def neq_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 1
@@ -89,20 +112,22 @@ def J31_int(pbar, mbar, alphaB, baryon, sign):     # alpha = 3
 
 def E_mod_int(pbar, mbar, lam, sign):              # alpha = 2
     scale2 = (1.0 + lam) ** 2
-    return (jnp.sqrt(pbar * pbar * scale2 + mbar * mbar)
+    return (_mod(pbar, mbar, lam).sqrt(pbar * pbar * scale2 + mbar * mbar)
             * _feq_w(pbar, mbar, 0.0, 0.0, sign))
 
 
 def P_mod_int(pbar, mbar, lam, sign):              # alpha = 2
     scale2 = (1.0 + lam) ** 2
-    return (pbar * pbar * scale2 / jnp.sqrt(pbar * pbar * scale2 + mbar * mbar)
+    xp = _mod(pbar, mbar, lam)
+    return (pbar * pbar * scale2 / xp.sqrt(pbar * pbar * scale2 + mbar * mbar)
             * _feq_w(pbar, mbar, 0.0, 0.0, sign))
 
 
 def gauss_mod(integrand, roots, weights, mbar, lam, sign):
     """Quadrature for the Jonah modified-EoS integrands
     (reference: gaussThermal.cpp:93-98)."""
-    mbar = jnp.asarray(mbar)[..., None]
-    sign = jnp.asarray(sign)[..., None]
-    lam = jnp.asarray(lam)[..., None]
-    return jnp.sum(weights * integrand(roots, mbar, lam, sign), axis=-1)
+    xp = _mod(roots, weights, mbar, lam, sign)
+    mbar = xp.asarray(mbar)[..., None]
+    sign = xp.asarray(sign)[..., None]
+    lam = xp.asarray(lam)[..., None]
+    return xp.sum(weights * integrand(roots, mbar, lam, sign), axis=-1)
