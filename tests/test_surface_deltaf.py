@@ -369,3 +369,53 @@ def test_chosen_indices_skip_missing(smash_table, capsys):
     assert "skipped" in capsys.readouterr().out
     with pytest.raises(KeyError):
         chosen_indices(smash_table, [999999321])
+
+
+def test_numpy_jnp_dispatch_equivalence(df_data_smash):
+    """The host setup paths run thermal/spline/bilinear math in numpy (no
+    eager JAX compiles); both dispatch paths must agree bitwise-closely and
+    return their own array library."""
+    import jax
+    from is3d_tpu.physics import thermal, splines
+
+    lag_r = np.linspace(0.05, 30.0, 32)
+    lag_w = np.exp(-0.3 * lag_r)
+    mbar = np.asarray([0.9, 3.2, 7.7])
+    baryon = np.asarray([0.0, 1.0, -1.0])
+    sign = np.asarray([-1.0, 1.0, 1.0])
+
+    out_np = thermal.gauss_thermal(thermal.J10_int, lag_r, lag_w,
+                                   mbar, 0.3, baryon, sign)
+    assert isinstance(out_np, np.ndarray)
+    out_j = thermal.gauss_thermal(thermal.J10_int, jnp.asarray(lag_r),
+                                  jnp.asarray(lag_w), jnp.asarray(mbar),
+                                  jnp.asarray(0.3), jnp.asarray(baryon),
+                                  jnp.asarray(sign))
+    assert isinstance(out_j, jax.Array)
+    np.testing.assert_allclose(out_np, np.asarray(out_j), rtol=1e-13)
+
+    # spline: concrete device spline queried with numpy stays numpy
+    sp = splines.build_natural_cubic(np.linspace(0.1, 0.2, 11),
+                                     np.sin(np.linspace(0.1, 0.2, 11)))
+    q = np.asarray([0.1234, 0.101, 0.199])
+    r_np = sp(q)
+    assert isinstance(r_np, np.ndarray)
+    r_j = sp(jnp.asarray(q))
+    assert isinstance(r_j, jax.Array)
+    np.testing.assert_allclose(r_np, np.asarray(r_j), rtol=1e-13)
+
+    # full coefficient evaluation, scalar numpy state vs jnp state
+    for df_mode, baryon_flag in ((1, False), (2, True), (4, False)):
+        co_np = deltaf.evaluate_df_coefficients(
+            df_data_smash, df_mode, baryon_flag, np.float64(0.152),
+            np.float64(0.08), np.float64(0.3), np.float64(0.05),
+            np.float64(-0.01))
+        co_j = deltaf.evaluate_df_coefficients(
+            df_data_smash, df_mode, baryon_flag, jnp.asarray(0.152),
+            jnp.asarray(0.08), jnp.asarray(0.3), jnp.asarray(0.05),
+            jnp.asarray(-0.01))
+        for f in ("c0", "c1", "c2", "c3", "c4", "F", "G", "betabulk",
+                  "betaV", "betapi", "lam", "z", "delta_lambda", "delta_z"):
+            np.testing.assert_allclose(
+                float(getattr(co_np, f)), float(getattr(co_j, f)),
+                rtol=1e-12, err_msg=f"df_mode={df_mode} field={f}")
