@@ -1,14 +1,25 @@
 """Modified-equilibrium (feqmod) spectra kernel throughput, df modes 3/4.
 
-The feqmod kernel evaluates BOTH the modified-equilibrium branch (momentum
-transform at the scaled rapidity) and the linearized fallback per point,
-then masks per cell -- roughly twice the per-point work of the linear-df
-kernel.  This bench pins its eval rate at production shapes.  Fresh
-surface per rep + forced readback (serving countermeasures,
+The feqmod SIMD kernel historically evaluated BOTH the modified-equilibrium
+branch (momentum transform at the scaled rapidity) and the linearized
+fallback per point, then masked per cell -- roughly twice the per-point work
+of the linear-df kernel.  The host-side breakdown partition
+(kernels/feqmod._feqmod_spectra_dispatch) routes clean cells to a
+feqmod-only kernel; on production surfaces (REAL shipped coefficient
+tables, realistic viscous magnitudes) the breakdown fraction measures 0%,
+so the partitioned rate is the production number.  The unpartitioned rate
+(feqmod_partition=0) is also printed for comparison.
+
+Uses the real deltaf coefficient tables from /root/reference when present
+(the synthetic fake tables put betabulk ~ 2e-5, an unphysical regime where
+>50% of cells trip the breakdown probe); falls back to synthetic otherwise.
+
+Fresh surface per rep + forced readback (serving countermeasures,
 NOTES_ROUND1.md).
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python experiments/bench_feqmod.py [n_cells]
 """
+import os
 import sys
 import time
 
@@ -16,10 +27,21 @@ import numpy as np
 import jax.numpy as jnp
 
 from is3d_tpu.config import Config
-from is3d_tpu.io.tables import native_momentum_grid
-from is3d_tpu.kernels.feqmod import smooth_spectra_feqmod
+from is3d_tpu.io.tables import native_momentum_grid, laguerre_device
+from is3d_tpu.kernels.feqmod import smooth_spectra_feqmod, _breakdown_probe_jit
+from is3d_tpu.kernels.common import surface_columns
 from is3d_tpu.testing import (synthetic_species, synthetic_surface,
                               synthetic_deltaf_data)
+
+REFERENCE = "/root/reference"
+
+
+def real_deltaf_data(dtype):
+    from is3d_tpu.io import deltaf, pdg
+    tbl = pdg.read_resonances(f"{REFERENCE}/PDG", 1)
+    return deltaf.build_deltaf_data(f"{REFERENCE}/deltaf_coefficients",
+                                    hrg_eos=1, particle_table=tbl,
+                                    T_avg=0.155, dtype=dtype)
 
 
 def main():
@@ -28,25 +50,39 @@ def main():
     sp = synthetic_species(320, dtype=dtype)
     grid = native_momentum_grid(dimension=2, n_pT=32, n_phi=24, n_eta=48,
                                 dtype=dtype)
-    df = synthetic_deltaf_data(dtype=dtype)
+    if os.path.isdir(REFERENCE):
+        df = real_deltaf_data(dtype)
+    else:
+        print("NOTE: reference tables unavailable, synthetic regime "
+              "(unrealistically high breakdown fraction)")
+        df = synthetic_deltaf_data(dtype=dtype)
+    lag = laguerre_device()
     for df_mode in (3, 4):
-        cfg = Config(dimension=2, df_mode=df_mode, include_shear_deltaf=1,
-                     include_bulk_deltaf=1, include_baryondiff_deltaf=0,
-                     include_baryon=0, regulate_deltaf=1, outflow=1,
-                     cell_chunk=65536, precision="f32")
-        surf = synthetic_surface(n, dimension=2, seed=0, dtype=dtype)
-        smooth_spectra_feqmod(surf, sp, grid, df, cfg)  # warmup/compile
-        dts, checks = [], []
-        for i in range(3):
-            s = synthetic_surface(n, dimension=2, seed=100 + i, dtype=dtype)
-            t0 = time.perf_counter()
-            out = np.asarray(smooth_spectra_feqmod(s, sp, grid, df, cfg))
-            checks.append(float(out.sum()))
-            dts.append(time.perf_counter() - t0)
-        assert len(set(checks)) == 3, "distinct inputs must give distinct sums"
-        ev = n * 320 * 32 * 24 * grid.n_eta
-        print(f"feqmod 2+1D df{df_mode}: {ev / np.median(dts) / 1e9:.1f} "
-              f"Geval/s ({n} cells, 320 species, 32x24x{grid.n_eta})")
+        for partition in (1, 0):
+            cfg = Config(dimension=2, df_mode=df_mode, include_shear_deltaf=1,
+                         include_bulk_deltaf=1, include_baryondiff_deltaf=0,
+                         include_baryon=0, regulate_deltaf=1, outflow=1,
+                         cell_chunk=65536, precision="f32",
+                         feqmod_partition=partition)
+            surf = synthetic_surface(n, dimension=2, seed=0, dtype=dtype)
+            if partition:
+                bd = np.asarray(_breakdown_probe_jit(
+                    surface_columns(surf, cfg), df, lag, cfg)).mean()
+            smooth_spectra_feqmod(surf, sp, grid, df, cfg)  # warmup/compile
+            dts, checks = [], []
+            for i in range(3):
+                s = synthetic_surface(n, dimension=2, seed=100 + i, dtype=dtype)
+                t0 = time.perf_counter()
+                out = np.asarray(smooth_spectra_feqmod(s, sp, grid, df, cfg))
+                checks.append(float(out.sum()))
+                dts.append(time.perf_counter() - t0)
+            assert len(set(checks)) == 3, "distinct inputs must give distinct sums"
+            ev = n * 320 * 32 * 24 * grid.n_eta
+            tag = (f"partitioned (breakdown frac {bd:.3f})" if partition
+                   else "unpartitioned (both branches everywhere)")
+            print(f"feqmod 2+1D df{df_mode} {tag}: "
+                  f"{ev / np.median(dts) / 1e9:.1f} Geval/s "
+                  f"({n} cells, 320 species, 32x24x{grid.n_eta})")
 
 
 if __name__ == "__main__":

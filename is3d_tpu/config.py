@@ -94,6 +94,18 @@ class Config:
                                 # bit-identical for every device count
                                 # (raised in multiples of itself so a
                                 # group stays under cell_slab)
+    feqmod_partition: int = 1   # host-side partition of the feqmod spectra
+                                # pass: cells are routed by a cheap per-cell
+                                # breakdown probe into a feqmod-only dispatch
+                                # (skips the linearized-fallback chain the
+                                # SIMD kernel otherwise evaluates at every
+                                # point) plus a both-branch dispatch for the
+                                # breakdown cells.  Same math per cell; only
+                                # the summation grouping changes (kernels/
+                                # feqmod.py)
+    feqmod_partition_min_cells: int = 16384  # below this the probe dispatch
+                                # + second kernel compile cost more than the
+                                # fallback work they remove
     sampler_pack: str = "auto"  # sampled-hadron device->host transfer
                                 # precision: "f16" halves the D2H bytes of
                                 # the bottleneck link (<= 2^-11 relative

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -110,9 +111,11 @@ def _mode3_breakdown(c, laguerre, cfg):
     return (c["detA"] <= cfg.deta_min) | pion_negative
 
 
-def _prepare_feqmod_cells(c, species, laguerre, cfg: Config,
-                          eta_rescaled: bool = False):
-    """Extend the common cell bundle with the feqmod-specific per-cell data."""
+def _feqmod_transform(c, laguerre, cfg: Config):
+    """Per-cell momentum transform and breakdown flag (no species axis):
+    LRF basis, A = (1 + bulk_mod) 1 + shear_mod pi_LRF, its adjugate
+    inverse, detA, T_mod/alphaB_mod, and the per-cell fallback decision.
+    Shared by the spectra kernel and the host-side partition probe."""
     df = c["df"]
     tau = c["tau"]
 
@@ -159,6 +162,15 @@ def _prepare_feqmod_cells(c, species, laguerre, cfg: Config,
         # detA <= detA_min cells to the linearized Jonah df, the same
         # guard mode 3 applies (deliberate, documented divergence).
         c["breakdown"] = detA <= cfg.deta_min
+    return c
+
+
+def _prepare_feqmod_cells(c, species, laguerre, cfg: Config,
+                          eta_rescaled: bool = False):
+    """Extend the common cell bundle with the feqmod-specific per-cell data."""
+    c = _feqmod_transform(c, laguerre, cfg)
+    df = c["df"]
+    detA = c["detA"]
 
     # renormalization per (cell, species)
     if cfg.include_bulk_deltaf:
@@ -196,7 +208,7 @@ def _prepare_feqmod_cells(c, species, laguerre, cfg: Config,
 
 def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
                                grid: MomentumGrid, cfg: Config,
-                               reduce: bool = True):
+                               reduce: bool = True, both: bool = True):
     """Spectra contribution of one cell chunk, (S, PT, PHI, Y_out).
 
     Computed in the TPU-friendly (C, R, S, M = PT*PHI) layout (full lane
@@ -204,7 +216,16 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     composites; both the feqmod and the linearized-fallback branches are
     evaluated and masked per cell.  With reduce=False, returns the masked
     pointwise emission block at (C, R, S, M) -- no weights or prefactor --
-    consumed by the dN/dX spacetime kernel (fixed eta nodes only)."""
+    consumed by the dN/dX spacetime kernel (fixed eta nodes only).
+
+    both=False compiles a feqmod-only variant that skips the entire
+    linearized-fallback chain (pipp/Vp composites, feq, out_df) -- the
+    per-point cost the reference's scalar loop never pays because it
+    branches per cell (emissionfunction_smooth_kernels.cpp:811-877).  Only
+    valid for chunks whose every cell the breakdown probe cleared
+    (breakdown False, and in 3+1D detA >= 0.01 so the narrow-cell mask
+    never fires); the host-side partition in smooth_spectra_feqmod owns
+    that routing."""
     S = species.n_species
     P, F = grid.n_pT, grid.n_phi
     M = P * F
@@ -242,8 +263,9 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         from .smooth import _rescaled_eta_operands, _rescaled_vh_terms
         ops = _rescaled_eta_operands(c, species, grid, S, P, F, M)
         s_flat = ops[-1]
-        pds_u, pdotu, pipp, Vp = _rescaled_vh_terms(c, ops, W1, W2, C4, D2,
-                                                    pxf, pyf)
+        if both:
+            pds_u, pdotu, pipp, Vp = _rescaled_vh_terms(c, ops, W1, W2, C4,
+                                                        D2, pxf, pyf)
         delta_u = None    # only consulted on the 3+1D narrow-cell mask
     else:
         # rapidity factors: unscaled (fallback) and detA-scaled (feqmod)
@@ -253,7 +275,8 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         else:
             delta_u = grid.y[None, :] - c["eta"][:, None]
             delta_s = delta_u
-        ch_u, sh_u = jnp.cosh(delta_u), jnp.sinh(delta_u)
+        if both:
+            ch_u, sh_u = jnp.cosh(delta_u), jnp.sinh(delta_u)
         ch_s, sh_s = jnp.cosh(delta_s), jnp.sinh(delta_s)
 
     def lin_factors(ch, sh):
@@ -262,7 +285,7 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
         return A1, B1, t_sh
 
-    if not rescaled:
+    if both and not rescaled:
         # ---- fallback branch (linearized df at unscaled rapidity) --------
         A1u, B1u, t_sh_u = lin_factors(ch_u, sh_u)
         pds_u = sm(mTf) * cr(A1u) + cm(W1)
@@ -277,31 +300,32 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
                 + cm(C4))
         Vp = sm(mTf) * cr(D1) - cm(D2)
 
-    chem = baryon_b * cb(c["alphaB"])
-    if cfg.df_mode == 4:
-        chem = jnp.zeros_like(chem)   # Jonah fallback feq has no chem (:861)
-    feq = 1.0 / (jnp.exp(pdotu / cb(c["T"]) - chem) + sign_b)
-    feqbar = 1.0 - sign_b * feq
+    if both:
+        chem = baryon_b * cb(c["alphaB"])
+        if cfg.df_mode == 4:
+            chem = jnp.zeros_like(chem)  # Jonah fallback feq has no chem (:861)
+        feq = 1.0 / (jnp.exp(pdotu / cb(c["T"]) - chem) + sign_b)
+        feqbar = 1.0 - sign_b * feq
 
-    df = c["df"]
-    r = 1.0 / pdotu
-    if cfg.df_mode == 3:
-        out_df = feqbar * (
-            cb(0.5 / (df.betapi * c["T"])) * pipp * r
-            + (cb(df.F / (c["T"] ** 2 * df.betabulk)) * pdotu
-               + cb(df.G / df.betabulk) * baryon_b
-               + cb(1.0 / (3.0 * c["T"] * df.betabulk))
-               * (pdotu - mass2_b * r)) * cb(c["bulkPi"])
-            + (cb(c["baryon_enthalpy_ratio"]) - baryon_b * r)
-            * Vp * cb(1.0 / df.betaV))
-    else:
-        out_df = (feqbar * cb(0.5 / (df.betapi * c["T"])) * pipp * r
-                  + cb(df.delta_z) - 3.0 * cb(df.delta_lambda)
-                  + feqbar * cb(df.delta_lambda)
-                  * (pdotu - mass2_b * r) / cb(c["T"]))
-    if cfg.regulate_deltaf:
-        out_df = jnp.clip(out_df, -1.0, 1.0)
-    f_fallback = feq * (1.0 + out_df)
+        df = c["df"]
+        r = 1.0 / pdotu
+        if cfg.df_mode == 3:
+            out_df = feqbar * (
+                cb(0.5 / (df.betapi * c["T"])) * pipp * r
+                + (cb(df.F / (c["T"] ** 2 * df.betabulk)) * pdotu
+                   + cb(df.G / df.betabulk) * baryon_b
+                   + cb(1.0 / (3.0 * c["T"] * df.betabulk))
+                   * (pdotu - mass2_b * r)) * cb(c["bulkPi"])
+                + (cb(c["baryon_enthalpy_ratio"]) - baryon_b * r)
+                * Vp * cb(1.0 / df.betaV))
+        else:
+            out_df = (feqbar * cb(0.5 / (df.betapi * c["T"])) * pipp * r
+                      + cb(df.delta_z) - 3.0 * cb(df.delta_lambda)
+                      + feqbar * cb(df.delta_lambda)
+                      * (pdotu - mass2_b * r) / cb(c["T"]))
+        if cfg.regulate_deltaf:
+            out_df = jnp.clip(out_df, -1.0, 1.0)
+        f_fallback = feq * (1.0 + out_df)
 
     # ---- feqmod branch (momentum transform at scaled rapidity) -----------
     b = c["basis"]
@@ -383,14 +407,17 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         f_mod = f_mod * zscale[:, None, None, None]
 
     # ---- branch selection -------------------------------------------------
-    breakdown = c["breakdown"][:, None, None, None]
-    if cfg.dimension == 3:
-        narrow = ((c["detA"][:, None] < 0.01)
-                  & (jnp.abs(delta_u) < c["detA"][:, None]))
-        breakdown = breakdown | narrow[:, :, None, None]
+    if both:
+        breakdown = c["breakdown"][:, None, None, None]
+        if cfg.dimension == 3:
+            narrow = ((c["detA"][:, None] < 0.01)
+                      & (jnp.abs(delta_u) < c["detA"][:, None]))
+            breakdown = breakdown | narrow[:, :, None, None]
 
-    pds = jnp.where(breakdown, pds_u, pds_s)
-    f = jnp.where(breakdown, f_fallback, f_mod)
+        pds = jnp.where(breakdown, pds_u, pds_s)
+        f = jnp.where(breakdown, f_fallback, f_mod)
+    else:
+        pds, f = pds_s, f_mod
 
     contrib = pds * f
     if cfg.outflow:
@@ -420,8 +447,9 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     return CF_PREFACTOR * deg * out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config):
+@partial(jax.jit, static_argnames=("cfg", "both"))
+def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config,
+                        both: bool = True):
     per_cell = 4 * species.n_species * grid.n_pT * grid.n_phi * grid.n_eta * \
         (1 if cfg.dimension == 2 else grid.n_y)
     chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
@@ -439,10 +467,64 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config):
         cells = prepare_cells(chunk_cols, cfg, df_data)
         cells = _prepare_feqmod_cells(cells, species, laguerre, cfg,
                                       eta_rescaled=rescaled)
-        return acc + _chunk_contribution_feqmod(cells, m, species, grid, cfg), None
+        return acc + _chunk_contribution_feqmod(cells, m, species, grid, cfg,
+                                                both=both), None
 
     acc, _ = lax.scan(body, acc0, (chunked, mask))
     return acc
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _breakdown_probe_jit(cols, df_data, laguerre, cfg: Config):
+    """Per-cell routing flag for the host-side partition: True where the
+    spectra kernel needs the linearized-fallback branch.  The exact
+    transform/breakdown computation the kernel itself runs
+    (_feqmod_transform), plus the 3+1D narrow-cell guard (a detA < 0.01
+    cell can trip the per-rapidity narrow mask, so it must keep both
+    branches).  (C,) bool -- negligible next to the (C, R, S, M) kernel."""
+    c = prepare_cells(cols, cfg, df_data)
+    c = _feqmod_transform(c, laguerre, cfg)
+    routing = c["breakdown"]
+    if cfg.dimension == 3:
+        routing = routing | (c["detA"] < 0.01)
+    return routing
+
+
+def _feqmod_spectra_dispatch(cols, species, grid, df_data, laguerre,
+                             cfg: Config, mesh=None):
+    """Partitioned feqmod spectra over raw cell columns.
+
+    The SIMD kernel evaluates BOTH the momentum-transform branch and the
+    linearized fallback at every (cell, momentum) point, where the
+    reference's scalar loop branches once per cell
+    (emissionfunction_smooth_kernels.cpp:811-877).  On production surfaces
+    breakdown cells are rare, so route cells host-side by the per-cell
+    breakdown probe: clean cells run a feqmod-only kernel (no fallback
+    chain at all), breakdown cells keep the both-branch kernel.  Same
+    per-cell math; only the summation grouping changes.  Each partition
+    reduces through the canonical group tree, and the partition is a
+    function of the surface alone, so results stay bit-identical across
+    device counts."""
+    from ..parallel.mesh import grouped_cell_reduce
+
+    def run(sub, both):
+        return grouped_cell_reduce(
+            lambda c, s, g, d, lag: _feqmod_spectra_jit(c, s, g, d, lag, cfg,
+                                                        both),
+            sub, (species, grid, df_data, laguerre), cfg, mesh=mesh)
+
+    n = cols["tau"].shape[0]
+    if not cfg.feqmod_partition or n < cfg.feqmod_partition_min_cells:
+        return run(cols, True)
+    routing = np.asarray(_breakdown_probe_jit(cols, df_data, laguerre, cfg))
+    idx_mixed = np.flatnonzero(routing)
+    if idx_mixed.size == 0:
+        return run(cols, False)
+    if idx_mixed.size == n:
+        return run(cols, True)
+    idx_clean = np.flatnonzero(~routing)
+    take = lambda idx: {k: v[idx] for k, v in cols.items()}
+    return run(take(idx_clean), False) + run(take(idx_mixed), True)
 
 
 def smooth_spectra_feqmod(surface, species: SpeciesArrays, grid: MomentumGrid,
@@ -451,14 +533,13 @@ def smooth_spectra_feqmod(surface, species: SpeciesArrays, grid: MomentumGrid,
     """dN/(pT dpT dphi dy) with modified equilibrium df (modes 3-4).
 
     Reduced through the canonical group tree (parallel/mesh.py) so the
-    result is bit-identical to the mesh-sharded path."""
+    result is bit-identical to the mesh-sharded path; large surfaces are
+    partitioned by the breakdown probe (_feqmod_spectra_dispatch)."""
     if cfg.df_mode not in (3, 4):
         raise ValueError("smooth_spectra_feqmod handles df modes 3-4")
     if laguerre is None:
         from ..io.tables import laguerre_device
         laguerre = laguerre_device()
     cols = surface_columns(surface, cfg)
-    from ..parallel.mesh import grouped_cell_reduce
-    return grouped_cell_reduce(
-        lambda c, s, g, d, lag: _feqmod_spectra_jit(c, s, g, d, lag, cfg),
-        cols, (species, grid, df_data, laguerre), cfg)
+    return _feqmod_spectra_dispatch(cols, species, grid, df_data, laguerre,
+                                    cfg)

@@ -243,7 +243,5 @@ def smooth_spectra_sharded(surface, species, grid, df_data, cfg: Config,
         raise ValueError(f"df_mode must be 1-4, got {cfg.df_mode}")
     if laguerre is None:
         laguerre = _laguerre_default()
-    kern = lambda c, s, g, d, lag: _feqmod._feqmod_spectra_jit(
-        c, s, g, d, lag, cfg)
-    return sharded_cell_reduce(kern, cols, (species, grid, df_data, laguerre),
-                               cfg, mesh)
+    return _feqmod._feqmod_spectra_dispatch(cols, species, grid, df_data,
+                                            laguerre, cfg, mesh=mesh)

@@ -148,6 +148,74 @@ def test_feqmod_eta_mT_rescale_converged(smash_table, df_data):
         assert rel.max() < 1e-3, (dfm, rel.max())
 
 
+@pytest.mark.parametrize("df_mode,dimension,rescale", [
+    (3, 2, True), (3, 2, False), (3, 3, False),
+    (4, 2, True), (4, 3, False),
+])
+def test_feqmod_partition_matches_unpartitioned(smash_table, df_data,
+                                                df_mode, dimension, rescale):
+    """The host-side breakdown partition (clean cells -> feqmod-only kernel,
+    breakdown cells -> both-branch kernel) must reproduce the single
+    both-branch dispatch: identical per-cell math, only the summation
+    grouping changes.  The surface mixes clean cells with strong-bulk
+    breakdown cells so both partitions are genuinely exercised."""
+    from is3d_tpu.kernels.common import surface_columns
+    from is3d_tpu.kernels.feqmod import _breakdown_probe_jit
+    from is3d_tpu.io.tables import laguerre_device
+
+    rng = np.random.default_rng(41)
+    n = 24
+    cells = random_cells(n, rng, dimension=dimension)
+    # second half: bulk strong enough to trip the breakdown probe
+    cells["bulkPi"][n // 2:] = -0.9 * cells["P"][n // 2:]
+    surf = to_surface(cells)
+    species = pikp_species(smash_table)
+    if dimension == 2:
+        grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=16,
+                                    eta_mT_rescale=rescale)
+    else:
+        grid = native_momentum_grid(dimension=3, n_pT=4, n_phi=3, n_y=5,
+                                    y_max=2.0)
+    cfg = BASE_CFG.replace(df_mode=df_mode, dimension=dimension, cell_chunk=8)
+
+    routing = np.asarray(_breakdown_probe_jit(
+        surface_columns(surf, cfg), df_data, laguerre_device(), cfg))
+    assert 0 < routing.sum() < n, "test surface must mix both partitions"
+
+    ref = np.asarray(smooth_spectra_feqmod(
+        surf, species, grid, df_data, cfg.replace(feqmod_partition=0)))
+    got = np.asarray(smooth_spectra_feqmod(
+        surf, species, grid, df_data,
+        cfg.replace(feqmod_partition_min_cells=1)))
+    np.testing.assert_allclose(got, ref, rtol=5e-12, atol=1e-300)
+
+
+def test_feqmod_partition_bit_stable_across_meshes(smash_table, df_data):
+    """The partitioned dispatch keeps the canonical-group-tree guarantee:
+    the partition is a function of the surface alone, and each partition
+    reduces through its own group tree, so every device count produces
+    bit-identical spectra."""
+    from is3d_tpu.parallel.mesh import smooth_spectra_sharded, default_mesh
+
+    rng = np.random.default_rng(43)
+    n = 24
+    cells = random_cells(n, rng, dimension=2)
+    cells["bulkPi"][n // 2:] = -0.9 * cells["P"][n // 2:]
+    surf = to_surface(cells)
+    species = pikp_species(smash_table)
+    grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=16)
+    cfg = BASE_CFG.replace(df_mode=3, cell_chunk=8,
+                           feqmod_partition_min_cells=1)
+
+    single = np.asarray(smooth_spectra_feqmod(surf, species, grid, df_data,
+                                              cfg))
+    for n_dev in (1, 2, 8):
+        mesh = default_mesh(n_dev)
+        got = np.asarray(smooth_spectra_sharded(surf, species, grid, df_data,
+                                                cfg, mesh=mesh))
+        np.testing.assert_array_equal(got, single)
+
+
 def test_remap_accuracy_under_strong_bulk(smash_table, df_data):
     """mT-adaptive remap with per-cell longitudinal (A_zz) compression of
     the feqmod-branch nodes: moderate-bulk surfaces must match a dense
