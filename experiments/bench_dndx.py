@@ -28,24 +28,33 @@ def main():
     sp = synthetic_species(320, dtype=dtype)
     grid = native_momentum_grid(dimension=2, n_pT=32, n_phi=24, n_eta=48,
                                 dtype=dtype)
-    df = synthetic_deltaf_data(dtype=dtype)
-    cfg = Config(dimension=2, df_mode=1, include_shear_deltaf=1,
-                 include_bulk_deltaf=1, include_baryondiff_deltaf=0,
-                 regulate_deltaf=1, outflow=1, cell_chunk=65536,
-                 precision="f32")
-    surf = synthetic_surface(n, dimension=2, seed=0, dtype=dtype)
-    spacetime_distributions(surf, sp, grid, df, cfg)  # warmup/compile
-    dts, checks = [], []
-    for i in range(3):
-        s = synthetic_surface(n, dimension=2, seed=100 + i, dtype=dtype)
-        t0 = time.perf_counter()
-        out = spacetime_distributions(s, sp, grid, df, cfg)
-        checks.append(float(np.sum(out["dN_dy"])))
-        dts.append(time.perf_counter() - t0)
-    assert len(set(checks)) == 3, "distinct inputs must give distinct sums"
-    ev = n * 320 * 32 * 24 * 48
-    print(f"dN/dX 2+1D df1: {ev / np.median(dts) / 1e9:.1f} Geval/s "
-          f"({n} cells, 320 species, 32x24x48)")
+    df_syn = synthetic_deltaf_data(dtype=dtype)
+    # df 3 (feqmod variant) runs in the production regime of the REAL
+    # coefficient tables when available (breakdown fraction ~0, so the
+    # breakdown partition routes everything to the feqmod-only kernel)
+    try:
+        from bench_feqmod import real_deltaf_data
+        df_real = real_deltaf_data(dtype)
+    except Exception:
+        df_real = df_syn
+    for df_mode, df in ((1, df_syn), (3, df_real)):
+        cfg = Config(dimension=2, df_mode=df_mode, include_shear_deltaf=1,
+                     include_bulk_deltaf=1, include_baryondiff_deltaf=0,
+                     regulate_deltaf=1, outflow=1, cell_chunk=65536,
+                     precision="f32")
+        surf = synthetic_surface(n, dimension=2, seed=0, dtype=dtype)
+        spacetime_distributions(surf, sp, grid, df, cfg)  # warmup/compile
+        dts, checks = [], []
+        for i in range(3):
+            s = synthetic_surface(n, dimension=2, seed=100 + i, dtype=dtype)
+            t0 = time.perf_counter()
+            out = spacetime_distributions(s, sp, grid, df, cfg)
+            checks.append(float(np.sum(out["dN_dy"])))
+            dts.append(time.perf_counter() - t0)
+        assert len(set(checks)) == 3, "distinct inputs must give distinct sums"
+        ev = n * 320 * 32 * 24 * 48
+        print(f"dN/dX 2+1D df{df_mode}: {ev / np.median(dts) / 1e9:.1f} "
+              f"Geval/s ({n} cells, 320 species, 32x24x48)")
 
 
 if __name__ == "__main__":

@@ -62,8 +62,9 @@ def _cell_dNdy(contrib, species, grid, cfg):
             CF_PREFACTOR * dydeta * deg[:, None])
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
+@partial(jax.jit, static_argnames=("cfg", "both"))
+def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config,
+              both: bool = True):
     factor = 4 if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3) else 1
     per_cell = factor * species.n_species * grid.n_pT * grid.n_phi * \
         grid.n_eta * (1 if cfg.dimension == 2 else grid.n_y)
@@ -103,7 +104,7 @@ def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config):
             c = prepare_cells(chunk_cols, cfg, df_data)
             c = _prepare_feqmod_cells(c, species, laguerre, cfg)
             contrib = _chunk_contribution_feqmod(c, m, species, grid, cfg,
-                                                 reduce=False)
+                                                 reduce=False, both=both)
         else:
             c = prepare_cells(chunk_cols, cfg, df_data)
             contrib = _chunk_contribution(c, m, species, grid, cfg,
@@ -159,12 +160,33 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     # common node positions, which an mT-adaptive per-species remap would
     # scramble (and these spacetime observables are low-pT dominated)
     grid = grid.replace(eta_mT_rescale=False)
-    lag = (laguerre if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3)
-           else jnp.zeros(()))
+    feq = cfg.df_mode in (3, 4) and cfg.mode not in (2, 3)
+    lag = laguerre if feq else jnp.zeros(())
     from ..parallel.mesh import grouped_cell_reduce
-    kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg)
-    acc = grouped_cell_reduce(kern, cols, (species, grid, df_data, lag),
-                              cfg, mesh, unroll_groups=True)
+
+    def run(sub, both):
+        kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg, both)
+        return grouped_cell_reduce(kern, sub, (species, grid, df_data, lag),
+                                   cfg, mesh, unroll_groups=True)
+
+    n = cols["tau"].shape[0]
+    if (feq and cfg.feqmod_partition
+            and n >= cfg.feqmod_partition_min_cells):
+        # host-side breakdown partition (see feqmod._feqmod_spectra_dispatch):
+        # clean cells skip the fallback chain; the histograms are additive
+        # and the routing depends on the surface alone, so sharding
+        # stability is untouched
+        from .feqmod import _breakdown_probe_jit
+        routing = np.asarray(_breakdown_probe_jit(cols, df_data, lag, cfg))
+        take = lambda idx: {k: v[idx] for k, v in cols.items()}
+        parts = [run(take(idx), both)
+                 for idx, both in ((np.flatnonzero(~routing), False),
+                                   (np.flatnonzero(routing), True))
+                 if idx.size]
+        acc = (parts[0] if len(parts) == 1
+               else jax.tree.map(jnp.add, parts[0], parts[1]))
+    else:
+        acc = run(cols, True)
     acc = {k: np.asarray(v) for k, v in acc.items()}
 
     dtau = (cfg.tau_max - cfg.tau_min) / cfg.tau_bins

@@ -65,6 +65,31 @@ def test_dndx_histograms_consistent(smash_table, df_data):
     np.testing.assert_allclose(dX["dN_dydeta"] @ w, dX["dN_dy"], rtol=1e-12)
 
 
+@pytest.mark.parametrize("df_mode", [3, 4])
+def test_dndx_feqmod_partition_matches_unpartitioned(smash_table, df_data,
+                                                     df_mode):
+    """The breakdown partition of the feqmod dN/dX pass must reproduce the
+    single both-branch dispatch on a surface mixing clean and strong-bulk
+    breakdown cells (histograms are additive, routing is per-cell)."""
+    rng = np.random.default_rng(44)
+    n = 26
+    cells = random_cells(n, rng, dimension=2)
+    cells["bulkPi"][n // 2:] = -0.9 * cells["P"][n // 2:]
+    surf = to_surface(cells)
+    sp = pikp_species(smash_table)
+    grid = native_momentum_grid(dimension=2, n_pT=8, n_phi=6, n_eta=12)
+    cfg = BASE.replace(df_mode=df_mode, cell_chunk=8)
+
+    ref = spacetime_distributions(surf, sp, grid, df_data,
+                                  cfg.replace(feqmod_partition=0))
+    got = spacetime_distributions(surf, sp, grid, df_data,
+                                  cfg.replace(feqmod_partition_min_cells=1))
+    for k in ("dN_dy", "dN_dydeta", "raw_tau_hist", "raw_r_hist",
+              "dN_twopitaurdtaudrdy"):
+        np.testing.assert_allclose(got[k], ref[k], rtol=5e-12, atol=1e-300,
+                                   err_msg=k)
+
+
 def test_dndx_3d_runs(smash_table, df_data):
     rng = np.random.default_rng(35)
     cells = random_cells(19, rng, dimension=3)
