@@ -161,7 +161,11 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     # scramble (and these spacetime observables are low-pT dominated)
     grid = grid.replace(eta_mT_rescale=False)
     feq = cfg.df_mode in (3, 4) and cfg.mode not in (2, 3)
-    lag = laguerre if feq else jnp.zeros(())
+    dt = cols["tau"].dtype
+    # laguerre in the surface precision (see feqmod._feqmod_spectra_dispatch)
+    lag = ({a: (jnp.asarray(r, dt), jnp.asarray(w, dt))
+            for a, (r, w) in laguerre.items()} if feq
+           else jnp.zeros((), dt))
     from ..parallel.mesh import grouped_cell_reduce
 
     def run(sub, both):

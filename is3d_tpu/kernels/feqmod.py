@@ -95,7 +95,17 @@ def _refined_inverse(A_sym, B_sym):
     e = tuple(i - ba for i, ba in zip(eye, BA))
     EB = _gen_matmul(e, B)
     EEB = _gen_matmul(e, EB)
-    return tuple(b + eb + eeb for b, eb, eeb in zip(B, EB, EEB))
+    # the refinement series contracts only for ||I - B A|| < 1; on
+    # ill-conditioned cells (detA near the breakdown threshold, or the
+    # indefinite transforms extreme synthetic tables produce) the e^2 term
+    # diverges and can overflow f32 at the per-cell stage.  Those cells
+    # keep the plain adjugate inverse -- exact in exact arithmetic; the
+    # refinement only polishes fp rounding -- and they are breakdown-routed
+    # or masked downstream anyway.  Frobenius^2 < 0.25 guarantees spectral
+    # norm < 0.5.
+    ok = sum(x * x for x in e) < 0.25
+    return tuple(jnp.where(ok, b + eb + eeb, b)
+                 for b, eb, eeb in zip(B, EB, EEB))
 
 
 def _mode3_renorm(c, species, laguerre, cfg):
@@ -367,9 +377,28 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         f_fallback = feq * (1.0 + out_df)
 
     # ---- feqmod branch (momentum transform at scaled rapidity) -----------
+    # p_LRF = mT (alpha ch + beta sh) + gamma with per-cell alpha =
+    # (-Xt, 0, -Zt), beta = (Xn tau, 0, Zn tau) and per-(cell, pT-phi)
+    # gamma = (E2, F2, 0); x = Minv p is linear in p, so |x|^2 expands into
+    # quadratic-form coefficients computed once per cell (qaa, qab, qbb)
+    # and per (cell, m) (qag, qbg, qgg).  Each (c, r, s, m) point then pays
+    # ~8 fma for E_mod^2 instead of materializing three (C, R, S, M)
+    # momentum-component blocks plus a 3x3 matvec -- same math, far fewer
+    # flops and no full-block p_LRF/x temporaries.
     b = c["basis"]
     E2 = b.Xx[:, None] * pxf[None] + b.Xy[:, None] * pyf[None]
     F2 = b.Yx[:, None] * pxf[None] + b.Yy[:, None] * pyf[None]
+    zl = jnp.zeros_like(tau)
+    Minv = c["Minv"]
+    Ma = _gen_matvec(Minv, (-b.Xt, zl, -b.Zt))
+    Mb = _gen_matvec(Minv, (b.Xn * tau, zl, b.Zn * tau))
+    Mg = _gen_matvec(tuple(m[:, None] for m in Minv),
+                     (E2, F2, jnp.zeros_like(E2)))
+    dot3 = lambda u, v: u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+    qaa, qab, qbb = cb(dot3(Ma, Ma)), cb(dot3(Ma, Mb)), cb(dot3(Mb, Mb))
+    Ma_c = tuple(a[:, None] for a in Ma)   # (C,1) against (C,M) operands
+    Mb_c = tuple(a[:, None] for a in Mb)
+    qag, qbg, qgg = cm(dot3(Ma_c, Mg)), cm(dot3(Mb_c, Mg)), cm(dot3(Mg, Mg))
     if rescaled:
         # feqmod-branch nodes: per-cell LONGITUDINAL compression by A_zz
         # on top of the shared s(mT) map.  The momentum transform narrows
@@ -407,32 +436,26 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         delta_s = (yf[:, None, None, None]
                    + zscale[:, None, None, None]
                    * grid.eta[None, :, None, None] * s_flat[None, None])
-        ch_s, sh_s = jnp.cosh(delta_s), jnp.sinh(delta_s)
-        pds_s = (sm(mTf) * (cb(c["dat"]) * ch_s + cb(c["dan"] / tau) * sh_s)
+        ch_q, sh_q = jnp.cosh(delta_s), jnp.sinh(delta_s)
+        pds_s = (sm(mTf) * (cb(c["dat"]) * ch_q + cb(c["dan"] / tau) * sh_q)
                  + cm(W1))
-        px_LRF = (sm(mTf) * (cb(-b.Xt) * ch_s + cb(b.Xn * tau) * sh_s)
-                  + cm(E2))
-        py_LRF = jnp.broadcast_to(cm(F2), px_LRF.shape)
-        pz_LRF = sm(mTf) * (cb(-b.Zt) * ch_s + cb(b.Zn * tau) * sh_s)
     else:
         A1s, _, t_sh_s = lin_factors(ch_s, sh_s)
         pds_s = sm(mTf) * cr(A1s) + cm(W1)
-        # LRF components factored over (c, r) x (c, m):
-        #   px_LRF = mT E1 + E2,  py_LRF = F2,  pz_LRF = mT G1
-        E1 = -b.Xt[:, None] * ch_s + (b.Xn * tau)[:, None] * sh_s
-        G1 = -b.Zt[:, None] * ch_s + (b.Zn * tau)[:, None] * sh_s
+        ch_q, sh_q = cr(ch_s), cr(sh_s)
 
-        px_LRF = sm(mTf) * cr(E1) + cm(E2)
-        py_LRF = jnp.broadcast_to(cm(F2), px_LRF.shape)
-        pz_LRF = sm(mTf) * cr(G1)
-
-    # x = A^-1 p with 2-pass residual refinement (reference does <= 5
-    # passes), folded into the single per-cell operator Minv
-    # (_refined_inverse) so each point pays one 3x3 matvec instead of five
-    Minv = tuple(cb(m) for m in c["Minv"])
-    p = (px_LRF, py_LRF, pz_LRF)
-    x = _gen_matvec(Minv, p)
-    E_mod = jnp.sqrt(mass2_b + x[0] ** 2 + x[1] ** 2 + x[2] ** 2)
+    # |x|^2 = |Minv p|^2 via the expanded quadratic form (x = A^-1 p with
+    # the 2-pass residual refinement folded into Minv, _refined_inverse --
+    # the reference does <= 5 refinement passes per point)
+    t1 = ch_q * ch_q * qaa + 2.0 * (ch_q * sh_q) * qab + sh_q * sh_q * qbb
+    t2 = ch_q * qag + sh_q * qbg
+    x2 = sm(mT2f) * t1 + 2.0 * sm(mTf) * t2 + qgg
+    # unlike the sum-of-squares form, the expanded quadratic can overflow
+    # to inf - inf = NaN on extreme (masked / breakdown-routed) cells;
+    # saturate it so overflow means E_mod = inf -> f_mod = 0, the exact
+    # behavior of the x^2 formulation
+    x2 = jnp.nan_to_num(x2, nan=jnp.inf, posinf=jnp.inf, neginf=0.0)
+    E_mod = jnp.sqrt(mass2_b + jnp.maximum(x2, 0.0))
 
     chem_mod = baryon_b * cb(c["alphaB_mod"])
     f_mod = (jnp.abs(c["renorm"])[:, None, :, None]      # (C,1,S,1)
@@ -542,6 +565,13 @@ def _feqmod_spectra_dispatch(cols, species, grid, df_data, laguerre,
     function of the surface alone, so results stay bit-identical across
     device counts."""
     from ..parallel.mesh import grouped_cell_reduce
+
+    # compute thermal moments in the surface precision: a f64 laguerre
+    # table against f32 cell columns (x64-enabled runtime) would promote
+    # the chunk contribution and break the scan-carry dtype
+    dt = cols["tau"].dtype
+    laguerre = {a: (jnp.asarray(r, dt), jnp.asarray(w, dt))
+                for a, (r, w) in laguerre.items()}
 
     def run(sub, both):
         return grouped_cell_reduce(

@@ -216,6 +216,32 @@ def test_feqmod_partition_bit_stable_across_meshes(smash_table, df_data):
         np.testing.assert_array_equal(got, single)
 
 
+@pytest.mark.parametrize("df_mode", [3, 4])
+def test_feqmod_f32_extreme_tables_finite(df_mode):
+    """Regression: in f32 with extreme coefficient tables (synthetic
+    betabulk ~ 2e-5 drives detA to +-1e6 and near-threshold cells), the
+    expanded |Minv p|^2 quadratic form can overflow to inf - inf = NaN and
+    the refinement series can diverge; both are guarded (plain adjugate
+    fallback where ||I - BA|| >= 0.5, saturation of the quadratic form) so
+    every output stays finite."""
+    import jax.numpy as jnp
+    from is3d_tpu.testing import (synthetic_surface, synthetic_species,
+                                  synthetic_deltaf_data)
+    dtype = jnp.float32
+    surf = synthetic_surface(64, dimension=2, seed=7, dtype=dtype)
+    sp = synthetic_species(8, dtype=dtype)
+    df = synthetic_deltaf_data(dtype=dtype)
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=4, n_eta=8,
+                                dtype=dtype)
+    cfg = BASE_CFG.replace(df_mode=df_mode, cell_chunk=16)
+    out = np.asarray(smooth_spectra_feqmod(surf, sp, grid, df, cfg))
+    assert np.isfinite(out).all()
+    # and through the partitioned dispatch (mixed clean/breakdown routing)
+    out_p = np.asarray(smooth_spectra_feqmod(
+        surf, sp, grid, df, cfg.replace(feqmod_partition_min_cells=1)))
+    assert np.isfinite(out_p).all()
+
+
 def test_remap_accuracy_under_strong_bulk(smash_table, df_data):
     """mT-adaptive remap with per-cell longitudinal (A_zz) compression of
     the feqmod-branch nodes: moderate-bulk surfaces must match a dense
