@@ -32,8 +32,14 @@ def main():
     grid = native_momentum_grid(dimension=3, n_pT=32, n_phi=24, n_y=21,
                                 dtype=dtype)
     if df_mode in (3, 4):
-        sys.path.insert(0, __file__.rsplit("/", 1)[0])
-        from bench_feqmod import real_deltaf_data
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_feqmod import REFERENCE, real_deltaf_data
+        if not os.path.isdir(REFERENCE):
+            sys.exit(f"df_mode {df_mode} needs the real coefficient tables "
+                     f"({REFERENCE}); the synthetic tables put >50% of "
+                     "cells in breakdown, which is not the production "
+                     "regime this bench reports")
         df_data = real_deltaf_data(dtype)
         kernel = smooth_spectra_feqmod
     else:

@@ -31,17 +31,25 @@ def main():
     df_syn = synthetic_deltaf_data(dtype=dtype)
     # df 3 (feqmod variant) runs in the production regime of the REAL
     # coefficient tables when available (breakdown fraction ~0, so the
-    # breakdown partition routes everything to the feqmod-only kernel)
-    try:
-        from bench_feqmod import real_deltaf_data
+    # breakdown partition routes everything to the feqmod-only kernel);
+    # without them, fall back to the synthetic regime WITHOUT the
+    # partition (>50% synthetic breakdown would recompile the split
+    # kernels inside every timed rep)
+    import os
+    from bench_feqmod import REFERENCE, real_deltaf_data
+    have_real = os.path.isdir(REFERENCE)
+    if have_real:
         df_real = real_deltaf_data(dtype)
-    except Exception:
+    else:
+        print("NOTE: reference tables unavailable; df3 runs the synthetic "
+              "(unphysical high-breakdown) regime, unpartitioned")
         df_real = df_syn
     for df_mode, df in ((1, df_syn), (3, df_real)):
         cfg = Config(dimension=2, df_mode=df_mode, include_shear_deltaf=1,
                      include_bulk_deltaf=1, include_baryondiff_deltaf=0,
                      regulate_deltaf=1, outflow=1, cell_chunk=65536,
-                     precision="f32")
+                     precision="f32",
+                     feqmod_partition=1 if have_real else 0)
         surf = synthetic_surface(n, dimension=2, seed=0, dtype=dtype)
         spacetime_distributions(surf, sp, grid, df, cfg)  # warmup/compile
         dts, checks = [], []

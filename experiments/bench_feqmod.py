@@ -50,36 +50,51 @@ def main():
     sp = synthetic_species(320, dtype=dtype)
     grid = native_momentum_grid(dimension=2, n_pT=32, n_phi=24, n_eta=48,
                                 dtype=dtype)
-    if os.path.isdir(REFERENCE):
+    have_real = os.path.isdir(REFERENCE)
+    if have_real:
         df = real_deltaf_data(dtype)
     else:
         print("NOTE: reference tables unavailable, synthetic regime "
-              "(unrealistically high breakdown fraction)")
+              "(unrealistically high breakdown fraction); skipping the "
+              "partitioned rows -- per-rep split sizes would recompile "
+              "inside the timed window")
         df = synthetic_deltaf_data(dtype=dtype)
     lag = laguerre_device()
     for df_mode in (3, 4):
         for partition in (1, 0):
+            if partition and not have_real:
+                continue
             cfg = Config(dimension=2, df_mode=df_mode, include_shear_deltaf=1,
                          include_bulk_deltaf=1, include_baryondiff_deltaf=0,
                          include_baryon=0, regulate_deltaf=1, outflow=1,
                          cell_chunk=65536, precision="f32",
-                         feqmod_partition=partition)
-            surf = synthetic_surface(n, dimension=2, seed=0, dtype=dtype)
+                         feqmod_partition=partition,
+                         # force the partition regardless of n so the
+                         # printed label always matches the dispatch
+                         feqmod_partition_min_cells=1)
+            surfs = [synthetic_surface(n, dimension=2, seed=s, dtype=dtype)
+                     for s in (0, 100, 101, 102)]
             if partition:
-                bd = np.asarray(_breakdown_probe_jit(
-                    surface_columns(surf, cfg), df, lag, cfg)).mean()
-            smooth_spectra_feqmod(surf, sp, grid, df, cfg)  # warmup/compile
+                # breakdown fraction of the TIMED surfaces (the label must
+                # describe the timed routing, not the warm-up's)
+                fracs = [float(np.asarray(_breakdown_probe_jit(
+                    surface_columns(s, cfg), df, lag, cfg)[0]).mean())
+                    for s in surfs[1:]]
+                if max(fracs) > 0.0:
+                    print(f"WARNING: nonzero breakdown fractions {fracs}: "
+                          "split sizes vary per rep, timings include "
+                          "recompiles")
+            smooth_spectra_feqmod(surfs[0], sp, grid, df, cfg)  # warmup
             dts, checks = [], []
-            for i in range(3):
-                s = synthetic_surface(n, dimension=2, seed=100 + i, dtype=dtype)
+            for s in surfs[1:]:
                 t0 = time.perf_counter()
                 out = np.asarray(smooth_spectra_feqmod(s, sp, grid, df, cfg))
                 checks.append(float(out.sum()))
                 dts.append(time.perf_counter() - t0)
             assert len(set(checks)) == 3, "distinct inputs must give distinct sums"
             ev = n * 320 * 32 * 24 * grid.n_eta
-            tag = (f"partitioned (breakdown frac {bd:.3f})" if partition
-                   else "unpartitioned (both branches everywhere)")
+            tag = (f"partitioned (breakdown frac {max(fracs):.3f})"
+                   if partition else "unpartitioned (both branches everywhere)")
             print(f"feqmod 2+1D df{df_mode} {tag}: "
                   f"{ev / np.median(dts) / 1e9:.1f} Geval/s "
                   f"({n} cells, 320 species, 32x24x{grid.n_eta})")

@@ -173,24 +173,19 @@ def spacetime_distributions(surface, species: SpeciesArrays,
         return grouped_cell_reduce(kern, sub, (species, grid, df_data, lag),
                                    cfg, mesh, unroll_groups=True)
 
-    n = cols["tau"].shape[0]
-    if (feq and cfg.feqmod_partition
-            and n >= cfg.feqmod_partition_min_cells):
-        # host-side breakdown partition (see feqmod._feqmod_spectra_dispatch):
-        # clean cells skip the fallback chain; the histograms are additive
-        # and the routing depends on the surface alone, so sharding
-        # stability is untouched
-        from .feqmod import _breakdown_probe_jit
-        routing = np.asarray(_breakdown_probe_jit(cols, df_data, lag, cfg))
-        take = lambda idx: {k: v[idx] for k, v in cols.items()}
-        parts = [run(take(idx), both)
-                 for idx, both in ((np.flatnonzero(~routing), False),
-                                   (np.flatnonzero(routing), True))
-                 if idx.size]
+    # host-side breakdown partition (shared routing: clean cells skip the
+    # fallback chain; histograms are additive and the routing depends on
+    # the surface alone, so sharding stability is untouched)
+    jobs = None
+    if feq:
+        from .feqmod import partition_cells_by_breakdown
+        jobs = partition_cells_by_breakdown(cols, df_data, lag, cfg)
+    if jobs is None:
+        acc = run(cols, True)
+    else:
+        parts = [run(sub, both) for sub, both in jobs]
         acc = (parts[0] if len(parts) == 1
                else jax.tree.map(jnp.add, parts[0], parts[1]))
-    else:
-        acc = run(cols, True)
     acc = {k: np.asarray(v) for k, v in acc.items()}
 
     dtau = (cfg.tau_max - cfg.tau_min) / cfg.tau_bins

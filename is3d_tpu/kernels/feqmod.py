@@ -210,6 +210,12 @@ def _feqmod_transform(c, laguerre, cfg: Config):
         # detA <= detA_min cells to the linearized Jonah df, the same
         # guard mode 3 applies (deliberate, documented divergence).
         c["breakdown"] = detA <= cfg.deta_min
+    if "bd_forced" in c:
+        # partitioned dispatch: the probe's flag is authoritative, so the
+        # kernel's branch select can never ulp-disagree with the routing
+        # (the same math in a different fusion context can flip a
+        # threshold comparison -- see parallel/mesh.py's measured drift)
+        c["breakdown"] = c["bd_forced"] > 0.5
     return c
 
 
@@ -454,7 +460,9 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     # to inf - inf = NaN on extreme (masked / breakdown-routed) cells;
     # saturate it so overflow means E_mod = inf -> f_mod = 0, the exact
     # behavior of the x^2 formulation
-    x2 = jnp.nan_to_num(x2, nan=jnp.inf, posinf=jnp.inf, neginf=0.0)
+    # -inf can only come from overflow of a negative intermediate (the true
+    # |x|^2 is huge positive), so it too must saturate to +inf -> f_mod = 0
+    x2 = jnp.nan_to_num(x2, nan=jnp.inf, posinf=jnp.inf, neginf=jnp.inf)
     E_mod = jnp.sqrt(mass2_b + jnp.maximum(x2, 0.0))
 
     chem_mod = baryon_b * cb(c["alphaB_mod"])
@@ -535,18 +543,53 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _breakdown_probe_jit(cols, df_data, laguerre, cfg: Config):
-    """Per-cell routing flag for the host-side partition: True where the
-    spectra kernel needs the linearized-fallback branch.  The exact
-    transform/breakdown computation the kernel itself runs
-    (_feqmod_transform), plus the 3+1D narrow-cell guard (a detA < 0.01
-    cell can trip the per-rapidity narrow mask, so it must keep both
-    branches).  (C,) bool -- negligible next to the (C, R, S, M) kernel."""
+    """(routing, breakdown) per cell for the host-side partition.
+
+    breakdown is the exact transform/breakdown computation the kernel
+    itself runs (_feqmod_transform); it is fed back to both kernels as the
+    authoritative ``bd_forced`` column so the branch select can never
+    disagree with the routing.  routing additionally keeps 3+1D cells with
+    detA below the narrow-cell guard (x 1.001 margin so an ulp-level
+    fusion-context drift of the kernel's own detA cannot put a
+    narrow-mask-eligible cell in the clean partition) on the both-branch
+    kernel.  (C,) bools -- negligible next to the (C, R, S, M) kernel."""
     c = prepare_cells(cols, cfg, df_data)
     c = _feqmod_transform(c, laguerre, cfg)
-    routing = c["breakdown"]
+    breakdown = c["breakdown"]
+    routing = breakdown
     if cfg.dimension == 3:
-        routing = routing | (c["detA"] < 0.01)
-    return routing
+        routing = routing | (c["detA"] < 0.01 * 1.001)
+    return routing, breakdown
+
+
+def partition_cells_by_breakdown(cols, df_data, laguerre, cfg: Config):
+    """Host-side routing for the feqmod cell partition, shared by the
+    spectra and dN/dX dispatches.
+
+    Returns None when partitioning is disabled or the surface is below
+    feqmod_partition_min_cells; otherwise a list of up to two
+    (cols_subset, both) jobs whose results are summed.  Each subset
+    carries the probe's breakdown flag as the ``bd_forced`` column."""
+    n = cols["tau"].shape[0]
+    if not cfg.feqmod_partition or n < cfg.feqmod_partition_min_cells:
+        return None
+    routing, bd = _breakdown_probe_jit(cols, df_data, laguerre, cfg)
+    routing = np.asarray(routing)
+    bd = np.asarray(bd).astype(cols["tau"].dtype)
+
+    def take(idx):
+        sub = {k: v[idx] for k, v in cols.items()}
+        sub["bd_forced"] = bd[idx]
+        return sub
+
+    jobs = []
+    idx_clean = np.flatnonzero(~routing)
+    if idx_clean.size:
+        jobs.append((take(idx_clean), False))
+    idx_mixed = np.flatnonzero(routing)
+    if idx_mixed.size:
+        jobs.append((take(idx_mixed), True))
+    return jobs
 
 
 def _feqmod_spectra_dispatch(cols, species, grid, df_data, laguerre,
@@ -579,18 +622,11 @@ def _feqmod_spectra_dispatch(cols, species, grid, df_data, laguerre,
                                                         both),
             sub, (species, grid, df_data, laguerre), cfg, mesh=mesh)
 
-    n = cols["tau"].shape[0]
-    if not cfg.feqmod_partition or n < cfg.feqmod_partition_min_cells:
+    jobs = partition_cells_by_breakdown(cols, df_data, laguerre, cfg)
+    if jobs is None:
         return run(cols, True)
-    routing = np.asarray(_breakdown_probe_jit(cols, df_data, laguerre, cfg))
-    idx_mixed = np.flatnonzero(routing)
-    if idx_mixed.size == 0:
-        return run(cols, False)
-    if idx_mixed.size == n:
-        return run(cols, True)
-    idx_clean = np.flatnonzero(~routing)
-    take = lambda idx: {k: v[idx] for k, v in cols.items()}
-    return run(take(idx_clean), False) + run(take(idx_mixed), True)
+    parts = [run(sub, both) for sub, both in jobs]
+    return parts[0] if len(parts) == 1 else parts[0] + parts[1]
 
 
 def smooth_spectra_feqmod(surface, species: SpeciesArrays, grid: MomentumGrid,

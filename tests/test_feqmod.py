@@ -179,7 +179,7 @@ def test_feqmod_partition_matches_unpartitioned(smash_table, df_data,
     cfg = BASE_CFG.replace(df_mode=df_mode, dimension=dimension, cell_chunk=8)
 
     routing = np.asarray(_breakdown_probe_jit(
-        surface_columns(surf, cfg), df_data, laguerre_device(), cfg))
+        surface_columns(surf, cfg), df_data, laguerre_device(), cfg)[0])
     assert 0 < routing.sum() < n, "test surface must mix both partitions"
 
     ref = np.asarray(smooth_spectra_feqmod(
