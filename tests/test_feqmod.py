@@ -216,6 +216,37 @@ def test_feqmod_partition_bit_stable_across_meshes(smash_table, df_data):
         np.testing.assert_array_equal(got, single)
 
 
+def test_feqmod_partition_single_sided(smash_table, df_data):
+    """All-clean and all-breakdown surfaces produce exactly one partition
+    job each; results still match the unpartitioned dispatch."""
+    from is3d_tpu.kernels.common import surface_columns
+    from is3d_tpu.kernels.feqmod import partition_cells_by_breakdown
+    from is3d_tpu.io.tables import laguerre_device
+
+    rng = np.random.default_rng(47)
+    grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=3, n_eta=12)
+    species = pikp_species(smash_table)
+    cfg = BASE_CFG.replace(df_mode=3, cell_chunk=8,
+                           feqmod_partition_min_cells=1)
+    for bulk_fac, want_both in ((0.0, False), (-0.9, True)):
+        cells = random_cells(11, rng, dimension=2)
+        cells["bulkPi"] = bulk_fac * cells["P"]
+        surf = to_surface(cells)
+        jobs = partition_cells_by_breakdown(
+            surface_columns(surf, cfg), df_data, laguerre_device(), cfg)
+        assert len(jobs) == 1 and jobs[0][1] is want_both
+        ref = np.asarray(smooth_spectra_feqmod(
+            surf, species, grid, df_data, cfg.replace(feqmod_partition=0)))
+        got = np.asarray(smooth_spectra_feqmod(surf, species, grid, df_data,
+                                               cfg))
+        np.testing.assert_allclose(got, ref, rtol=5e-12, atol=1e-300)
+    # below the min-cells threshold the probe must not run at all
+    assert partition_cells_by_breakdown(
+        surface_columns(surf, cfg.replace(feqmod_partition_min_cells=64)),
+        df_data, laguerre_device(),
+        cfg.replace(feqmod_partition_min_cells=64)) is None
+
+
 @pytest.mark.parametrize("df_mode", [3, 4])
 def test_feqmod_f32_extreme_tables_finite(df_mode):
     """Regression: in f32 with extreme coefficient tables (synthetic
