@@ -103,14 +103,23 @@ def test_parity_vs_reference_binary(oracle_binary, sandbox, df_mode):
         run.cfg = run.cfg.replace(reference_compat_feqmod_eta=1)
     res = run.run_particlization(write_files=False)
 
-    for mcid in MCIDS:
-        ref = np.loadtxt(d / "results" / f"dN_pTdpTdphidy_{mcid}.dat",
-                         skiprows=1)[:, 3]
-        i = list(res.mcids).index(mcid)
-        ours = np.transpose(res.spectra[i][:, :, 0], (1, 0)).ravel()
-        scale = np.abs(ref).max()
-        rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6 * scale)
-        assert rel.max() < 1e-6, (df_mode, mcid, float(rel.max()))
+    def check(res):
+        for mcid in MCIDS:
+            ref = np.loadtxt(d / "results" / f"dN_pTdpTdphidy_{mcid}.dat",
+                             skiprows=1)[:, 3]
+            i = list(res.mcids).index(mcid)
+            ours = np.transpose(res.spectra[i][:, :, 0], (1, 0)).ravel()
+            scale = np.abs(ref).max()
+            rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6 * scale)
+            assert rel.max() < 1e-6, (df_mode, mcid, float(rel.max()))
+
+    check(res)
+    if df_mode in (3, 4):
+        # golden parity through the PARTITIONED fast path too (clean cells
+        # on the feqmod-only kernel, breakdown cells on the both-branch
+        # kernel -- the production dispatch for large surfaces)
+        run.cfg = run.cfg.replace(feqmod_partition_min_cells=1)
+        check(run.run_particlization(write_files=False))
 
 
 def _run_ours(d, **kw):
