@@ -301,12 +301,16 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     baryon_b = sb(species.baryon)
     mass2_b = sb(species.mass ** 2)
 
+    from .smooth import df_switches
+    shear_on, bulk_on, diff_on = df_switches(cfg)
     W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
     W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
-    C4 = (c["pixx"][:, None] * (pxf * pxf)[None]
-          + c["piyy"][:, None] * (pyf * pyf)[None]
-          + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])
-    D2 = c["Vx"][:, None] * pxf[None] + c["Vy"][:, None] * pyf[None]
+    C4 = ((c["pixx"][:, None] * (pxf * pxf)[None]
+           + c["piyy"][:, None] * (pyf * pyf)[None]
+           + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])
+          if shear_on else None)
+    D2 = (c["Vx"][:, None] * pxf[None] + c["Vy"][:, None] * pyf[None]
+          if diff_on else None)
 
     rescaled = cfg.dimension == 2 and grid.eta_mT_rescale
     if rescaled:
@@ -345,42 +349,60 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         A1u, B1u, t_sh_u = lin_factors(ch_u, sh_u)
         pds_u = sm(mTf) * cr(A1u) + cm(W1)
         pdotu = sm(mTf) * cr(B1u) - cm(W2)
-        C1 = (ch_u * ch_u * c["pitt"][:, None]
-              + t_sh_u * t_sh_u * c["pinn"][:, None]
-              - 2.0 * ch_u * t_sh_u * c["pitn"][:, None])
-        C2 = -2.0 * (ch_u * c["pitx"][:, None] - t_sh_u * c["pixn"][:, None])
-        C3 = -2.0 * (ch_u * c["pity"][:, None] - t_sh_u * c["piyn"][:, None])
-        D1 = ch_u * c["Vt"][:, None] - t_sh_u * c["Vn"][:, None]
-        pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2) + sm(mTpyf) * cr(C3)
-                + cm(C4))
-        Vp = sm(mTf) * cr(D1) - cm(D2)
+        pipp = Vp = None
+        if shear_on:
+            C1 = (ch_u * ch_u * c["pitt"][:, None]
+                  + t_sh_u * t_sh_u * c["pinn"][:, None]
+                  - 2.0 * ch_u * t_sh_u * c["pitn"][:, None])
+            C2 = -2.0 * (ch_u * c["pitx"][:, None]
+                         - t_sh_u * c["pixn"][:, None])
+            C3 = -2.0 * (ch_u * c["pity"][:, None]
+                         - t_sh_u * c["piyn"][:, None])
+            pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2)
+                    + sm(mTpyf) * cr(C3) + cm(C4))
+        if diff_on:
+            D1 = ch_u * c["Vt"][:, None] - t_sh_u * c["Vn"][:, None]
+            Vp = sm(mTf) * cr(D1) - cm(D2)
 
     if both:
-        chem = baryon_b * cb(c["alphaB"])
-        if cfg.df_mode == 4:
-            chem = jnp.zeros_like(chem)  # Jonah fallback feq has no chem (:861)
-        feq = 1.0 / (jnp.exp(pdotu / cb(c["T"]) - chem) + sign_b)
+        arg = pdotu / cb(c["T"])
+        if cfg.include_baryon and cfg.df_mode != 4:
+            # Jonah fallback feq has no chem (:861)
+            arg = arg - baryon_b * cb(c["alphaB"])
+        feq = 1.0 / (jnp.exp(arg) + sign_b)
         feqbar = 1.0 - sign_b * feq
 
         df = c["df"]
         r = 1.0 / pdotu
+        terms = []
         if cfg.df_mode == 3:
-            out_df = feqbar * (
-                cb(0.5 / (df.betapi * c["T"])) * pipp * r
-                + (cb(df.F / (c["T"] ** 2 * df.betabulk)) * pdotu
-                   + cb(df.G / df.betabulk) * baryon_b
-                   + cb(1.0 / (3.0 * c["T"] * df.betabulk))
-                   * (pdotu - mass2_b * r)) * cb(c["bulkPi"])
-                + (cb(c["baryon_enthalpy_ratio"]) - baryon_b * r)
-                * Vp * cb(1.0 / df.betaV))
+            if shear_on:
+                terms.append(cb(0.5 / (df.betapi * c["T"])) * pipp * r)
+            if bulk_on:
+                terms.append(
+                    (cb(df.F / (c["T"] ** 2 * df.betabulk)) * pdotu
+                     + cb(df.G / df.betabulk) * baryon_b
+                     + cb(1.0 / (3.0 * c["T"] * df.betabulk))
+                     * (pdotu - mass2_b * r)) * cb(c["bulkPi"]))
+            if diff_on:
+                terms.append((cb(c["baryon_enthalpy_ratio"]) - baryon_b * r)
+                             * Vp * cb(1.0 / df.betaV))
+            out_df = feqbar * sum(terms[1:], terms[0]) if terms else None
         else:
-            out_df = (feqbar * cb(0.5 / (df.betapi * c["T"])) * pipp * r
-                      + cb(df.delta_z) - 3.0 * cb(df.delta_lambda)
-                      + feqbar * cb(df.delta_lambda)
-                      * (pdotu - mass2_b * r) / cb(c["T"]))
-        if cfg.regulate_deltaf:
-            out_df = jnp.clip(out_df, -1.0, 1.0)
-        f_fallback = feq * (1.0 + out_df)
+            if shear_on:
+                terms.append(feqbar * cb(0.5 / (df.betapi * c["T"]))
+                             * pipp * r)
+            if bulk_on:
+                terms.append(cb(df.delta_z) - 3.0 * cb(df.delta_lambda)
+                             + feqbar * cb(df.delta_lambda)
+                             * (pdotu - mass2_b * r) / cb(c["T"]))
+            out_df = sum(terms[1:], terms[0]) if terms else None
+        if out_df is None:
+            f_fallback = feq
+        else:
+            if cfg.regulate_deltaf:
+                out_df = jnp.clip(out_df, -1.0, 1.0)
+            f_fallback = feq * (1.0 + out_df)
 
     # ---- feqmod branch (momentum transform at scaled rapidity) -----------
     # p_LRF = mT (alpha ch + beta sh) + gamma with per-cell alpha =

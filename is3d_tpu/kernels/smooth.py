@@ -128,13 +128,16 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     mTpyf = mTf * pyf[None, :]
 
     tau = c["tau"]
+    shear_on, _, diff_on = df_switches(cfg)
 
     W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
     W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
-    C4 = (c["pixx"][:, None] * (pxf * pxf)[None]
-          + c["piyy"][:, None] * (pyf * pyf)[None]
-          + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])
-    D2 = c["Vx"][:, None] * pxf[None] + c["Vy"][:, None] * pyf[None]
+    C4 = ((c["pixx"][:, None] * (pxf * pxf)[None]
+           + c["piyy"][:, None] * (pyf * pyf)[None]
+           + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])
+          if shear_on else None)
+    D2 = (c["Vx"][:, None] * pxf[None] + c["Vy"][:, None] * pyf[None]
+          if diff_on else None)
 
     rescaled = cfg.dimension == 2 and grid.eta_mT_rescale
     if rescaled:
@@ -160,32 +163,38 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
 
         A1 = ch * c["dat"][:, None] + sh * (c["dan"] / tau)[:, None]
         B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
-        C1 = (ch * ch * c["pitt"][:, None] + t_sh * t_sh * c["pinn"][:, None]
-              - 2.0 * ch * t_sh * c["pitn"][:, None])
-        C2 = -2.0 * (ch * c["pitx"][:, None] - t_sh * c["pixn"][:, None])
-        C3 = -2.0 * (ch * c["pity"][:, None] - t_sh * c["piyn"][:, None])
-        D1 = ch * c["Vt"][:, None] - t_sh * c["Vn"][:, None]
 
         # ---- (C, R, S, M) block
         pds = sm(mTf) * cr(A1) + cm(W1)
         pdotu = sm(mTf) * cr(B1) - cm(W2)
-        pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2) + sm(mTpyf) * cr(C3)
-                + cm(C4))
-        Vp = sm(mTf) * cr(D1) - cm(D2)
+        pipp = Vp = None
+        if shear_on:
+            C1 = (ch * ch * c["pitt"][:, None]
+                  + t_sh * t_sh * c["pinn"][:, None]
+                  - 2.0 * ch * t_sh * c["pitn"][:, None])
+            C2 = -2.0 * (ch * c["pitx"][:, None] - t_sh * c["pixn"][:, None])
+            C3 = -2.0 * (ch * c["pity"][:, None] - t_sh * c["piyn"][:, None])
+            pipp = (sm(mT2f) * cr(C1) + sm(mTpxf) * cr(C2)
+                    + sm(mTpyf) * cr(C3) + cm(C4))
+        if diff_on:
+            D1 = ch * c["Vt"][:, None] - t_sh * c["Vn"][:, None]
+            Vp = sm(mTf) * cr(D1) - cm(D2)
 
     sb = lambda x: x[None, None, :, None]              # (S,)
     sign_b = sb(species.sign)
     baryon_b = sb(species.baryon)
     mass2_b = sb(species.mass ** 2)
     cb = lambda x: x[:, None, None, None]              # (C,)
-    chem = baryon_b * cb(c["alphaB"])
+    arg = pdotu / cb(c["T"])
+    if cfg.include_baryon:
+        arg = arg - baryon_b * cb(c["alphaB"])
 
-    feq = 1.0 / (jnp.exp(pdotu / cb(c["T"]) - chem) + sign_b)
+    feq = 1.0 / (jnp.exp(arg) + sign_b)
     feqbar = 1.0 - sign_b * feq
 
     df = _linear_df_flat(cfg, c["df"], c, pdotu, pipp, Vp, mass2_b, baryon_b,
                          feqbar)
-    f = feq * (1.0 + df)
+    f = feq if df is None else feq * (1.0 + df)
 
     contrib = pds * f
     if cfg.outflow:
@@ -221,40 +230,47 @@ def _rescaled_vh_terms(c: dict, ops, W1, W2, C4, D2, pxf, pyf):
     """(pds, pdotu, pipp, Vp) in the (C, R, S, M) block from the remapped
     eta operands -- the addition-theorem split shared verbatim by the
     linear-df and feqmod kernels (see _chunk_contribution for the
-    derivation and sign conventions)."""
+    derivation and sign conventions).  C4 / D2 arrive as None when the
+    shear / diffusion switches are off (df_switches); the corresponding
+    output is None and its composite chain is absent from the kernel."""
     CHR, SHR, CHR2, SHR2, CHRSHR, chs, shs, _ = ops
     cm = lambda x: x[:, None, None, :]
     cb4 = lambda x: x[:, None, None, None]
     tau = c["tau"]
     dan_t = c["dan"] / tau
     tun = tau * c["un"]
-    tVn = tau * c["Vn"]
-    t_pinn = tau * tau * c["pinn"]
-    t_pitn = tau * c["pitn"]
     A1a = cb4(chs * c["dat"] - shs * dan_t)
     A1b = cb4(shs * c["dat"] - chs * dan_t)
     B1a = cb4(chs * c["ut"] + shs * tun)
     B1b = cb4(shs * c["ut"] + chs * tun)
-    D1a = cb4(chs * c["Vt"] + shs * tVn)
-    D1b = cb4(shs * c["Vt"] + chs * tVn)
-    C2a = cb4(-2.0 * (chs * c["pitx"] + shs * tau * c["pixn"]))
-    C2b = cb4(-2.0 * (shs * c["pitx"] + chs * tau * c["pixn"]))
-    C3a = cb4(-2.0 * (chs * c["pity"] + shs * tau * c["piyn"]))
-    C3b = cb4(-2.0 * (shs * c["pity"] + chs * tau * c["piyn"]))
-    chshs2 = 2.0 * chs * shs
-    C1a = cb4(chs * chs * c["pitt"] + shs * shs * t_pinn + chshs2 * t_pitn)
-    C1b = cb4(shs * shs * c["pitt"] + chs * chs * t_pinn + chshs2 * t_pitn)
-    C1c = cb4(chshs2 * (c["pitt"] + t_pinn)
-              + 2.0 * (chs * chs + shs * shs) * t_pitn)
-
-    pxm = pxf[None, None, None, :]
-    pym = pyf[None, None, None, :]
     pds = CHR * A1a + SHR * A1b + cm(W1)
     pdotu = CHR * B1a + SHR * B1b - cm(W2)
-    pipp = (CHR2 * C1a + SHR2 * C1b + CHRSHR * C1c
-            + (CHR * C2a + SHR * C2b) * pxm
-            + (CHR * C3a + SHR * C3b) * pym + cm(C4))
-    Vp = CHR * D1a + SHR * D1b - cm(D2)
+
+    pipp = Vp = None
+    if C4 is not None:
+        t_pinn = tau * tau * c["pinn"]
+        t_pitn = tau * c["pitn"]
+        C2a = cb4(-2.0 * (chs * c["pitx"] + shs * tau * c["pixn"]))
+        C2b = cb4(-2.0 * (shs * c["pitx"] + chs * tau * c["pixn"]))
+        C3a = cb4(-2.0 * (chs * c["pity"] + shs * tau * c["piyn"]))
+        C3b = cb4(-2.0 * (shs * c["pity"] + chs * tau * c["piyn"]))
+        chshs2 = 2.0 * chs * shs
+        C1a = cb4(chs * chs * c["pitt"] + shs * shs * t_pinn
+                  + chshs2 * t_pitn)
+        C1b = cb4(shs * shs * c["pitt"] + chs * chs * t_pinn
+                  + chshs2 * t_pitn)
+        C1c = cb4(chshs2 * (c["pitt"] + t_pinn)
+                  + 2.0 * (chs * chs + shs * shs) * t_pitn)
+        pxm = pxf[None, None, None, :]
+        pym = pyf[None, None, None, :]
+        pipp = (CHR2 * C1a + SHR2 * C1b + CHRSHR * C1c
+                + (CHR * C2a + SHR * C2b) * pxm
+                + (CHR * C3a + SHR * C3b) * pym + cm(C4))
+    if D2 is not None:
+        tVn = tau * c["Vn"]
+        D1a = cb4(chs * c["Vt"] + shs * tVn)
+        D1b = cb4(shs * c["Vt"] + chs * tVn)
+        Vp = CHR * D1a + SHR * D1b - cm(D2)
     return pds, pdotu, pipp, Vp
 
 
@@ -293,39 +309,66 @@ def _rescaled_eta_operands(c: dict, species, grid, S: int, P: int, F: int,
     return CHR, SHR, CHR2, SHR2, CHRSHR, chs, shs, s_flat
 
 
+def df_switches(cfg: Config) -> tuple[bool, bool, bool]:
+    """(shear_on, bulk_on, diff_on) as STATIC trace-time predicates.
+
+    The reference zero-fills switched-off viscous blocks and still runs
+    the full arithmetic on them (emissionfunction.cpp:1420-1499); here the
+    switches are static config, so the corresponding composites and df
+    terms are structurally absent from the compiled kernel -- the same
+    exact-zero terms removed from the sum, bit-identical output, fewer
+    fma per point (diffusion alone is ~6 full-rank fma)."""
+    return (bool(cfg.include_shear_deltaf),
+            bool(cfg.include_bulk_deltaf),
+            bool(cfg.include_baryon and cfg.include_baryondiff_deltaf))
+
+
 def _linear_df_flat(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b,
                     feqbar):
     """Linear viscous correction, df modes 1 (Grad 14-moment) and
     2 (Chapman-Enskog), with (C, R, S, M) block broadcasting (reference:
     emissionfunction_smooth_kernels.cpp:214-242, 299-326; formulas
-    documented in SURVEY Appendix B)."""
+    documented in SURVEY Appendix B).  pipp/Vp are None when the shear /
+    diffusion switches are off (df_switches); those terms drop out of the
+    compiled chain entirely.  Returns None when every term is off."""
     cb = lambda x: x[:, None, None, None]
-    bulkPi = cb(c["bulkPi"])
+    shear_on, bulk_on, diff_on = df_switches(cfg)
+    terms = []
 
     if cfg.df_mode == 1:
-        shear_coeff = cb(0.5 / (c["T"] ** 2 * (c["E"] + c["P"])))
-        bulk0 = cb(df.c0 - df.c2)
-        bulk1 = cb(df.c1)
-        bulk2 = cb(4.0 * df.c2 - df.c0)
-        df_shear = shear_coeff * pipp
-        df_bulk = (bulk0 * mass2_b + (bulk1 * baryon_b + bulk2 * pdotu) * pdotu) * bulkPi
-        df_diff = (cb(df.c3) * baryon_b + cb(df.c4) * pdotu) * Vp
+        if shear_on:
+            terms.append(cb(0.5 / (c["T"] ** 2 * (c["E"] + c["P"]))) * pipp)
+        if bulk_on:
+            bulkPi = cb(c["bulkPi"])
+            bulk0 = cb(df.c0 - df.c2)
+            bulk1 = cb(df.c1)
+            bulk2 = cb(4.0 * df.c2 - df.c0)
+            terms.append((bulk0 * mass2_b
+                          + (bulk1 * baryon_b + bulk2 * pdotu) * pdotu)
+                         * bulkPi)
+        if diff_on:
+            terms.append((cb(df.c3) * baryon_b + cb(df.c4) * pdotu) * Vp)
     elif cfg.df_mode == 2:
         # single reciprocal instead of three divisions per point
-        r = 1.0 / pdotu
-        shear_coeff = cb(0.5 / (df.betapi * c["T"]))
-        bulk0 = cb(df.F / (c["T"] ** 2 * df.betabulk))
-        bulk1 = cb(df.G / df.betabulk)
-        bulk2 = cb(1.0 / (3.0 * c["T"] * df.betabulk))
-        inv_betaV = cb(1.0 / df.betaV)
-        df_shear = shear_coeff * pipp * r
-        df_bulk = (bulk0 * pdotu + bulk1 * baryon_b
-                   + bulk2 * (pdotu - mass2_b * r)) * bulkPi
-        df_diff = (cb(c["baryon_enthalpy_ratio"]) - baryon_b * r) * Vp * inv_betaV
+        r = 1.0 / pdotu if (shear_on or bulk_on or diff_on) else None
+        if shear_on:
+            terms.append(cb(0.5 / (df.betapi * c["T"])) * pipp * r)
+        if bulk_on:
+            bulkPi = cb(c["bulkPi"])
+            bulk0 = cb(df.F / (c["T"] ** 2 * df.betabulk))
+            bulk1 = cb(df.G / df.betabulk)
+            bulk2 = cb(1.0 / (3.0 * c["T"] * df.betabulk))
+            terms.append((bulk0 * pdotu + bulk1 * baryon_b
+                          + bulk2 * (pdotu - mass2_b * r)) * bulkPi)
+        if diff_on:
+            terms.append((cb(c["baryon_enthalpy_ratio"]) - baryon_b * r)
+                         * Vp * cb(1.0 / df.betaV))
     else:
         raise ValueError("linear df kernel supports df_mode 1 or 2")
 
-    out = feqbar * (df_shear + df_bulk + df_diff)
+    if not terms:
+        return None
+    out = feqbar * sum(terms[1:], terms[0])
     if cfg.regulate_deltaf:
         out = jnp.clip(out, -1.0, 1.0)
     return out
