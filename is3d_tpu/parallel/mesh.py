@@ -179,7 +179,22 @@ def grouped_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
     n_dev = mesh.shape[axis]
     G_pad = -(-G // n_dev) * n_dev       # whole empty groups when n_dev ∤ G
     cols = _pad_inert(cols, G_pad * gs)
+    parts = _grouped_shard_run(kernel_fn, cols, replicated, cfg, mesh, gs,
+                               unroll_groups)
+    # the shard_map output stacks every device's group partials along the
+    # leading axis in device (= global group) order; the sequential fold
+    # over that axis is the device-count-independent combine
+    return _tree_fold_jit(parts)
 
+
+def _grouped_shard_run(kernel_fn, cols, replicated, cfg, mesh, gs: int,
+                       unroll_groups: bool):
+    """The shard_map body of grouped_cell_reduce: per-device group partials
+    stacked along the leading axis in global group order.  ``cols`` must
+    already be padded to a whole number of groups per device (and, on a
+    multi-host mesh, be global arrays sharded P(axis) over the cell axis --
+    parallel/multihost.py assembles those)."""
+    axis = cfg.mesh_axis
     in_specs = ({k: P(axis) for k in cols},) + tuple(P() for _ in replicated)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
@@ -206,10 +221,7 @@ def grouped_cell_reduce(kernel_fn, cols: dict, replicated: tuple,
         # fold's adds differently (measured 1-ulp drift in feqmod)
         return jax.lax.optimization_barrier(parts)
 
-    # the shard_map output stacks every device's group partials along the
-    # leading axis in device (= global group) order; the sequential fold
-    # over that axis is the device-count-independent combine
-    return _tree_fold_jit(run(cols, *replicated))
+    return run(cols, *replicated)
 
 
 def sharded_cell_reduce(kernel_fn, cols: dict, replicated: tuple,

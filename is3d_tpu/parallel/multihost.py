@@ -1,0 +1,161 @@
+"""Multi-host execution: shard the cell axis across processes over DCN.
+
+The reference has no distributed backend at all -- its cross-machine story
+is independent sampler processes with per-process working directories
+(scripts/run_multithread_sampling_iS3D.py; SURVEY.md section 2, parallelism
+inventory item 3-4).  That story is covered by ensemble.multiprocess_oversample
+(sampling is embarrassingly parallel: events never cross process boundaries,
+so no collective is needed).  What a process-per-run model CANNOT do is put
+one very large smooth-spectra surface across more chips than one host owns.
+This module adds that: a jax.distributed multi-host path where
+
+* every process initializes the same global mesh over all chips of the pod
+  slice (ICI within a host, DCN across hosts),
+* each process loads only its contiguous slice of the surface cell axis
+  (``process_cell_slice``), assembled into global arrays with
+  ``jax.make_array_from_process_local_data``,
+* the reduction reuses grouped_cell_reduce's canonical group tree
+  (parallel/mesh.py) -- the shard_map body and the sequential group fold are
+  the same code, so multi-host results are BIT-IDENTICAL to the single-host
+  and single-device results for any process/device count
+  (tests/test_multihost.py asserts exact equality for a 2-process x
+  2-device CPU pod against the in-process path).
+
+Replicated inputs (species tables, momentum grid, df coefficient splines)
+are passed as host-local numpy/jax arrays identical on every process; only
+the surface is sharded.  The spectra accumulator is psum-combined by the
+canonical fold and returned replicated, so every process holds the full
+result and any of them can write outputs.
+
+feqmod (df_mode 3/4) is intentionally not routed here: its dispatch
+partitions cells by a host-side breakdown probe (kernels/feqmod.py), which
+reorders the global cell axis -- a global, order-changing decision that
+would need cross-host agreement on the partition before sharding.  Use the
+single-host mesh path for feqmod surfaces, or df_mode 1/2 multi-host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from .mesh import (canonical_groups, _grouped_shard_run, _pad_cols_to,
+                   _tree_fold)
+
+
+def initialize(coordinator_address: str, num_processes: int,
+               process_id: int, **kwargs) -> None:
+    """Join the jax.distributed pod.  Must run before any other JAX call in
+    the process (backend init is one-shot).  Thin wrapper so callers don't
+    import jax.distributed themselves."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)
+
+
+def global_mesh(axis: str = "cells") -> Mesh:
+    """1-D mesh over every device in the pod (all processes)."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def _padded_layout(cfg: Config, n_global: int, mesh: Mesh) -> tuple[int, int]:
+    """(padded global cell count, group size) of the canonical tree for this
+    global surface on this mesh -- same arithmetic as grouped_cell_reduce."""
+    axis = cfg.mesh_axis
+    G, gs = canonical_groups(cfg, n_global)
+    n_dev = mesh.shape[axis]
+    G_pad = -(-G // n_dev) * n_dev
+    return G_pad * gs, gs
+
+
+def process_cell_slice(cfg: Config, n_global: int,
+                       mesh: Mesh | None = None) -> tuple[int, int]:
+    """The [start, stop) range of GLOBAL surface cells this process must
+    load, clipped to n_global.  Derived from the sharding's addressable
+    shards, so it is correct for any device->process assignment as long as
+    each process's shards are contiguous along the cell axis (true for the
+    standard pod layout; asserted)."""
+    if mesh is None:
+        mesh = global_mesh(axis=cfg.mesh_axis)
+    n_padded, _ = _padded_layout(cfg, n_global, mesh)
+    sharding = NamedSharding(mesh, P(cfg.mesh_axis))
+    idx = sharding.addressable_devices_indices_map((n_padded,))
+    spans = sorted((s[0].start or 0, s[0].stop if s[0].stop is not None
+                    else n_padded) for s in idx.values())
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        if b != c:
+            raise ValueError(
+                f"process shards are not contiguous on the cell axis: {spans}"
+                " -- load per-shard slices manually")
+    start, stop = spans[0][0], spans[-1][1]
+    return start, min(stop, n_global)
+
+
+def _assemble_global_cols(cols_local: dict, start: int, stop_real: int,
+                          n_global: int, cfg: Config, mesh: Mesh) -> dict:
+    """Pad this process's real-cell columns to its addressable extent of the
+    padded global axis (inert pad cells: dsigma = 0) and assemble global
+    sharded arrays."""
+    n_padded, _ = _padded_layout(cfg, n_global, mesh)
+    sharding = NamedSharding(mesh, P(cfg.mesh_axis))
+    idx = sharding.addressable_devices_indices_map((n_padded,))
+    stop_padded = max((s[0].stop if s[0].stop is not None else n_padded)
+                      for s in idx.values())
+    n_real = stop_real - start
+    if any(v.shape[0] != n_real for v in cols_local.values()):
+        raise ValueError(
+            f"local columns must hold exactly cells [{start}, {stop_real}) "
+            f"({n_real} rows)")
+    cols, _ = _pad_cols_to(cols_local, stop_padded - start)
+    if stop_padded - start != n_real:
+        mask = (jnp.arange(start, stop_padded) < n_global).astype(
+            cols["tau"].dtype)
+        for k in ("dat", "dax", "day", "dan"):
+            cols[k] = cols[k] * mask
+    return {k: jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(v))
+            for k, v in cols.items()}
+
+
+def multihost_cell_reduce(kernel_fn, cols_local: dict, n_global: int,
+                          replicated: tuple, cfg: Config,
+                          mesh: Mesh | None = None,
+                          unroll_groups: bool = False):
+    """Multi-host counterpart of grouped_cell_reduce: every process passes
+    its own contiguous slice of the surface columns (see
+    ``process_cell_slice``) and receives the full, replicated accumulator
+    pytree.  The canonical group tree makes the result bit-identical to the
+    single-host paths."""
+    if mesh is None:
+        mesh = global_mesh(axis=cfg.mesh_axis)
+    start, stop_real = process_cell_slice(cfg, n_global, mesh)
+    _, gs = _padded_layout(cfg, n_global, mesh)
+    cols = _assemble_global_cols(cols_local, start, stop_real, n_global,
+                                 cfg, mesh)
+    parts = _grouped_shard_run(kernel_fn, cols, replicated, cfg, mesh, gs,
+                               unroll_groups)
+    # same sequential fold as the single-host path (bit-identical combine);
+    # explicit replicated out_sharding so every process can read the result
+    fold = jax.jit(_tree_fold, out_shardings=NamedSharding(mesh, P()))
+    return jax.device_get(fold(parts))
+
+
+def smooth_spectra_multihost(cols_local: dict, n_global: int, species, grid,
+                             df_data, cfg: Config,
+                             mesh: Mesh | None = None):
+    """Multi-host linear-df smooth spectra (df_mode 1/2): each process
+    supplies surface_columns() of its process_cell_slice; returns the full
+    (S, PT, PHI, Y) spectra on every process."""
+    if cfg.df_mode not in (1, 2):
+        raise ValueError(
+            "multi-host smooth spectra supports df_mode 1/2 only; the "
+            "feqmod dispatch partitions cells by a host-side breakdown "
+            "probe, which needs a global reorder (see module docstring). "
+            f"Got df_mode={cfg.df_mode}.")
+    from ..kernels.smooth import _smooth_spectra_jit
+    kern = lambda c, s, g, d: _smooth_spectra_jit(c, s, g, d, cfg)
+    return multihost_cell_reduce(kern, cols_local, n_global,
+                                 (species, grid, df_data), cfg, mesh)
