@@ -149,13 +149,7 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3) and laguerre is None:
         from ..io.tables import laguerre_device
         laguerre = laguerre_device()
-    if cfg.mode in (2, 3):
-        from .vah import vah_surface_cols
-        cols = vah_surface_cols(surface)
-    else:
-        cols = surface_columns(surface, cfg)
-    cols["x"] = surface.x
-    cols["y"] = surface.y
+    cols = dndx_cols(surface, cfg)
     # dN/dX keeps fixed eta nodes: the dN/dy/deta output is reported AT the
     # common node positions, which an mT-adaptive per-species remap would
     # scramble (and these spacetime observables are low-pT dominated)
@@ -186,6 +180,26 @@ def spacetime_distributions(surface, species: SpeciesArrays,
         parts = [run(sub, both) for sub, both in jobs]
         acc = (parts[0] if len(parts) == 1
                else jax.tree.map(jnp.add, parts[0], parts[1]))
+    return dndx_finalize(acc, grid, cfg)
+
+
+def dndx_cols(surface, cfg: Config) -> dict:
+    """Cell columns the dN/dX kernel reduces over: the emission columns of
+    the surface mode plus the (x, y) positions for the (tau, r) binning
+    (the multi-host path builds these per process slice)."""
+    if cfg.mode in (2, 3):
+        from .vah import vah_surface_cols
+        cols = vah_surface_cols(surface)
+    else:
+        cols = surface_columns(surface, cfg)
+    cols["x"] = surface.x
+    cols["y"] = surface.y
+    return cols
+
+
+def dndx_finalize(acc, grid: MomentumGrid, cfg: Config) -> dict:
+    """Histogram accumulators -> normalized distributions + bin midpoints
+    (reference file values, emissionfunction_smooth_kernels.cpp:1404-1432)."""
     acc = {k: np.asarray(v) for k, v in acc.items()}
 
     dtau = (cfg.tau_max - cfg.tau_min) / cfg.tau_bins

@@ -189,6 +189,18 @@ def spin_polarization(surface, species: SpeciesArrays, grid: MomentumGrid,
     five accumulators are psum-reduced over ICI (the reference
     OpenMP-parallelizes this kernel identically,
     emissionfunction_polzn_kernels.cpp:105,220)."""
+    cols = polzn_cols(surface)
+    T_avg = jnp.asarray(plasma.temperature, surface.tau.dtype)
+    from ..parallel.mesh import grouped_cell_reduce
+    kern = lambda c, s, g, t: _polzn_jit(c, s, g, t, cfg)
+    sums = grouped_cell_reduce(
+        kern, cols, (species, grid, T_avg), cfg, mesh, unroll_groups=True)
+    return polzn_normalize(sums)
+
+
+def polzn_cols(surface) -> dict:
+    """Cell columns the polarization kernel reduces over (the multi-host
+    path builds these per process slice, parallel/multihost.py)."""
     if surface.wtx is None:
         raise ValueError("spin polarization needs a mode-5 surface with "
                          "thermal vorticity components")
@@ -200,11 +212,13 @@ def spin_polarization(surface, species: SpeciesArrays, grid: MomentumGrid,
     )
     cols["eta"] = (surface.eta if surface.eta is not None
                    else jnp.zeros_like(surface.tau))
-    T_avg = jnp.asarray(plasma.temperature, surface.tau.dtype)
-    from ..parallel.mesh import grouped_cell_reduce
-    kern = lambda c, s, g, t: _polzn_jit(c, s, g, t, cfg)
-    St, Sx, Sy, Sn, Snorm = grouped_cell_reduce(
-        kern, cols, (species, grid, T_avg), cfg, mesh, unroll_groups=True)
+    return cols
+
+
+def polzn_normalize(sums) -> dict:
+    """(St, Sx, Sy, Sn, Snorm) accumulators -> the result dict with the
+    normalized S/Snorm arrays (reference writes S*_over_Snorm files)."""
+    St, Sx, Sy, Sn, Snorm = sums
     safe = jnp.where(Snorm == 0.0, 1.0, Snorm)
     return dict(St=St, Sx=Sx, Sy=Sy, Sn=Sn, Snorm=Snorm,
                 St_over_Snorm=St / safe, Sx_over_Snorm=Sx / safe,

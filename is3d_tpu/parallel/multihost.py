@@ -143,6 +143,15 @@ def multihost_cell_reduce(kernel_fn, cols_local: dict, n_global: int,
     return jax.device_get(fold(parts))
 
 
+def _reject_feqmod(cfg: Config, what: str) -> None:
+    if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3):
+        raise ValueError(
+            f"multi-host {what} supports df_mode 1/2 (and VAH modes 2/3) "
+            "only; the feqmod dispatch partitions cells by a host-side "
+            "breakdown probe, which needs a global reorder (see module "
+            f"docstring). Got df_mode={cfg.df_mode}.")
+
+
 def smooth_spectra_multihost(cols_local: dict, n_global: int, species, grid,
                              df_data, cfg: Config,
                              mesh: Mesh | None = None):
@@ -150,12 +159,52 @@ def smooth_spectra_multihost(cols_local: dict, n_global: int, species, grid,
     supplies surface_columns() of its process_cell_slice; returns the full
     (S, PT, PHI, Y) spectra on every process."""
     if cfg.df_mode not in (1, 2):
-        raise ValueError(
-            "multi-host smooth spectra supports df_mode 1/2 only; the "
-            "feqmod dispatch partitions cells by a host-side breakdown "
-            "probe, which needs a global reorder (see module docstring). "
-            f"Got df_mode={cfg.df_mode}.")
+        _reject_feqmod(cfg, "smooth spectra")
+        raise ValueError(f"df_mode must be 1-4, got {cfg.df_mode}")
     from ..kernels.smooth import _smooth_spectra_jit
     kern = lambda c, s, g, d: _smooth_spectra_jit(c, s, g, d, cfg)
     return multihost_cell_reduce(kern, cols_local, n_global,
                                  (species, grid, df_data), cfg, mesh)
+
+
+def smooth_spectra_vah_multihost(cols_local: dict, n_global: int, species,
+                                 grid, cfg: Config,
+                                 mesh: Mesh | None = None):
+    """Multi-host VAH smooth spectra (mode 2/3 surfaces): each process
+    supplies vah_surface_cols() of its process_cell_slice."""
+    from ..kernels.vah import _vah_jit
+    kern = lambda c, s, g: _vah_jit(c, s, g, cfg)
+    return multihost_cell_reduce(kern, cols_local, n_global, (species, grid),
+                                 cfg, mesh)
+
+
+def spin_polarization_multihost(cols_local: dict, n_global: int, species,
+                                grid, cfg: Config, plasma,
+                                mesh: Mesh | None = None) -> dict:
+    """Multi-host spin polarization (mode-5 surfaces): each process supplies
+    polzn_cols() of its process_cell_slice; returns the full result dict
+    (kernels/polzn.spin_polarization) on every process."""
+    from ..kernels.polzn import _polzn_jit, polzn_normalize
+    T_avg = jnp.asarray(plasma.temperature, cols_local["tau"].dtype)
+    kern = lambda c, s, g, t: _polzn_jit(c, s, g, t, cfg)
+    sums = multihost_cell_reduce(kern, cols_local, n_global,
+                                 (species, grid, T_avg), cfg, mesh,
+                                 unroll_groups=True)
+    return polzn_normalize(sums)
+
+
+def spacetime_distributions_multihost(cols_local: dict, n_global: int,
+                                      species, grid, df_data, cfg: Config,
+                                      mesh: Mesh | None = None) -> dict:
+    """Multi-host dN/dX spacetime distributions (df_mode 1/2 or VAH
+    mode 2/3): each process supplies dndx_cols() of its process_cell_slice;
+    returns the normalized distribution dict on every process."""
+    _reject_feqmod(cfg, "dN/dX")
+    from ..kernels.dndx import _dndx_jit, dndx_finalize
+    grid = grid.replace(eta_mT_rescale=False)   # same as the in-process path
+    lag = jnp.zeros((), cols_local["tau"].dtype)   # no feqmod branch here
+    kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg, True)
+    acc = multihost_cell_reduce(kern, cols_local, n_global,
+                                (species, grid, df_data, lag), cfg, mesh,
+                                unroll_groups=True)
+    return dndx_finalize(acc, grid, cfg)

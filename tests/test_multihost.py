@@ -29,10 +29,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_multihost_smooth_spectra_bit_identical(tmp_path):
-    from is3d_tpu.kernels.smooth import smooth_spectra
-    cfg, n_global, surface, species, grid, df = fixtures()
-    ref = np.asarray(smooth_spectra(surface, species, grid, df, cfg))
+def test_multihost_kernels_bit_identical(tmp_path):
+    """Every multi-host kernel path (smooth VH spectra, VAH spectra, spin
+    polarization, dN/dX) on a 2-process x 2-device pod must be bit-identical
+    to the in-process single-host computation on every process."""
+    from _multihost_worker import compute_inprocess
+    ref = compute_inprocess()
 
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -50,9 +52,12 @@ def test_multihost_smooth_spectra_bit_identical(tmp_path):
         assert p.returncode == 0, o.decode(errors="replace")[-4000:]
 
     for i in range(2):
-        got = np.load(tmp_path / f"proc{i}.npy")
-        assert np.isfinite(ref).all() and np.abs(ref).max() > 0
-        np.testing.assert_array_equal(got, ref)
+        got = np.load(tmp_path / f"proc{i}.npz")
+        assert set(got.files) == set(ref)
+        for k in ref:
+            assert np.isfinite(ref[k]).all() and np.abs(ref[k]).max() > 0, k
+            np.testing.assert_array_equal(got[k], ref[k],
+                                          err_msg=f"{k} proc{i}")
 
 
 def test_process_cell_slice_partition():
