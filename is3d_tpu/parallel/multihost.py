@@ -27,11 +27,15 @@ the surface is sharded.  The spectra accumulator is psum-combined by the
 canonical fold and returned replicated, so every process holds the full
 result and any of them can write outputs.
 
-feqmod (df_mode 3/4) is intentionally not routed here: its dispatch
-partitions cells by a host-side breakdown probe (kernels/feqmod.py), which
-reorders the global cell axis -- a global, order-changing decision that
-would need cross-host agreement on the partition before sharding.  Use the
-single-host mesh path for feqmod surfaces, or df_mode 1/2 multi-host.
+feqmod (df_mode 3/4) needs one extra ingredient: its dispatch partitions
+cells by a host-side breakdown probe (kernels/feqmod.py), a global,
+order-changing decision every process must agree on before sharding.  The
+feqmod_* functions therefore take the FULL surface columns on every process
+(a 1M-cell surface is ~250 MB of host numpy -- host RAM is never the scarce
+resource the chips are): each process runs the same deterministic probe,
+derives the same partition, and slices its own shard of each partition.
+The slice-based functions (smooth/VAH/polzn/dN_dX) keep the
+load-only-your-slice contract and reject feqmod configs.
 """
 
 from __future__ import annotations
@@ -143,13 +147,14 @@ def multihost_cell_reduce(kernel_fn, cols_local: dict, n_global: int,
     return jax.device_get(fold(parts))
 
 
-def _reject_feqmod(cfg: Config, what: str) -> None:
+def _reject_feqmod(cfg: Config, what: str, alternative: str) -> None:
     if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3):
         raise ValueError(
             f"multi-host {what} supports df_mode 1/2 (and VAH modes 2/3) "
-            "only; the feqmod dispatch partitions cells by a host-side "
-            "breakdown probe, which needs a global reorder (see module "
-            f"docstring). Got df_mode={cfg.df_mode}.")
+            "only under the load-only-your-slice contract; the feqmod "
+            "dispatch partitions cells by a global breakdown probe -- use "
+            f"{alternative} with the FULL columns on every process (see "
+            f"module docstring). Got df_mode={cfg.df_mode}.")
 
 
 def smooth_spectra_multihost(cols_local: dict, n_global: int, species, grid,
@@ -159,7 +164,7 @@ def smooth_spectra_multihost(cols_local: dict, n_global: int, species, grid,
     supplies surface_columns() of its process_cell_slice; returns the full
     (S, PT, PHI, Y) spectra on every process."""
     if cfg.df_mode not in (1, 2):
-        _reject_feqmod(cfg, "smooth spectra")
+        _reject_feqmod(cfg, "smooth spectra", "feqmod_spectra_multihost")
         raise ValueError(f"df_mode must be 1-4, got {cfg.df_mode}")
     from ..kernels.smooth import _smooth_spectra_jit
     kern = lambda c, s, g, d: _smooth_spectra_jit(c, s, g, d, cfg)
@@ -199,7 +204,7 @@ def spacetime_distributions_multihost(cols_local: dict, n_global: int,
     """Multi-host dN/dX spacetime distributions (df_mode 1/2 or VAH
     mode 2/3): each process supplies dndx_cols() of its process_cell_slice;
     returns the normalized distribution dict on every process."""
-    _reject_feqmod(cfg, "dN/dX")
+    _reject_feqmod(cfg, "dN/dX", "feqmod_spacetime_distributions_multihost")
     from ..kernels.dndx import _dndx_jit, dndx_finalize
     grid = grid.replace(eta_mT_rescale=False)   # same as the in-process path
     lag = jnp.zeros((), cols_local["tau"].dtype)   # no feqmod branch here
@@ -207,4 +212,94 @@ def spacetime_distributions_multihost(cols_local: dict, n_global: int,
     acc = multihost_cell_reduce(kern, cols_local, n_global,
                                 (species, grid, df_data, lag), cfg, mesh,
                                 unroll_groups=True)
+    return dndx_finalize(acc, grid, cfg)
+
+
+def _laguerre_cast(laguerre, dtype):
+    """Laguerre nodes/weights in the surface precision (same reasoning as
+    kernels/feqmod._feqmod_spectra_dispatch)."""
+    if laguerre is None:
+        from ..io.tables import laguerre_device
+        laguerre = laguerre_device()
+    return {a: (jnp.asarray(r, dtype), jnp.asarray(w, dtype))
+            for a, (r, w) in laguerre.items()}
+
+
+def _feqmod_jobs(cols_full: dict, n_global: int, df_data, laguerre,
+                 cfg: Config):
+    """The global breakdown partition, computed identically on every
+    process (the probe is a deterministic function of the full surface and
+    the coefficient tables, so no cross-host agreement step is needed --
+    every process derives the same jobs in the same order)."""
+    from ..kernels.feqmod import partition_cells_by_breakdown
+    if cols_full["tau"].shape[0] != n_global:
+        raise ValueError(
+            "feqmod multi-host needs the FULL surface columns on every "
+            f"process ({n_global} cells, got {cols_full['tau'].shape[0]}); "
+            "the breakdown partition is a global decision -- see module "
+            "docstring")
+    jobs = partition_cells_by_breakdown(cols_full, df_data, laguerre, cfg)
+    return jobs if jobs is not None else [(cols_full, True)]
+
+
+def _run_feqmod_jobs(jobs, kern_of_both, replicated, cfg: Config,
+                     mesh: Mesh, unroll_groups: bool = False):
+    """Each partition sliced per process and reduced through its own
+    canonical tree (same combine as the single-host dispatch: partition
+    results added elementwise in job order)."""
+    parts = []
+    for sub, both in jobs:
+        n_job = sub["tau"].shape[0]
+        start, stop = process_cell_slice(cfg, n_job, mesh)
+        local = {k: np.asarray(v)[start:stop] for k, v in sub.items()}
+        parts.append(multihost_cell_reduce(
+            kern_of_both(both), local, n_job, replicated, cfg, mesh,
+            unroll_groups=unroll_groups))
+    return (parts[0] if len(parts) == 1
+            else jax.tree.map(jnp.add, parts[0], parts[1]))
+
+
+def feqmod_spectra_multihost(cols_full: dict, n_global: int, species, grid,
+                             df_data, cfg: Config, laguerre=None,
+                             mesh: Mesh | None = None):
+    """Multi-host feqmod smooth spectra (df_mode 3/4): every process passes
+    the FULL surface_columns() (the breakdown partition is global, module
+    docstring); returns the full (S, PT, PHI, Y) spectra on every process,
+    bit-identical to the single-host partitioned dispatch."""
+    if cfg.df_mode not in (3, 4):
+        raise ValueError("feqmod multi-host handles df modes 3-4, got "
+                         f"{cfg.df_mode}")
+    if mesh is None:
+        mesh = global_mesh(axis=cfg.mesh_axis)
+    from ..kernels.feqmod import _feqmod_spectra_jit
+    lag = _laguerre_cast(laguerre, cols_full["tau"].dtype)
+    jobs = _feqmod_jobs(cols_full, n_global, df_data, lag, cfg)
+    kern_of_both = lambda both: (
+        lambda c, s, g, d, lg: _feqmod_spectra_jit(c, s, g, d, lg, cfg, both))
+    return _run_feqmod_jobs(jobs, kern_of_both,
+                            (species, grid, df_data, lag), cfg, mesh)
+
+
+def feqmod_spacetime_distributions_multihost(cols_full: dict, n_global: int,
+                                             species, grid, df_data,
+                                             cfg: Config, laguerre=None,
+                                             mesh: Mesh | None = None) -> dict:
+    """Multi-host feqmod dN/dX (df_mode 3/4): every process passes the FULL
+    dndx_cols() (global breakdown partition); returns the normalized
+    distribution dict on every process."""
+    if cfg.df_mode not in (3, 4) or cfg.mode in (2, 3):
+        raise ValueError("feqmod dN/dX multi-host handles df modes 3-4 on "
+                         f"VH surfaces, got df_mode={cfg.df_mode} "
+                         f"mode={cfg.mode}")
+    if mesh is None:
+        mesh = global_mesh(axis=cfg.mesh_axis)
+    from ..kernels.dndx import _dndx_jit, dndx_finalize
+    grid = grid.replace(eta_mT_rescale=False)   # same as the in-process path
+    lag = _laguerre_cast(laguerre, cols_full["tau"].dtype)
+    jobs = _feqmod_jobs(cols_full, n_global, df_data, lag, cfg)
+    kern_of_both = lambda both: (
+        lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg, both))
+    acc = _run_feqmod_jobs(jobs, kern_of_both,
+                           (species, grid, df_data, lag), cfg, mesh,
+                           unroll_groups=True)
     return dndx_finalize(acc, grid, cfg)

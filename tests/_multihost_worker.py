@@ -110,6 +110,23 @@ def dndx_fixtures():
     return cfg, n_global, surface, species, grid, df
 
 
+def feqmod_fixtures():
+    """df_mode 3 with the partition forced on: the synthetic coefficient
+    tables put a large fraction of cells in breakdown, so BOTH partitions
+    (clean feqmod-only + both-branch) are exercised across the pod."""
+    import dataclasses
+    cfg, n_global, surface, species, grid, df = fixtures()
+    cfg = dataclasses.replace(cfg, df_mode=3, feqmod_partition_min_cells=1)
+    return cfg, n_global, surface, species, grid, df
+
+
+def feqmod_dndx_fixtures():
+    import dataclasses
+    cfg, n_global, surface, species, grid, df = feqmod_fixtures()
+    cfg = dataclasses.replace(cfg, operation=0, tau_bins=10, r_bins=8)
+    return cfg, n_global, surface, species, grid, df
+
+
 def _slice(cols, start, stop):
     return {k: np.asarray(v)[start:stop] for k, v in cols.items()}
 
@@ -151,6 +168,20 @@ def compute_multihost(out: dict) -> None:
               "dN_twopitaurdtaudrdy"):
         out[f"dndx_{k}"] = np.asarray(dnx[k])
 
+    # feqmod paths: FULL columns on every process (global partition)
+    cfg, n_global, surface, species, grid, df = feqmod_fixtures()
+    cols_full = {k: np.asarray(v)
+                 for k, v in surface_columns(surface, cfg).items()}
+    out["feqmod"] = np.asarray(multihost.feqmod_spectra_multihost(
+        cols_full, n_global, species, grid, df, cfg))
+
+    cfg, n_global, surface, species, grid, df = feqmod_dndx_fixtures()
+    cols_full = {k: np.asarray(v) for k, v in dndx_cols(surface, cfg).items()}
+    dnx = multihost.feqmod_spacetime_distributions_multihost(
+        cols_full, n_global, species, grid, df, cfg)
+    for k in ("dN_dy", "dN_taudtaudy", "dN_twopitaurdtaudrdy"):
+        out[f"feqmod_dndx_{k}"] = np.asarray(dnx[k])
+
 
 def compute_inprocess() -> dict:
     """The single-host references the pod results must match bit-for-bit."""
@@ -172,6 +203,14 @@ def compute_inprocess() -> dict:
     for k in ("dN_dy", "dN_dydeta", "dN_taudtaudy", "dN_twopirdrdy",
               "dN_twopitaurdtaudrdy"):
         out[f"dndx_{k}"] = np.asarray(dnx[k])
+    from is3d_tpu.kernels.feqmod import smooth_spectra_feqmod
+    cfg, _, surface, species, grid, df = feqmod_fixtures()
+    out["feqmod"] = np.asarray(
+        smooth_spectra_feqmod(surface, species, grid, df, cfg))
+    cfg, _, surface, species, grid, df = feqmod_dndx_fixtures()
+    dnx = spacetime_distributions(surface, species, grid, df, cfg)
+    for k in ("dN_dy", "dN_taudtaudy", "dN_twopitaurdtaudrdy"):
+        out[f"feqmod_dndx_{k}"] = np.asarray(dnx[k])
     return out
 
 
