@@ -98,10 +98,13 @@ class IS3D:
             include_baryon=bool(self.cfg.include_baryon),
             include_baryondiff=bool(self.cfg.include_baryondiff_deltaf),
             dtype=self._dtype)
+        import jax
         if write_averages and self.averages is not None \
-                and self.cfg.mode in (0, 1, 4, 6, 7):
+                and self.cfg.mode in (0, 1, 4, 6, 7) \
+                and not (self._pod() and jax.process_index()):
             # side-channel file compatibility (reference:
-            # readindata.cpp:313-316 <-> Plasma::load_thermodynamic_averages)
+            # readindata.cpp:313-316 <-> Plasma::load_thermodynamic_averages);
+            # pod processes share the run dir, so only process 0 writes it
             self.averages.write(os.path.join(
                 self.data_dir, "average_thermodynamic_quantities.dat"))
         return self
@@ -129,7 +132,7 @@ class IS3D:
         # apiece -- measured ~50 s of prepare on the toy surface).  The
         # compute kernels transfer these small arrays once when they
         # dispatch.
-        with jax.default_device(jax.devices("cpu")[0]):
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             (particle_table, df_data, species, chosen_mcids, grid,
              plasma) = self._prepare_impl()
             if jax.default_backend() != "cpu":
@@ -211,6 +214,12 @@ class IS3D:
         from .utils import PhaseTimer
         timer = timer or PhaseTimer(verbose=False)
         cfg = self.cfg
+        if self._pod():
+            # multi-process pod (jax.distributed): deterministic kernels
+            # route through parallel/multihost.py (bit-identical results,
+            # replicated on every process); only process 0 writes files
+            import jax
+            write_files = write_files and jax.process_index() == 0
         if write_files:
             # the spectra writers append (reference ios_base::app parity);
             # a rerun into the same results_dir must not duplicate blocks
@@ -231,9 +240,14 @@ class IS3D:
             # dN_dX / sampler) on the vorticity surface.  We do both: compute
             # the polarization the paper advertises, then fall through to the
             # operation dispatch for reference parity.
-            from .kernels.polzn import spin_polarization
-            pol = spin_polarization(self.surface, species, grid, cfg, plasma,
-                                    mesh=self.mesh)
+            if self._pod():
+                from .parallel.multihost import spin_polarization_pod
+                pol = spin_polarization_pod(self.surface, species, grid, cfg,
+                                            plasma, mesh=self.mesh)
+            else:
+                from .kernels.polzn import spin_polarization
+                pol = spin_polarization(self.surface, species, grid, cfg,
+                                        plasma, mesh=self.mesh)
             result.polarization = {k: np.asarray(v) for k, v in pol.items()}
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
@@ -278,11 +292,17 @@ class IS3D:
             # entirely (its whole MODE-2 kernel block is commented out,
             # emissionfunction.cpp:1644-1673, and it never had a VAH dN/dX
             # kernel even in dead code)
-            from .kernels.dndx import spacetime_distributions
             with timer.phase("dN/dX spacetime"):
-                result.dN_dX = spacetime_distributions(
-                    self.surface, species, grid, df_data, cfg,
-                    mesh=self.mesh)
+                if self._pod():
+                    from .parallel.multihost import spacetime_distributions_pod
+                    result.dN_dX = spacetime_distributions_pod(
+                        self.surface, species, grid, df_data, cfg,
+                        mesh=self.mesh)
+                else:
+                    from .kernels.dndx import spacetime_distributions
+                    result.dN_dX = spacetime_distributions(
+                        self.surface, species, grid, df_data, cfg,
+                        mesh=self.mesh)
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
                 writers.write_spacetime_distributions(result.dN_dX, mcids,
@@ -292,6 +312,13 @@ class IS3D:
             # sample_particles -- a capability the reference lacks (its
             # sample_dN_pTdpTdphidy_VAH_PL is a stub,
             # sampling_kernels.cpp:1231-1239)
+            if self._pod():
+                raise ValueError(
+                    "operation=2 (sampler) does not run in pod mode: "
+                    "Monte-Carlo sampling is share-nothing parallel -- use "
+                    "ensemble.multiprocess_oversample / "
+                    "python -m is3d_tpu.ensemble_worker with one worker per "
+                    "host instead (docs/MULTIHOST.md Levels 2-3)")
             from .kernels.sample import sample_particles, calculate_total_yield
             with timer.phase("sampler"):
                 result.events = sample_particles(
@@ -316,8 +343,19 @@ class IS3D:
 
         return result
 
+    def _pod(self) -> bool:
+        import jax
+        return jax.process_count() > 1
+
     def _smooth_spectra(self, species, grid, df_data):
         cfg = self.cfg
+        if self._pod():
+            from .parallel import multihost
+            if cfg.mode in (2, 3):
+                return multihost.smooth_spectra_vah_pod(
+                    self.surface, species, grid, cfg, mesh=self.mesh)
+            return multihost.smooth_spectra_pod(
+                self.surface, species, grid, df_data, cfg, mesh=self.mesh)
         if cfg.mode in (2, 3):
             # anisotropic hydro surface -> VAH kernel (the reference's call
             # site is commented out, emissionfunction.cpp:1650-1656; we wire

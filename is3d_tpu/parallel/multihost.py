@@ -60,6 +60,13 @@ def initialize(coordinator_address: str, num_processes: int,
                                process_id=process_id, **kwargs)
 
 
+def pod_active() -> bool:
+    """True when this process is part of a multi-process pod (api.IS3D uses
+    this to route the deterministic kernels through the multi-host paths
+    and to restrict file writing to process 0)."""
+    return jax.process_count() > 1
+
+
 def global_mesh(axis: str = "cells") -> Mesh:
     """1-D mesh over every device in the pod (all processes)."""
     return Mesh(np.asarray(jax.devices()), (axis,))
@@ -75,15 +82,13 @@ def _padded_layout(cfg: Config, n_global: int, mesh: Mesh) -> tuple[int, int]:
     return G_pad * gs, gs
 
 
-def process_cell_slice(cfg: Config, n_global: int,
-                       mesh: Mesh | None = None) -> tuple[int, int]:
-    """The [start, stop) range of GLOBAL surface cells this process must
-    load, clipped to n_global.  Derived from the sharding's addressable
+def _process_extent(cfg: Config, n_global: int,
+                    mesh: Mesh) -> tuple[int, int, int]:
+    """This process's contiguous [a, b) extent of the PADDED global cell
+    axis (plus the padded length).  Derived from the sharding's addressable
     shards, so it is correct for any device->process assignment as long as
     each process's shards are contiguous along the cell axis (true for the
     standard pod layout; asserted)."""
-    if mesh is None:
-        mesh = global_mesh(axis=cfg.mesh_axis)
     n_padded, _ = _padded_layout(cfg, n_global, mesh)
     sharding = NamedSharding(mesh, P(cfg.mesh_axis))
     idx = sharding.addressable_devices_indices_map((n_padded,))
@@ -94,29 +99,44 @@ def process_cell_slice(cfg: Config, n_global: int,
             raise ValueError(
                 f"process shards are not contiguous on the cell axis: {spans}"
                 " -- load per-shard slices manually")
-    start, stop = spans[0][0], spans[-1][1]
-    return start, min(stop, n_global)
+    return spans[0][0], spans[-1][1], n_padded
+
+
+def process_cell_slice(cfg: Config, n_global: int,
+                       mesh: Mesh | None = None) -> tuple[int, int]:
+    """The [start, stop) range of GLOBAL surface cells this process must
+    load, clipped to n_global on both ends (a process whose whole extent is
+    canonical-tree padding loads nothing: start == stop == n_global)."""
+    if mesh is None:
+        mesh = global_mesh(axis=cfg.mesh_axis)
+    a, b, _ = _process_extent(cfg, n_global, mesh)
+    return min(a, n_global), min(b, n_global)
 
 
 def _assemble_global_cols(cols_local: dict, start: int, stop_real: int,
                           n_global: int, cfg: Config, mesh: Mesh) -> dict:
-    """Pad this process's real-cell columns to its addressable extent of the
-    padded global axis (inert pad cells: dsigma = 0) and assemble global
-    sharded arrays."""
-    n_padded, _ = _padded_layout(cfg, n_global, mesh)
+    """Pad this process's real-cell columns to its addressable extent
+    [a, b) of the padded global axis (inert pad cells: dsigma = 0) and
+    assemble global sharded arrays.  A process whose whole extent is
+    canonical-tree padding (a >= n_global) contributes only pad cells."""
+    a, b, n_padded = _process_extent(cfg, n_global, mesh)
     sharding = NamedSharding(mesh, P(cfg.mesh_axis))
-    idx = sharding.addressable_devices_indices_map((n_padded,))
-    stop_padded = max((s[0].stop if s[0].stop is not None else n_padded)
-                      for s in idx.values())
+    if (start, stop_real) != (min(a, n_global), min(b, n_global)):
+        raise ValueError(
+            f"local columns must be this process's cell slice "
+            f"[{min(a, n_global)}, {min(b, n_global)}), got "
+            f"[{start}, {stop_real})")
     n_real = stop_real - start
     if any(v.shape[0] != n_real for v in cols_local.values()):
         raise ValueError(
             f"local columns must hold exactly cells [{start}, {stop_real}) "
             f"({n_real} rows)")
-    cols, _ = _pad_cols_to(cols_local, stop_padded - start)
-    if stop_padded - start != n_real:
-        mask = (jnp.arange(start, stop_padded) < n_global).astype(
-            cols["tau"].dtype)
+    cols, _ = _pad_cols_to(cols_local, b - a)
+    if b - a != n_real:
+        # real rows sit at the front of the extent ([a, a + n_real) with
+        # a == start when a < n_global), so global index a+i < n_global
+        # is exactly the real-row mask
+        mask = (jnp.arange(a, b) < n_global).astype(cols["tau"].dtype)
         for k in ("dat", "dax", "day", "dan"):
             cols[k] = cols[k] * mask
     return {k: jax.make_array_from_process_local_data(sharding,
@@ -303,3 +323,73 @@ def feqmod_spacetime_distributions_multihost(cols_full: dict, n_global: int,
                            (species, grid, df_data, lag), cfg, mesh,
                            unroll_groups=True)
     return dndx_finalize(acc, grid, cfg)
+
+
+# --------------------------------------------------------------- pod mode
+# Full-surface conveniences for api.IS3D: in file mode every process reads
+# the whole surface anyway (the reference CLI layout), so these slice the
+# process's shard internally and the pod run is the SAME command on every
+# process.  Results stay bit-identical to the single-process run.
+
+def _slice_for(cols: dict, n_global: int, cfg: Config, mesh: Mesh) -> dict:
+    start, stop = process_cell_slice(cfg, n_global, mesh)
+    return {k: np.asarray(v)[start:stop] for k, v in cols.items()}
+
+
+def smooth_spectra_pod(surface, species, grid, df_data, cfg: Config,
+                       mesh: Mesh | None = None):
+    """Pod-mode smooth spectra from the full surface (VH df 1-4)."""
+    from ..kernels.common import surface_columns
+    if mesh is None:
+        mesh = global_mesh(axis=cfg.mesh_axis)
+    cols = surface_columns(surface, cfg)
+    n_global = int(cols["tau"].shape[0])
+    if cfg.df_mode in (3, 4):
+        cols = {k: np.asarray(v) for k, v in cols.items()}
+        return feqmod_spectra_multihost(cols, n_global, species, grid,
+                                        df_data, cfg, mesh=mesh)
+    return smooth_spectra_multihost(_slice_for(cols, n_global, cfg, mesh),
+                                    n_global, species, grid, df_data, cfg,
+                                    mesh)
+
+
+def smooth_spectra_vah_pod(surface, species, grid, cfg: Config,
+                           mesh: Mesh | None = None):
+    """Pod-mode VAH smooth spectra from the full mode-2/3 surface."""
+    from ..kernels.vah import vah_surface_cols
+    if mesh is None:
+        mesh = global_mesh(axis=cfg.mesh_axis)
+    cols = vah_surface_cols(surface)
+    n_global = int(cols["tau"].shape[0])
+    return smooth_spectra_vah_multihost(_slice_for(cols, n_global, cfg, mesh),
+                                        n_global, species, grid, cfg, mesh)
+
+
+def spin_polarization_pod(surface, species, grid, cfg: Config, plasma,
+                          mesh: Mesh | None = None) -> dict:
+    """Pod-mode spin polarization from the full mode-5 surface."""
+    from ..kernels.polzn import polzn_cols
+    if mesh is None:
+        mesh = global_mesh(axis=cfg.mesh_axis)
+    cols = polzn_cols(surface)
+    n_global = int(cols["tau"].shape[0])
+    return spin_polarization_multihost(_slice_for(cols, n_global, cfg, mesh),
+                                       n_global, species, grid, cfg, plasma,
+                                       mesh)
+
+
+def spacetime_distributions_pod(surface, species, grid, df_data, cfg: Config,
+                                mesh: Mesh | None = None) -> dict:
+    """Pod-mode dN/dX from the full surface (VH df 1-4 or VAH mode 2/3)."""
+    from ..kernels.dndx import dndx_cols
+    if mesh is None:
+        mesh = global_mesh(axis=cfg.mesh_axis)
+    cols = dndx_cols(surface, cfg)
+    n_global = int(cols["tau"].shape[0])
+    if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3):
+        cols = {k: np.asarray(v) for k, v in cols.items()}
+        return feqmod_spacetime_distributions_multihost(
+            cols, n_global, species, grid, df_data, cfg, mesh=mesh)
+    return spacetime_distributions_multihost(
+        _slice_for(cols, n_global, cfg, mesh), n_global, species, grid,
+        df_data, cfg, mesh)

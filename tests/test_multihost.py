@@ -79,3 +79,89 @@ def test_multihost_rejects_feqmod():
     cfg = dataclasses.replace(cfg, df_mode=3)
     with pytest.raises(ValueError, match="df_mode 1/2"):
         smooth_spectra_multihost({}, n_global, None, None, None, cfg)
+
+
+def _make_run_dir(base):
+    import shutil
+    d = base / "run"
+    (d / "input").mkdir(parents=True)
+    shutil.copy("/root/reference/input/surface.dat", d / "input/surface.dat")
+    shutil.copy("/root/reference/iS3D_parameters.dat",
+                d / "iS3D_parameters.dat")
+    for name in ("PDG", "tables", "deltaf_coefficients"):
+        os.symlink(f"/root/reference/{name}", d / name)
+    return str(d)
+
+
+def _cli_env():
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def test_pod_cli_bit_identical_results(tmp_path, reference_dir):
+    """The SAME CLI command on every pod process (docs/MULTIHOST.md Level 4)
+    must produce a results/ tree byte-identical to a single-process run --
+    with a different device count, so this also re-proves sharding
+    bit-stability through the full file pipeline."""
+    args = ["mode=1", "operation=1", "platform=cpu"]
+    env = _cli_env()
+
+    run_single = _make_run_dir(tmp_path / "single")
+    out = subprocess.run(
+        [sys.executable, "-m", "is3d_tpu", run_single, "host_devices=4"]
+        + args, env=env, capture_output=True, timeout=600)
+    assert out.returncode == 0, out.stdout.decode()[-2000:] + \
+        out.stderr.decode()[-2000:]
+
+    run_pod = _make_run_dir(tmp_path / "pod")
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "is3d_tpu", run_pod, "host_devices=2",
+         f"multihost_coordinator=localhost:{port}", "multihost_nproc=2",
+         f"multihost_pid={i}"] + args,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-4000:]
+
+    def tree(root):
+        out = []
+        for d, _, files in os.walk(root):
+            rel = os.path.relpath(d, root)
+            out += [os.path.normpath(os.path.join(rel, f)) for f in files]
+        return sorted(out)
+
+    single_files = tree(os.path.join(run_single, "results"))
+    pod_files = tree(os.path.join(run_pod, "results"))
+    assert single_files == pod_files and single_files
+    for name in single_files:
+        with open(os.path.join(run_single, "results", name), "rb") as f:
+            want = f.read()
+        with open(os.path.join(run_pod, "results", name), "rb") as f:
+            got = f.read()
+        assert got == want, f"results/{name} differs between pod and single"
+    # the averages side-channel is also written exactly once and identically
+    for d in (run_single, run_pod):
+        assert os.path.exists(
+            os.path.join(d, "average_thermodynamic_quantities.dat"))
+
+
+def test_pod_rejects_sampler_operation(tmp_path, reference_dir):
+    """operation=2 in pod mode must fail fast with the ensemble pointer,
+    not silently oversample the same events on every process."""
+    run_pod = _make_run_dir(tmp_path / "pod2")
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "is3d_tpu", run_pod, "host_devices=1",
+         f"multihost_coordinator=localhost:{port}", "multihost_nproc=2",
+         f"multihost_pid={i}", "mode=1", "operation=2", "platform=cpu"],
+        env=_cli_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        text = o.decode(errors="replace")
+        assert p.returncode != 0
+        assert "multiprocess_oversample" in text, text[-2000:]
