@@ -100,12 +100,15 @@ def _cli_env():
     return env
 
 
-def test_pod_cli_bit_identical_results(tmp_path, reference_dir):
+@pytest.mark.parametrize("operation", [1, 0])
+def test_pod_cli_bit_identical_results(tmp_path, reference_dir, operation):
     """The SAME CLI command on every pod process (docs/MULTIHOST.md Level 4)
     must produce a results/ tree byte-identical to a single-process run --
     with a different device count, so this also re-proves sharding
-    bit-stability through the full file pipeline."""
-    args = ["mode=1", "operation=1", "platform=cpu"]
+    bit-stability through the full file pipeline.  The shipped parameter
+    file has df_mode=3, so operation 1 drives the feqmod-partition pod path
+    and operation 0 the feqmod dN/dX pod path."""
+    args = ["mode=1", f"operation={operation}", "platform=cpu"]
     env = _cli_env()
 
     run_single = _make_run_dir(tmp_path / "single")
