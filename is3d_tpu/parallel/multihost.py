@@ -40,6 +40,8 @@ load-only-your-slice contract and reject feqmod configs.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -163,8 +165,14 @@ def multihost_cell_reduce(kernel_fn, cols_local: dict, n_global: int,
                                unroll_groups)
     # same sequential fold as the single-host path (bit-identical combine);
     # explicit replicated out_sharding so every process can read the result
-    fold = jax.jit(_tree_fold, out_shardings=NamedSharding(mesh, P()))
-    return jax.device_get(fold(parts))
+    return jax.device_get(_fold_replicated(mesh)(parts))
+
+
+@functools.lru_cache(maxsize=8)
+def _fold_replicated(mesh: Mesh):
+    """Per-mesh jit of the canonical fold (a fresh jax.jit wrapper per call
+    would re-trace every time)."""
+    return jax.jit(_tree_fold, out_shardings=NamedSharding(mesh, P()))
 
 
 def _reject_feqmod(cfg: Config, what: str, alternative: str) -> None:
