@@ -106,6 +106,15 @@ class Config:
     feqmod_partition_min_cells: int = 16384  # below this the probe dispatch
                                 # + second kernel compile cost more than the
                                 # fallback work they remove
+    remat_scan: int = 0         # jax.checkpoint the per-chunk scan bodies of
+                                # the smooth kernels so reverse-mode AD
+                                # (is3d_tpu.diff) recomputes each chunk's
+                                # (C, R, S, M) emission block instead of
+                                # storing it: backward memory ~ one chunk
+                                # regardless of surface size.  Default off:
+                                # the forward-only production path keeps the
+                                # exact compiled artifact the bit-parity
+                                # suite pins
     sampler_pack: str = "auto"  # sampled-hadron device->host transfer
                                 # precision: "f16" halves the D2H bytes of
                                 # the bottleneck link (<= 2^-11 relative

@@ -24,6 +24,30 @@ from ..io.deltaf import DeltafData, evaluate_df_coefficients
 from ..physics import lrf
 
 
+@jax.custom_jvp
+def fermi_bose(x, s):
+    """f = 1 / (e^x + s), the Fermi/Bose/Boltzmann occupation (s = +1/-1/0).
+
+    The primal keeps the kernels' original expression -- the compiled
+    forward is BIT-identical to a plain 1/(exp(x)+s), which the
+    sharded-vs-single bit-identity suite pins (an algebraically
+    rearranged overflow-safe form measurably drifts by ~1 ulp between
+    the shard_map and single-device compilations).  The custom derivative
+    replaces AD's -e^x/(e^x+s)^2 -- NaN (inf/inf) once e^x overflows at
+    fixed-node eta_max ~ 7 grid edges, x ~ 1.4e4 -- with the simplified
+    df/dx = -f(1-sf), df/ds = -f^2, which are exact zeros there
+    (is3d_tpu.diff needs this; forward-only paths are unaffected)."""
+    return 1.0 / (jnp.exp(x) + s)
+
+
+@fermi_bose.defjvp
+def _fermi_bose_jvp(primals, tangents):
+    x, s = primals
+    dx, ds = tangents
+    f = fermi_bose(x, s)
+    return f, -f * ((1.0 - s * f) * dx + f * ds)
+
+
 def carry_seed_zero(cols: dict):
     """Exact +0.0 scalar DERIVED FROM the surface data, for seeding scan
     carries: under shard_map a plain constant carry has the wrong

@@ -33,7 +33,8 @@ from jax import lax
 from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
-from .common import pad_and_chunk, effective_chunk, carry_seed_zero
+from .common import (pad_and_chunk, effective_chunk, carry_seed_zero,
+                     fermi_bose)
 from .smooth import (_flat_monomials, _phi_broadcast, _block_delta,
                      _reduce_cells_3d)
 
@@ -113,7 +114,8 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
 
     # --- full-rank block (C, R, S, M)
     pds = MT * bb(A1) + cm(W1)
-    f0 = 1.0 / (jnp.exp(MT * bb(B1) - cm(W2)) + sign_b)
+    # NaN-free derivative under AD, bit-identical forward: see common.py
+    f0 = fermi_bose(MT * bb(B1) - cm(W2), sign_b)
     pref = (-0.25 / sb(species.mass)) * (1.0 - sign_b * f0)
 
     mask = (valid & c["valid"]).astype(pds.dtype)
@@ -176,6 +178,8 @@ def _polzn_jit(cols, species, grid, T_avg, cfg: Config):
         out = _chunk_polzn(c, m, species, grid, cfg, T_avg)
         return tuple(a + o for a, o in zip(acc, out)), None
 
+    if cfg.remat_scan:
+        body = jax.checkpoint(body)
     acc, _ = lax.scan(body, acc0, (chunked, mask))
     return acc
 

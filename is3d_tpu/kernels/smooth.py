@@ -34,6 +34,7 @@ from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
 from ..io.deltaf import DeltafData
 from .common import (surface_columns, prepare_cells, pad_and_chunk,
+                     fermi_bose,
                      carry_seed_zero,
                      effective_chunk)
 
@@ -189,7 +190,7 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     if cfg.include_baryon:
         arg = arg - baryon_b * cb(c["alphaB"])
 
-    feq = 1.0 / (jnp.exp(arg) + sign_b)
+    feq = fermi_bose(arg, sign_b)   # NaN-free derivative, see common.py
     feqbar = 1.0 - sign_b * feq
 
     df = _linear_df_flat(cfg, c["df"], c, pdotu, pipp, Vp, mass2_b, baryon_b,
@@ -391,6 +392,8 @@ def _smooth_spectra_jit(cols, species, grid, df_data, cfg: Config):
         cells = prepare_cells(chunk_cols, cfg, df_data)
         return acc + _chunk_contribution(cells, m, species, grid, cfg), None
 
+    if cfg.remat_scan:
+        body = jax.checkpoint(body)
     acc, _ = lax.scan(body, acc0, (chunked, mask))
     return acc
 

@@ -41,7 +41,8 @@ from ..units import CF_PREFACTOR
 from ..config import Config
 from ..data import SpeciesArrays
 from ..io.tables import MomentumGrid
-from .common import pad_and_chunk, effective_chunk, carry_seed_zero
+from .common import (pad_and_chunk, effective_chunk, carry_seed_zero,
+                     fermi_bose)
 from .smooth import (_flat_monomials, _phi_broadcast, _block_delta,
                      _reduce_cells_3d)
 from ..physics import lrf
@@ -131,7 +132,8 @@ def _chunk_vah_spectra(c, valid, species, grid, cfg, reduce: bool = True):
     pds = MT * bb(A1) + cm(W1)
     pdotu = MT * bb(B1) - cm(W2)
     Ea = jnp.sqrt(pdotu * pdotu + MT2 * bb(ZZ))
-    fa = 1.0 / (jnp.exp(Ea * inv_lam) + sign_b)
+    # NaN-free derivative under AD, bit-identical forward: see common.py
+    fa = fermi_bose(Ea * inv_lam, sign_b)
     fabar = 1.0 - sign_b * fa
 
     df = None
@@ -213,6 +215,8 @@ def _vah_jit(cols, species, grid, cfg: Config):
         c = _complete_vah_cells(chunk_cols)
         return acc + _chunk_vah_spectra(c, m, species, grid, cfg), None
 
+    if cfg.remat_scan:
+        body = jax.checkpoint(body)
     acc, _ = lax.scan(body, acc0, (chunked, mask))
     return acc
 
