@@ -22,15 +22,16 @@ pinning the exact forward artifact).
 Supported surface maps:
 
 * linear df (df_mode 1-2) spectra            [kernels.smooth.smooth_spectra]
+* feqmod (df_mode 3-4) spectra               [kernels.feqmod, see below]
 * VAH spectra (mode 2/3 surfaces)            [kernels.vah.smooth_spectra_vah]
 * spin polarization (mode 5 surfaces)        [kernels.polzn.spin_polarization]
 
-NOT supported: feqmod (df_mode 3-4).  The feqmod pass routes cells through
-a host-side data-dependent breakdown partition (kernels/feqmod.py:
-_feqmod_spectra_dispatch probes concrete values), so the map is only
-piecewise-defined under tracing; use df_mode=2 (Chapman-Enskog), whose
-linearization feqmod reduces to away from breakdown, as the differentiable
-surrogate.
+feqmod runs with the host-side breakdown partition disabled (it is a pure
+perf optimization; the both-branch kernel is one jnp map with a jnp.where
+branch select, so it traces and differentiates).  A cell sitting exactly
+on the breakdown threshold has a jump discontinuity inherited from the
+physics (the reference's per-cell goto fallback, emissionfunction.cpp:
+109-150); gradients are exact one-sided derivatives everywhere else.
 
 Non-smooth points inherited from the physics (all yield correct one-sided
 subgradients, never NaN): the |df| <= 1 regulator (jnp.clip), the outflow
@@ -107,9 +108,10 @@ def spectra_fn(species: SpeciesArrays, grid: MomentumGrid,
     """The differentiable surface -> spectra map for ``cfg``.
 
     Dispatches exactly like the production API (api.py): VAH surfaces
-    (mode 2/3) to the VAH kernel, otherwise linear df modes 1-2.  feqmod
-    raises (module docstring).  ``cfg.remat_scan`` is forced on so the
-    reverse pass is chunk-rematerialized.
+    (mode 2/3) to the VAH kernel, otherwise linear df (modes 1-2) or
+    feqmod (modes 3-4, breakdown partition disabled -- module docstring).
+    ``cfg.remat_scan`` is forced on so the reverse pass is
+    chunk-rematerialized.
 
     With ``mesh`` the forward runs cell-sharded over the device mesh and
     the backward differentiates straight through the shard_map + psum
@@ -125,12 +127,30 @@ def spectra_fn(species: SpeciesArrays, grid: MomentumGrid,
         return fn
 
     if cfg.df_mode in (3, 4):
-        raise NotImplementedError(
-            "feqmod (df_mode 3-4) is not differentiable: its breakdown "
-            "partition is a host-side data-dependent dispatch "
-            "(kernels/feqmod.py), so the surface->spectra map is only "
-            "piecewise-defined under tracing.  Use df_mode=2 "
-            "(Chapman-Enskog) as the differentiable surrogate.")
+        # the host-side breakdown PARTITION (a pure perf optimization:
+        # np.flatnonzero routing on concrete probe values) is disabled so
+        # the whole surface runs the both-branch kernel -- a single pure
+        # jnp map in which breakdown cells are selected by jnp.where, hence
+        # traceable and differentiable.  The branch select itself is a
+        # step function of the surface (a cell crossing the breakdown
+        # threshold switches evaluations discontinuously -- inherited
+        # physics, same as the reference's per-cell goto), so gradients
+        # are the correct one-sided derivatives away from the threshold.
+        fcfg = cfg.replace(remat_scan=1, feqmod_partition=0)
+
+        if mesh is not None:
+            def fn(surface):
+                from .parallel.mesh import smooth_spectra_sharded
+                return smooth_spectra_sharded(surface, species, grid,
+                                              df_data, fcfg, mesh=mesh)
+            return fn
+
+        def fn(surface):
+            from .kernels.feqmod import smooth_spectra_feqmod
+            return smooth_spectra_feqmod(surface, species, grid, df_data,
+                                         fcfg)
+        return fn
+
     scfg = cfg.replace(remat_scan=1)
 
     if mesh is not None:

@@ -48,6 +48,30 @@ def _fermi_bose_jvp(primals, tangents):
     return f, -f * ((1.0 - s * f) * dx + f * ds)
 
 
+@jax.custom_jvp
+def scaled_fermi_bose(a, x, s):
+    """f = a / (e^x + s): occupation with a folded-in scale factor.
+
+    Same contract as fermi_bose, for call sites whose forward expression is
+    ``a / (exp(x) + s)`` (the feqmod kernel's renormalized f_mod): the
+    primal keeps that exact expression -- rewriting it as
+    ``a * fermi_bose(x, s)`` turns one divide into reciprocal+multiply and
+    measurably drifts the compiled forward -- while the custom derivative
+    avoids AD's -a e^x/(e^x+s)^2 NaN (inf/inf) where e^x overflows:
+    df/da = g, df/dx = -a g (1 - s g), df/ds = -a g^2 with g = 1/(e^x+s),
+    all exact zeros there."""
+    return a / (jnp.exp(x) + s)
+
+
+@scaled_fermi_bose.defjvp
+def _scaled_fermi_bose_jvp(primals, tangents):
+    a, x, s = primals
+    da, dx, ds = tangents
+    ex = jnp.exp(x)
+    g = 1.0 / (ex + s)          # the scale-free occupation, 0 at overflow
+    return a / (ex + s), g * da - a * g * ((1.0 - s * g) * dx + g * ds)
+
+
 def carry_seed_zero(cols: dict):
     """Exact +0.0 scalar DERIVED FROM the surface data, for seeding scan
     carries: under shard_map a plain constant carry has the wrong

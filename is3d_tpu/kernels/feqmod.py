@@ -35,7 +35,7 @@ from ..io.deltaf import DeltafData
 from ..physics import lrf, thermal
 from .common import (surface_columns, prepare_cells, pad_and_chunk,
                      carry_seed_zero,
-                     effective_chunk)
+                     effective_chunk, fermi_bose, scaled_fermi_bose)
 from .smooth import _flat_monomials
 
 
@@ -369,7 +369,8 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         if cfg.include_baryon and cfg.df_mode != 4:
             # Jonah fallback feq has no chem (:861)
             arg = arg - baryon_b * cb(c["alphaB"])
-        feq = 1.0 / (jnp.exp(arg) + sign_b)
+        # NaN-free derivative under AD, bit-identical forward: see common.py
+        feq = fermi_bose(arg, sign_b)
         feqbar = 1.0 - sign_b * feq
 
         df = c["df"]
@@ -488,8 +489,9 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     E_mod = jnp.sqrt(mass2_b + jnp.maximum(x2, 0.0))
 
     chem_mod = baryon_b * cb(c["alphaB_mod"])
-    f_mod = (jnp.abs(c["renorm"])[:, None, :, None]      # (C,1,S,1)
-             / (jnp.exp(E_mod / cb(c["T_mod"]) - chem_mod) + sign_b))
+    # NaN-free derivative under AD, bit-identical forward: see common.py
+    f_mod = scaled_fermi_bose(jnp.abs(c["renorm"])[:, None, :, None],  # (C,1,S,1)
+                              E_mod / cb(c["T_mod"]) - chem_mod, sign_b)
     if rescaled:
         # jacobian of the per-cell zscale node compression (the shared
         # s(mT) jacobian is applied to the reduced output instead)
@@ -559,6 +561,8 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config,
         return acc + _chunk_contribution_feqmod(cells, m, species, grid, cfg,
                                                 both=both), None
 
+    if cfg.remat_scan:
+        body = jax.checkpoint(body)
     acc, _ = lax.scan(body, acc0, (chunked, mask))
     return acc
 

@@ -246,10 +246,63 @@ def test_sharded_grad_matches_single_device(smash_table, df_data):
                                    rtol=1e-11, err_msg=k)
 
 
-def test_feqmod_refuses_differentiation(smash_table, df_data):
+@pytest.mark.parametrize("df_mode", [3, 4])
+def test_feqmod_grad_matches_fd(smash_table, df_data, df_mode):
+    """feqmod (Mike / Jonah) spectra gradients vs FD.  The differentiable
+    path runs the both-branch kernel with the host-side breakdown
+    partition disabled (diff.py), so the map is one traced jnp program."""
+    rng = np.random.default_rng(18 + df_mode)
+    surf = to_surface(random_cells(5, rng, dimension=2))
     species = pikp_species(smash_table)
-    with pytest.raises(NotImplementedError, match="feqmod"):
-        diff.spectra_fn(species, GRID, df_data, CFG.replace(df_mode=3))
+    cfg = CFG.replace(df_mode=df_mode)
+    smap = diff.spectra_fn(species, GRID, df_data, cfg)
+    scalar = lambda s: jnp.sum(diff.dN_dy_j(smap(s), GRID))
+
+    wrt = ("T", "ux", "bulkPi", "pixy", "dat")
+    value, grads = diff.surface_value_and_grad(scalar, surf, wrt)
+    assert float(value) > 0.0
+    for field in wrt:
+        for i in (0, 3):
+            want = fd_entry(scalar, surf, field, i)
+            np.testing.assert_allclose(
+                float(grads[field][i]), want, rtol=5e-5, atol=1e-12,
+                err_msg=f"df_mode={df_mode} d/d{field}[{i}]")
+
+
+def test_feqmod_diff_forward_matches_production(smash_table, df_data):
+    """The differentiable feqmod map (partition off, remat on) must give
+    the production forward spectra: jax.checkpoint is AD-only and the
+    partition only changes summation grouping (both reduce through the
+    canonical group tree)."""
+    from is3d_tpu.kernels.feqmod import smooth_spectra_feqmod
+    rng = np.random.default_rng(21)
+    surf = to_surface(random_cells(7, rng, dimension=2))
+    species = pikp_species(smash_table)
+    cfg = CFG.replace(df_mode=3)
+    a = np.asarray(diff.spectra_fn(species, GRID, df_data, cfg)(surf))
+    b = np.asarray(smooth_spectra_feqmod(surf, species, GRID, df_data, cfg))
+    assert (a == b).all()
+
+
+def test_feqmod_sharded_grad_matches_single_device(smash_table, df_data):
+    """feqmod gradients through the mesh path == single-device."""
+    from is3d_tpu.parallel.mesh import default_mesh
+
+    rng = np.random.default_rng(22)
+    surf = to_surface(random_cells(9, rng, dimension=2))
+    species = pikp_species(smash_table)
+    cfg = CFG.replace(df_mode=3)
+    scalar = lambda s, m=None: jnp.sum(diff.dN_dy_j(
+        diff.spectra_fn(species, GRID, df_data, cfg, mesh=m)(s), GRID))
+
+    v1, g1 = diff.surface_value_and_grad(lambda s: scalar(s), surf,
+                                         ("T", "ux"))
+    v8, g8 = diff.surface_value_and_grad(
+        lambda s: scalar(s, default_mesh(8)), surf, ("T", "ux"))
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-12)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g8[k]), np.asarray(g1[k]),
+                                   rtol=1e-11, err_msg=k)
 
 
 def test_wrt_absent_field_raises(smash_table, df_data):
