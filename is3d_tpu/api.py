@@ -260,18 +260,7 @@ class IS3D:
                 spectra = self._smooth_spectra(species, grid, df_data)
                 result.spectra = np.asarray(spectra)
             if write_files:
-                os.makedirs(self.results_dir, exist_ok=True)
-                writers.write_dN_pTdpTdphidy(spectra, grid, mcids,
-                                             cfg.dimension, self.results_dir)
-                writers.write_continuous_vn(spectra, grid, mcids,
-                                            cfg.dimension, self.results_dir)
-                writers.write_dN_dy(spectra, grid, mcids, cfg.dimension,
-                                    self.results_dir,
-                                    compat_dndy=bool(cfg.reference_compat_dndy))
-                writers.write_dN_dphidy(spectra, grid, mcids, cfg.dimension,
-                                        self.results_dir)
-                writers.write_dN_twopipTdpTdy(spectra, grid, mcids,
-                                              cfg.dimension, self.results_dir)
+                self._write_smooth_files(spectra, grid, mcids, self.results_dir)
             if cfg.do_resonance_decays:
                 from .kernels.decays import do_resonance_decays
                 with timer.phase("resonance decays"):
@@ -280,12 +269,8 @@ class IS3D:
                         np.asarray(mcids), grid, cfg)
                 result.spectra = decayed
                 if write_files:
-                    writers.write_dN_pTdpTdphidy(
-                        jnp.asarray(decayed), grid, mcids, cfg.dimension,
-                        self.results_dir, suffix="_resonance_decays")
-                    writers.write_dN_dpTdphidy(
-                        jnp.asarray(decayed), grid, mcids, cfg.dimension,
-                        self.results_dir, suffix="_resonance_decays")
+                    self._write_decay_files(decayed, grid, mcids,
+                                            self.results_dir)
         elif cfg.operation == 0:
             # modes 2-3 route to the VAH emission function inside
             # spacetime_distributions -- a capability the reference lacks
@@ -342,6 +327,122 @@ class IS3D:
             raise ValueError(f"operation must be 0, 1 or 2, got {cfg.operation}")
 
         return result
+
+    def _write_smooth_files(self, spectra, grid, mcids, results_dir):
+        cfg = self.cfg
+        os.makedirs(results_dir, exist_ok=True)
+        writers.write_dN_pTdpTdphidy(spectra, grid, mcids, cfg.dimension,
+                                     results_dir)
+        writers.write_continuous_vn(spectra, grid, mcids, cfg.dimension,
+                                    results_dir)
+        writers.write_dN_dy(spectra, grid, mcids, cfg.dimension, results_dir,
+                            compat_dndy=bool(cfg.reference_compat_dndy))
+        writers.write_dN_dphidy(spectra, grid, mcids, cfg.dimension,
+                                results_dir)
+        writers.write_dN_twopipTdpTdy(spectra, grid, mcids, cfg.dimension,
+                                      results_dir)
+
+    def _write_decay_files(self, decayed, grid, mcids, results_dir):
+        cfg = self.cfg
+        writers.write_dN_pTdpTdphidy(jnp.asarray(decayed), grid, mcids,
+                                     cfg.dimension, results_dir,
+                                     suffix="_resonance_decays")
+        writers.write_dN_dpTdphidy(jnp.asarray(decayed), grid, mcids,
+                                   cfg.dimension, results_dir,
+                                   suffix="_resonance_decays")
+
+    def run_ensemble(self, surfaces, write_files: bool = True,
+                     pad_to: Optional[int] = None, timer=None) -> list:
+        """Smooth spectra for an ENSEMBLE of freeze-out surfaces in one
+        batched program (is3d_tpu.batch) -- the event-by-event workflow the
+        reference serves with one process per event
+        (scripts/run_multithread_sampling_iS3D.py) collapsed into a single
+        compiled pass.  Operation 1 only.
+
+        ``surfaces``: a list of surface-file paths and/or ``Surface``
+        objects (all events share this run's mode/dimension/df config).
+        With ``mesh=`` on the IS3D, the EVENT axis is sharded across the
+        mesh (whole events per device, no collectives) -- note this differs
+        from ``run_particlization``, which shards the CELL axis; the event
+        count must then divide the mesh size.
+
+        The delta-f data is prepared ONCE from the first event's
+        sigma-weighted thermo averages: for operation 1 those averages
+        only enter the Jonah (df_mode 4) z/lambda splines through T_avg,
+        and one centrality's events share the freeze-out state by
+        construction (the reference's per-event processes would rebuild
+        identical tables from each event's own file).
+
+        Per-event results trees go to ``<results_dir>/event_<i>/`` in the
+        reference formats; returns one RunResult per event, in order.
+        """
+        from .utils import PhaseTimer
+        from .io.surface import _averages
+        from .batch import stack_surfaces, smooth_spectra_batched
+        timer = timer or PhaseTimer(verbose=False)
+        cfg = self.cfg
+        if cfg.operation != 1:
+            raise ValueError("run_ensemble batches smooth spectra "
+                             "(operation 1); for sampling ensembles use "
+                             "ensemble.multiprocess_oversample")
+        if self._pod():
+            raise ValueError("run_ensemble is single-process; in a pod, "
+                             "give each process its own event range instead")
+
+        loaded, averages = [], []
+        with timer.phase("load surfaces"):
+            for s in surfaces:
+                if isinstance(s, (str, os.PathLike)):
+                    surf, avg = read_surface(
+                        s, mode=cfg.mode, dimension=cfg.dimension,
+                        include_baryon=bool(cfg.include_baryon),
+                        include_baryondiff=bool(cfg.include_baryondiff_deltaf),
+                        dtype=self._dtype)
+                else:
+                    surf = s
+                    col = lambda v: 0.0 if v is None else np.asarray(v)
+                    avg = _averages(
+                        col(surf.tau), col(surf.ux), col(surf.uy),
+                        col(surf.un), col(surf.dat), col(surf.dax),
+                        col(surf.day), col(surf.dan), col(surf.T),
+                        col(surf.E), col(surf.P), col(surf.muB),
+                        col(surf.nB))
+                loaded.append(surf)
+                averages.append(avg)
+        if not loaded:
+            raise ValueError("run_ensemble needs at least one surface")
+
+        self.surface, self.averages = loaded[0], averages[0]
+        with timer.phase("prepare (io, pdg, deltaf)"):
+            (particle_table, df_data, species, mcids, grid,
+             _plasma) = self._prepare()
+        self.timer = timer
+
+        with timer.phase("stack + batched spectra"):
+            stacked = stack_surfaces(loaded, pad_to=pad_to)
+            spectra = np.asarray(smooth_spectra_batched(
+                stacked, species, grid, df_data, cfg, mesh=self.mesh))
+
+        results = []
+        for e in range(len(loaded)):
+            res = RunResult(spectra=spectra[e], mcids=np.asarray(mcids),
+                            averages=averages[e])
+            event_dir = os.path.join(self.results_dir, f"event_{e}")
+            if write_files:
+                writers.clean_results_dir(event_dir)
+                self._write_smooth_files(jnp.asarray(spectra[e]), grid,
+                                         mcids, event_dir)
+            if cfg.do_resonance_decays:
+                from .kernels.decays import do_resonance_decays
+                with timer.phase(f"resonance decays (event {e})"):
+                    res.spectra = do_resonance_decays(
+                        spectra[e], particle_table, np.asarray(mcids), grid,
+                        cfg)
+                if write_files:
+                    self._write_decay_files(res.spectra, grid, mcids,
+                                            event_dir)
+            results.append(res)
+        return results
 
     def _pod(self) -> bool:
         import jax

@@ -174,15 +174,32 @@ def prepare_cells(cols: dict, cfg, df_data: Optional[DeltafData]) -> dict:
     return c
 
 
+# columns that must pad with a physical (non-zero) value so kernels stay
+# finite on inert pad cells (they appear in denominators / sqrt arguments);
+# everything else pads with 0, and dsigma = 0 makes a pad cell's
+# contribution exactly zero via the u.dsigma > 0 validity mask.  Shared by
+# pad_and_chunk, parallel.mesh._pad_inert, and batch.stack_surfaces.
+PAD_ONE_COLUMNS = ("tau", "T", "E", "P", "Lambda", "aL")
+
+
+def chunk_element_budget() -> int:
+    """Per-scan-step element budget for the (chunk x species x momentum)
+    block.  On TPU, XLA fuses the block into the reduction so the budget can
+    be large; the CPU backend materializes it, so cap tightly there."""
+    return (1 << 24) if jax.default_backend() == "cpu" else (1 << 31)
+
+
 def effective_chunk(requested: int, n_cells: int, per_cell_elems: int) -> int:
     """Bound the scan chunk so the (chunk x species x momentum) elementwise
-    block stays within a per-step element budget.
+    block stays within the per-step element budget.  All values are static
+    at trace time (shapes + config), so this is free.
 
-    On TPU, XLA fuses the block into the reduction so the budget can be
-    large; the CPU backend materializes it, so cap tightly there.  All values
-    are static at trace time (shapes + config), so this is free.
+    NOTE: under vmap (batch.py) the real block is n_events x this budget;
+    the batched entry points pre-divide cfg.cell_chunk by the event count
+    (batch._batch_capped_cfg) because this function cannot see the mapped
+    axis.
     """
-    budget = (1 << 24) if jax.default_backend() == "cpu" else (1 << 31)
+    budget = chunk_element_budget()
     return max(1, min(requested, max(n_cells, 1),
                       max(1, budget // max(per_cell_elems, 1))))
 
@@ -205,7 +222,7 @@ def pad_and_chunk(cols: dict, chunk: int) -> tuple[dict, jnp.ndarray, int]:
     out = {}
     for k, v in cols.items():
         if pad:
-            fill = 1.0 if k in ("tau", "T", "E", "P", "Lambda", "aL") else 0.0
+            fill = 1.0 if k in PAD_ONE_COLUMNS else 0.0
             v = jnp.concatenate([v, jnp.full((pad,), fill, dtype=v.dtype)])
         out[k] = v.reshape(n_chunks, chunk)
     return out, mask.reshape(n_chunks, chunk), n_chunks

@@ -64,10 +64,7 @@ def default_mesh(n_devices: int | None = None, axis: str = "cells") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-# columns that must pad with a physical (non-zero) value so kernels stay
-# finite on inert pad cells; everything else pads with 0, and dsigma = 0
-# makes the pad cell's contribution exactly zero
-_PAD_ONE = ("tau", "T", "E", "P", "Lambda", "aL")
+from ..kernels.common import PAD_ONE_COLUMNS as _PAD_ONE
 
 
 def _pad_cols_to(cols: dict, n_target: int) -> tuple[dict, int]:
