@@ -113,13 +113,8 @@ class IS3D:
         """21-column VH memory interface (reference: iS3D.cpp:27-72), plus any
         further Surface fields.  Units: GeV / GeV fm^-3 (already converted)."""
         self.surface = surface_from_arrays(dtype=self._dtype, **columns)
-        cols = {k: np.asarray(v) for k, v in columns.items()}
-        from .io.surface import _averages
-        self.averages = _averages(
-            cols["tau"], cols["ux"], cols["uy"], cols["un"],
-            cols["dat"], cols["dax"], cols["day"], cols["dan"],
-            cols["T"], cols.get("E", 0.0), cols.get("P", 0.0),
-            cols.get("muB", 0.0), cols.get("nB", 0.0))
+        from .io.surface import surface_averages
+        self.averages = surface_averages(self.surface)
         return self
 
     # ------------------------------------------------------------ pipeline
@@ -371,13 +366,21 @@ class IS3D:
         only enter the Jonah (df_mode 4) z/lambda splines through T_avg,
         and one centrality's events share the freeze-out state by
         construction (the reference's per-event processes would rebuild
-        identical tables from each event's own file).
+        identical tables from each event's own file).  Every event's
+        (T, muB) range is still validated against the df tables.
+
+        Mode-5 (vorticity) surfaces get the batched spin polarization as
+        well, each event normalized with its own averaged temperature --
+        mirroring run_particlization, which computes polarization and then
+        falls through to the operation dispatch.
 
         Per-event results trees go to ``<results_dir>/event_<i>/`` in the
-        reference formats; returns one RunResult per event, in order.
+        reference formats (stale ``event_*`` trees from a previous, larger
+        ensemble in the same results_dir are cleaned); returns one
+        RunResult per event, in order.
         """
         from .utils import PhaseTimer
-        from .io.surface import _averages
+        from .io.surface import surface_averages
         from .batch import stack_surfaces, smooth_spectra_batched
         timer = timer or PhaseTimer(verbose=False)
         cfg = self.cfg
@@ -399,14 +402,7 @@ class IS3D:
                         include_baryondiff=bool(cfg.include_baryondiff_deltaf),
                         dtype=self._dtype)
                 else:
-                    surf = s
-                    col = lambda v: 0.0 if v is None else np.asarray(v)
-                    avg = _averages(
-                        col(surf.tau), col(surf.ux), col(surf.uy),
-                        col(surf.un), col(surf.dat), col(surf.dax),
-                        col(surf.day), col(surf.dan), col(surf.T),
-                        col(surf.E), col(surf.P), col(surf.muB),
-                        col(surf.nB))
+                    surf, avg = s, surface_averages(s)
                 loaded.append(surf)
                 averages.append(avg)
         if not loaded:
@@ -418,20 +414,63 @@ class IS3D:
              _plasma) = self._prepare()
         self.timer = timer
 
+        # _prepare range-checked only the first event's (T, muB) against
+        # the df coefficient tables; the bilinear eval silently
+        # extrapolates under jit, so check the rest host-side too
+        if (cfg.include_baryon and cfg.df_mode in (1, 2, 3)
+                and cfg.mode not in (2, 3)):
+            for surf in loaded[1:]:
+                if surf.muB is not None:
+                    deltaf_io.validate_df_range(df_data,
+                                                np.asarray(surf.T),
+                                                np.asarray(surf.muB))
+
+        if write_files:
+            # a previous, larger ensemble may have written more event_<i>
+            # trees into this results_dir; clean them so globs over
+            # event_*/ see only this run
+            import glob
+            for d in glob.glob(os.path.join(self.results_dir, "event_*")):
+                tail = os.path.basename(d)[len("event_"):]
+                if tail.isdigit() and int(tail) >= len(loaded):
+                    writers.clean_results_dir(d)  # owned files only
+                    try:
+                        os.rmdir(d)  # gone entirely if nothing else inside
+                    except OSError:
+                        pass  # user files live there; leave the directory
+
         with timer.phase("stack + batched spectra"):
-            stacked = stack_surfaces(loaded, pad_to=pad_to)
+            stacked = stack_surfaces(loaded, pad_to=pad_to,
+                                     dtype=self._dtype)
             spectra = np.asarray(smooth_spectra_batched(
                 stacked, species, grid, df_data, cfg, mesh=self.mesh))
+
+        polarization = None
+        if cfg.mode == 5:
+            from .batch import polarization_batched
+            T_avg = np.asarray([cfg.T_switch if cfg.set_FO_temperature
+                                else a.temperature for a in averages])
+            with timer.phase("batched polarization"):
+                pol = polarization_batched(stacked, species, grid, cfg,
+                                           T_avg, mesh=self.mesh)
+                polarization = {k: np.asarray(v) for k, v in pol.items()}
 
         results = []
         for e in range(len(loaded)):
             res = RunResult(spectra=spectra[e], mcids=np.asarray(mcids),
                             averages=averages[e])
             event_dir = os.path.join(self.results_dir, f"event_{e}")
+            if polarization is not None:
+                res.polarization = {k: v[e] for k, v in polarization.items()}
             if write_files:
                 writers.clean_results_dir(event_dir)
                 self._write_smooth_files(jnp.asarray(spectra[e]), grid,
                                          mcids, event_dir)
+                if polarization is not None:
+                    p = res.polarization
+                    writers.write_polarization(
+                        p["St"], p["Sx"], p["Sy"], p["Sn"], p["Snorm"],
+                        grid, cfg.dimension, event_dir)
             if cfg.do_resonance_decays:
                 from .kernels.decays import do_resonance_decays
                 with timer.phase(f"resonance decays (event {e})"):

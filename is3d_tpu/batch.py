@@ -53,8 +53,8 @@ from .io.deltaf import DeltafData
 from .kernels.common import PAD_ONE_COLUMNS as _ONE_FILL
 
 
-def stack_surfaces(surfaces: Sequence[Surface],
-                   pad_to: int | None = None) -> Surface:
+def stack_surfaces(surfaces: Sequence[Surface], pad_to: int | None = None,
+                   dtype=None) -> Surface:
     """Stack an ensemble of surfaces into one Surface with (E, C) leaves.
 
     Surfaces may have different cell counts; each is padded to
@@ -62,6 +62,10 @@ def stack_surfaces(surfaces: Sequence[Surface],
     docstring).  Every surface must carry the same set of optional blocks
     (a field present on some events and absent on others has no sound
     batched meaning -- that is a config error, not a zero).
+
+    All columns are cast to ``dtype`` (default: the first surface's dtype)
+    -- without a common dtype, one f64 event among f32 ones would silently
+    promote the whole stacked program to (TPU-emulated, slow) f64.
     """
     if not surfaces:
         raise ValueError("stack_surfaces needs at least one surface")
@@ -70,6 +74,8 @@ def stack_surfaces(surfaces: Sequence[Surface],
         pad_to = n_max
     if pad_to < n_max:
         raise ValueError(f"pad_to={pad_to} < largest surface ({n_max} cells)")
+    if dtype is None:
+        dtype = jnp.asarray(surfaces[0].tau).dtype
 
     out = {}
     for f in dataclasses.fields(Surface):
@@ -85,18 +91,19 @@ def stack_surfaces(surfaces: Sequence[Surface],
         fill = 1.0 if f.name in _ONE_FILL else 0.0
         cols = []
         for v in vals:
-            v = jnp.asarray(v)
+            v = jnp.asarray(v, dtype=dtype)
             pad = pad_to - v.shape[0]
             if pad:
                 v = jnp.concatenate(
-                    [v, jnp.full((pad,), fill, dtype=v.dtype)])
+                    [v, jnp.full((pad,), fill, dtype=dtype)])
             cols.append(v)
         out[f.name] = jnp.stack(cols)
     return Surface(**out)
 
 
 def _batch_capped_cfg(cfg: Config, species: SpeciesArrays,
-                      grid: MomentumGrid, n_events: int) -> Config:
+                      grid: MomentumGrid, n_events: int,
+                      accumulators: int = 1) -> Config:
     """Divide the per-event scan-chunk budget by the event count.
 
     The kernels bound their (chunk x species x momentum) block to a
@@ -107,7 +114,7 @@ def _batch_capped_cfg(cfg: Config, species: SpeciesArrays,
     constants, same block size per step as the single-surface path.
     """
     from .kernels.common import chunk_element_budget
-    per_cell = (species.n_species * grid.n_pT * grid.n_phi
+    per_cell = (accumulators * species.n_species * grid.n_pT * grid.n_phi
                 * (grid.n_eta if cfg.dimension == 2 else grid.n_y))
     cap = max(1, chunk_element_budget() // max(1, per_cell * n_events))
     return cfg.replace(cell_chunk=min(cfg.cell_chunk, cap))
@@ -127,9 +134,20 @@ def batched_spectra_fn(species: SpeciesArrays, grid: MomentumGrid,
     Pass ``n_events`` (the stacked leading-axis size) so the per-step
     memory budget accounts for the mapped axis (_batch_capped_cfg);
     without it the caller's cfg.cell_chunk is trusted as-is.
+
+    ``cfg.remat_scan`` is forced on (as in diff.spectra_fn): reverse-mode
+    AD through the batch must not store E x n_chunks emission blocks, and
+    the experimental Pallas kernel (which ignores remat and has no VJP)
+    is thereby never selected.  Forward results are bit-unchanged (pinned
+    by test_remat_scan_forward_bit_identical).
     """
+    feqmod = cfg.mode not in (2, 3) and cfg.df_mode in (3, 4)
     if n_events is not None:
-        cfg = _batch_capped_cfg(cfg, species, grid, n_events)
+        # match each kernel's own per_cell accounting (feqmod budgets 4
+        # accumulator-sized blocks per cell, kernels/feqmod.py)
+        cfg = _batch_capped_cfg(cfg, species, grid, n_events,
+                                accumulators=4 if feqmod else 1)
+    cfg = cfg.replace(remat_scan=1)
     if cfg.mode in (2, 3):
         from .kernels.vah import smooth_spectra_vah
 
@@ -167,27 +185,69 @@ def smooth_spectra_batched(stacked: Surface, species: SpeciesArrays,
     dsigma components are zero).
     """
     E = stacked.tau.shape[0]
+    n_ev = _events_per_device(E, cfg, mesh)
+    fn = batched_spectra_fn(species, grid, df_data, cfg, n_events=n_ev)
     if mesh is None:
-        fn = batched_spectra_fn(species, grid, df_data, cfg, n_events=E)
         return jax.jit(fn)(stacked)
+    return _event_sharded(fn, cfg, mesh, stacked)
 
+
+def _events_per_device(E: int, cfg: Config, mesh) -> int:
+    """Events each device holds -- the divisor for the per-step memory
+    budget (with a mesh, each device's block is E/n_dev x chunk, not
+    E x chunk)."""
+    if mesh is None:
+        return E
+    return max(1, E // mesh.shape[cfg.mesh_axis])
+
+
+def _event_sharded(fn: Callable, cfg: Config, mesh, *args):
+    """Run a vmapped ensemble map with the EVENT axis (every argument's
+    leading axis) sharded over ``mesh``'s ``cfg.mesh_axis`` dimension --
+    whole events per device, zero collectives."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     n_dev = mesh.shape[cfg.mesh_axis]
-    # each device holds E / n_dev events, so the memory budget divides by
-    # the per-device batch, not the global one
-    fn = batched_spectra_fn(species, grid, df_data, cfg,
-                            n_events=max(1, E // n_dev))
+    E = jax.tree.leaves(args[0])[0].shape[0]
     if E % n_dev:
         raise ValueError(
             f"event count {E} does not divide the {n_dev}-device mesh; "
-            f"pad the ensemble (stack_surfaces with throwaway all-zero-"
-            f"dsigma surfaces) to a multiple of {n_dev}")
+            f"pad the ensemble (stack_surfaces with empty_like_surface "
+            f"throwaway events) to a multiple of {n_dev}")
     shard = NamedSharding(mesh, P(cfg.mesh_axis))
-    put = lambda x: (x if x is None
-                     else jax.device_put(x, shard))
-    stacked = jax.tree.map(put, stacked)
-    out_shard = NamedSharding(mesh, P(cfg.mesh_axis))
-    return jax.jit(fn, out_shardings=out_shard)(stacked)
+    args = jax.tree.map(lambda x: jax.device_put(x, shard), args)
+    return jax.jit(fn, out_shardings=shard)(*args)
+
+
+def polarization_batched(stacked: Surface, species: SpeciesArrays,
+                         grid: MomentumGrid, cfg: Config, T_avg,
+                         mesh=None) -> dict:
+    """Spin polarization (mode-5 surfaces) for a stacked ensemble: the dict
+    of spin_polarization outputs with a leading event axis.
+
+    ``T_avg``: the sigma-weighted average temperature per event, shape
+    (E,) (or a scalar shared by all events) -- the per-event value the
+    single-surface path reads from its Plasma/ThermoAverages (the f0 in
+    the polarization integrand uses the surface-averaged T, not per-cell
+    T; polzn.py module docstring).  Mesh semantics as in
+    smooth_spectra_batched: whole events per device, no collectives.
+    """
+    import types
+    from .kernels.polzn import spin_polarization
+    E = stacked.tau.shape[0]
+    T_avg = jnp.broadcast_to(jnp.asarray(T_avg, stacked.tau.dtype), (E,))
+    pcfg = _batch_capped_cfg(cfg, species, grid,
+                             _events_per_device(E, cfg, mesh),
+                             accumulators=5)  # polzn carries 5 sums
+    pcfg = pcfg.replace(remat_scan=1)
+
+    def one(surface, T):
+        return spin_polarization(surface, species, grid, pcfg,
+                                 types.SimpleNamespace(temperature=T))
+
+    fn = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(fn)(stacked, T_avg)
+    return _event_sharded(fn, cfg, mesh, stacked, T_avg)
 
 
 def empty_like_surface(surface: Surface) -> Surface:

@@ -209,6 +209,18 @@ def _dsigma_magnitude(tau, ux, uy, un, dat, dax, day, dan):
     return np.abs(udsigma) + np.sqrt(np.abs(udsigma**2 - dsig2))
 
 
+def surface_averages(surface) -> ThermoAverages:
+    """sigma-weighted thermo averages of an in-memory Surface (the file
+    readers compute the same during parsing, reference
+    readindata.cpp:272-316); absent optional fields average as 0."""
+    col = lambda v: 0.0 if v is None else np.asarray(v)
+    return _averages(col(surface.tau), col(surface.ux), col(surface.uy),
+                     col(surface.un), col(surface.dat), col(surface.dax),
+                     col(surface.day), col(surface.dan), col(surface.T),
+                     col(surface.E), col(surface.P), col(surface.muB),
+                     col(surface.nB))
+
+
 def _averages(tau, ux, uy, un, dat, dax, day, dan, T, E, P, muB, nB) -> ThermoAverages:
     w = _dsigma_magnitude(tau, ux, uy, un, dat, dax, day, dan)
     tot = w.sum()

@@ -163,6 +163,12 @@ def pallas_available(cfg: Config, dtype) -> bool:
         return False
     if cfg.df_mode not in (1, 2) or dtype != jnp.float32:
         return False
+    if cfg.remat_scan:
+        # remat_scan marks a differentiable / memory-bounded path
+        # (diff.spectra_fn, batch.batched_spectra_fn force it on): this
+        # kernel has no VJP rule and ignores the remat flag, so it must
+        # never be env-selected there
+        return False
     interpret = bool(int(os.environ.get("IS3D_PALLAS_INTERPRET", "0")))
     enabled = bool(int(os.environ.get("IS3D_ENABLE_PALLAS", "0")))
     if interpret:

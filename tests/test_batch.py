@@ -109,6 +109,41 @@ def test_stack_mixed_optional_blocks_raises():
         stack_surfaces([a], pad_to=3)
 
 
+def test_batched_polarization_rows_match_single():
+    """polarization_batched reproduces per-event spin_polarization with
+    per-event average temperatures, unsharded and event-sharded."""
+    from is3d_tpu.batch import polarization_batched
+    from is3d_tpu.kernels.polzn import spin_polarization
+    from is3d_tpu.io.surface import ThermoAverages
+    from test_polzn import make_surface
+
+    rng = np.random.default_rng(21)
+    cfg = Config(operation=1, mode=5, dimension=2, df_mode=1,
+                 include_shear_deltaf=0, include_bulk_deltaf=0,
+                 regulate_deltaf=0, outflow=1, cell_chunk=8)
+    surfaces = [make_surface(n, rng)[0] for n in (6, 11)]
+    T_avg = np.array([0.151, 0.158])
+    stacked = stack_surfaces(surfaces)
+
+    out = polarization_batched(stacked, SPECIES, GRID, cfg, T_avg)
+    for e, s in enumerate(surfaces):
+        ref = spin_polarization(
+            s, SPECIES, GRID, cfg,
+            ThermoAverages(T_avg[e], 0.3, 0.05, 0.0, 0.0))
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(out[k][e]),
+                                       np.asarray(ref[k]),
+                                       rtol=1e-12, atol=1e-300, err_msg=k)
+
+    mesh = default_mesh(2, axis=cfg.mesh_axis)
+    out_m = polarization_batched(stacked, SPECIES, GRID, cfg, T_avg,
+                                 mesh=mesh)
+    for k in out:
+        np.testing.assert_allclose(np.asarray(out_m[k]),
+                                   np.asarray(out[k]),
+                                   rtol=1e-12, atol=1e-300, err_msg=k)
+
+
 def test_api_run_ensemble(tmp_path, reference_dir):
     """IS3D.run_ensemble: one batched pass over a mixed file-path / Surface
     ensemble matches per-event run_particlization, writes per-event results
@@ -169,6 +204,46 @@ def test_api_run_ensemble(tmp_path, reference_dir):
     for rm, r in zip(results_m, results):
         np.testing.assert_allclose(rm.spectra, r.spectra,
                                    rtol=1e-12, atol=1e-300)
+
+
+def test_api_run_ensemble_mode5_and_stale_dirs(tmp_path, reference_dir):
+    """run_ensemble on mode-5 surfaces also computes batched polarization
+    (each event normalized with its own averaged T, matching per-event
+    run_particlization), writes S*.dat per event, and a rerun with fewer
+    events cleans the stale event_<i> trees."""
+    from is3d_tpu.api import IS3D
+    from is3d_tpu.io.surface import surface_averages
+    from test_polzn import make_surface
+
+    rng = np.random.default_rng(5)
+    cfg = Config(operation=1, mode=5, dimension=2, df_mode=1, hrg_eos=1,
+                 include_shear_deltaf=0, include_bulk_deltaf=0,
+                 regulate_deltaf=0, outflow=1, cell_chunk=8)
+    surfs = [make_surface(n, rng)[0] for n in (5, 8)]
+    kw = dict(data_dir=reference_dir,
+              chosen_file="chosen_particles_pikp.dat")
+    run = IS3D(cfg, results_dir=str(tmp_path / "ens"), **kw)
+    results = run.run_ensemble(surfs)
+
+    for e, s in enumerate(surfs):
+        single = IS3D(cfg, results_dir=str(tmp_path / f"s{e}"), **kw)
+        single.surface, single.averages = s, surface_averages(s)
+        ref = single.run_particlization(write_files=False)
+        np.testing.assert_allclose(results[e].spectra, ref.spectra,
+                                   rtol=1e-12, atol=1e-300)
+        for k in ref.polarization:
+            np.testing.assert_allclose(results[e].polarization[k],
+                                       ref.polarization[k],
+                                       rtol=1e-12, atol=1e-300, err_msg=k)
+
+    assert (tmp_path / "ens" / "event_1" / "St.dat").exists()
+
+    # rerun with 1 event: event_1's owned outputs must disappear
+    run.run_ensemble(surfs[:1])
+    assert not (tmp_path / "ens" / "event_1" / "St.dat").exists()
+    assert not (tmp_path / "ens" / "event_1" /
+                "dN_pTdpTdphidy.dat").exists()
+    assert (tmp_path / "ens" / "event_0" / "dN_pTdpTdphidy.dat").exists()
 
 
 def test_gradients_flow_through_batch():
