@@ -1,13 +1,20 @@
 """VAH smooth-spectra throughput (anisotropic-hydro kernel, 2+1D).
 
 No reference numbers exist (the reference's VAH kernel is dead code);
-measured here at production shapes: ~49 Geval/s on one v5e chip, f32
-(vs ~60 for the VH linear-df kernel).  The lane-tiled (C, R, S, M)
-relayout of the spectra block bought +24% over the naive
-(C, S, PT, PHI, R) layout (39 -> 49); a transcendental-stub probe shows
-sqrt/exp/cosh/sinh are fully hidden in both, so the kernel is
-layout/op-count-bound, not transcendental-bound.  Fresh surface per rep +
-forced readback (serving-layer countermeasures, see NOTES_ROUND1.md).
+measured here at production shapes on one v5e chip, f32:
+
+* 99.6 Geval/s on the production case -- no real mode-2/3 file carries
+  the residual-df coefficient columns c0..c4, so the vah_df_gate drops
+  the shear+bulk chains from the compiled kernel (bit-identical; the
+  pure-f_a block is cheaper than even the VH linear-df block),
+* 48.2 Geval/s with per-cell c0..c4 present (full shear+bulk chains).
+
+The lane-tiled (C, R, S, M) relayout of the spectra block bought +24%
+over the naive (C, S, PT, PHI, R) layout (39 -> 49); a
+transcendental-stub probe shows sqrt/exp/cosh/sinh are fully hidden in
+both, so the kernel is layout/op-count-bound, not transcendental-bound.
+Fresh surface per rep + forced readback (serving-layer countermeasures,
+see NOTES_ROUND1.md).
 
 Usage: PYTHONPATH=. python experiments/bench_vah.py [n_cells]
 """
@@ -54,18 +61,34 @@ def main():
     cfg = Config(mode=2, dimension=2, include_shear_deltaf=1,
                  include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
                  cell_chunk=65536, precision="f32")
-    float(jnp.sum(smooth_spectra_vah(make_surf(n, 0), sp, grid, cfg)))
-    dts, checks = [], []
-    for i in range(3):
-        s = make_surf(n, 100 + i)
-        t0 = time.perf_counter()
-        out = smooth_spectra_vah(s, sp, grid, cfg)
-        checks.append(float(jnp.sum(out)))
-        dts.append(time.perf_counter() - t0)
-    assert len(set(checks)) == 3, "distinct inputs must give distinct sums"
     ev = n * 320 * 32 * 24 * 48
-    print(f"VAH 2+1D: {ev / np.median(dts) / 1e9:.1f} Geval/s "
-          f"({n} cells, 320 species, 32x24x48)")
+
+    def run(label, mk, c):
+        float(jnp.sum(smooth_spectra_vah(mk(n, 0), sp, grid, c)))
+        dts, checks = [], []
+        for i in range(3):
+            s = mk(n, 100 + i)
+            t0 = time.perf_counter()
+            out = smooth_spectra_vah(s, sp, grid, c)
+            checks.append(float(jnp.sum(out)))
+            dts.append(time.perf_counter() - t0)
+        assert len(set(checks)) == 3, "distinct inputs must give distinct sums"
+        print(f"VAH 2+1D {label}: {ev / np.median(dts) / 1e9:.1f} Geval/s "
+              f"({n} cells, 320 species, 32x24x48)")
+
+    # production case: no c0..c4 columns exist in any real mode-2/3 file,
+    # so the vah_df_gate drops the residual-df chains (bit-identical)
+    run("production (df chains gated off)", make_surf, cfg)
+
+    # capability case: per-cell residual-df coefficients present ->
+    # full shear+bulk chains in the compiled kernel
+    def mk_c(n_, seed):
+        s = make_surf(n_, seed)
+        rng = np.random.default_rng(seed + 7)
+        cs = {nm: jnp.asarray(rng.normal(0, 0.1, n_), jnp.float32)
+              for nm in ("c0", "c1", "c2", "c3", "c4")}
+        return s.replace(**cs)
+    run("with residual df (c0..c4)", mk_c, cfg)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,19 @@ class Config:
     feqmod_partition_min_cells: int = 16384  # below this the probe dispatch
                                 # + second kernel compile cost more than the
                                 # fallback work they remove
+    vah_df_gate: int = 1        # host-side probe of the VAH residual-df
+                                # inputs (c0..c4, bulkPi): chains whose
+                                # coefficient columns are identically zero
+                                # are structurally absent from the compiled
+                                # VAH kernels (bit-identical -- the removed
+                                # terms are exact zeros).  Fires on every
+                                # real mode-2/3 surface: no VAH hydro format
+                                # carries the c0..c4 columns (the reference
+                                # reader never fills them either,
+                                # emissionfunction.cpp).  Tracer columns
+                                # (vmap/AD) are treated as nonzero, so
+                                # batched and differentiated runs keep the
+                                # chains (kernels/vah.effective_vah_cfg)
     remat_scan: int = 0         # jax.checkpoint the per-chunk scan bodies of
                                 # the smooth kernels so reverse-mode AD
                                 # (is3d_tpu.diff) recomputes each chunk's

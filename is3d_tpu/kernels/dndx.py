@@ -150,6 +150,11 @@ def spacetime_distributions(surface, species: SpeciesArrays,
         from ..io.tables import laguerre_device
         laguerre = laguerre_device()
     cols = dndx_cols(surface, cfg)
+    if cfg.mode in (2, 3):
+        # provably-zero VAH residual-df chains structurally absent
+        # (bit-identical; kernels/vah.effective_vah_cfg)
+        from .vah import effective_vah_cfg
+        cfg = effective_vah_cfg(cols, cfg)
     # dN/dX keeps fixed eta nodes: the dN/dy/deta output is reported AT the
     # common node positions, which an mT-adaptive per-species remap would
     # scramble (and these spacetime observables are low-pT dominated)

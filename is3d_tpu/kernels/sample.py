@@ -941,6 +941,22 @@ def _sampler_cols(surface, cfg):
     return cols
 
 
+def _sampler_effective_cfg(surface, cfg: Config) -> Config:
+    """VAH residual-df gate for the sampler (modes 2/3): chains whose
+    coefficient columns are absent or exact zeros are structurally absent
+    from the compiled event kernel, and their per-cell rows drop out of
+    the per-slot gather (kernels/vah.effective_vah_cfg).  Bit-identical
+    events: with zero coefficients the ungated kernel computes df_tot = 0
+    exactly, so w_visc = clip(0.5 * (1 + 0)) = 0.5 either way -- the same
+    acceptance comparisons against the same RNG stream."""
+    if not (cfg.vah_df_gate and cfg.mode in (2, 3)):
+        return cfg
+    from .vah import effective_vah_cfg
+    probe = {k: getattr(surface, k, None)
+             for k in ("c0", "c1", "c2", "c3", "c4", "bulkPi")}
+    return effective_vah_cfg(probe, cfg)
+
+
 def _build_cell_data(surface, species, df_data, cfg, plasma, laguerre):
     """Phase-A dispatch: VH (modes 0/1/4/5/6/7) or VAH (modes 2/3).
     Inputs are upcast to _sampler_dtype."""
@@ -1048,6 +1064,7 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         return sample_particles_sharded(
             surface, species, mcids, df_data, cfg, plasma, mesh,
             nevents=nevents, seed=seed, laguerre=laguerre)
+    cfg = _sampler_effective_cfg(surface, cfg)
     dtype = _sampler_dtype(surface.tau.dtype)
     species = _cast_floats(species, dtype)
     if laguerre is None:
@@ -1144,6 +1161,7 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
     """
     from jax.sharding import PartitionSpec as P
 
+    cfg = _sampler_effective_cfg(surface, cfg)
     axis = cfg.mesh_axis
     n_dev = mesh.shape[axis]
     dtype = _sampler_dtype(surface.tau.dtype)

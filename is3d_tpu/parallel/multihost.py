@@ -204,7 +204,13 @@ def smooth_spectra_vah_multihost(cols_local: dict, n_global: int, species,
                                  grid, cfg: Config,
                                  mesh: Mesh | None = None):
     """Multi-host VAH smooth spectra (mode 2/3 surfaces): each process
-    supplies vah_surface_cols() of its process_cell_slice."""
+    supplies vah_surface_cols() of its process_cell_slice.
+
+    Deliberately ungated: the vah_df_gate zero-chain probe
+    (kernels/vah.effective_vah_cfg) would decide per process slice, and
+    under multi-controller JAX every process must compile the SAME global
+    program.  Gate at the caller from FULL columns when available (the pod
+    wrappers do)."""
     from ..kernels.vah import _vah_jit
     kern = lambda c, s, g: _vah_jit(c, s, g, cfg)
     return multihost_cell_reduce(kern, cols_local, n_global, (species, grid),
@@ -364,10 +370,14 @@ def smooth_spectra_pod(surface, species, grid, df_data, cfg: Config,
 def smooth_spectra_vah_pod(surface, species, grid, cfg: Config,
                            mesh: Mesh | None = None):
     """Pod-mode VAH smooth spectra from the full mode-2/3 surface."""
-    from ..kernels.vah import vah_surface_cols
+    from ..kernels.vah import vah_surface_cols, effective_vah_cfg
     if mesh is None:
         mesh = global_mesh(axis=cfg.mesh_axis)
     cols = vah_surface_cols(surface)
+    # gate from the FULL columns: every process holds the whole surface
+    # here, so the decision (hence the compiled global program) is
+    # identical on all of them
+    cfg = effective_vah_cfg(cols, cfg)
     n_global = int(cols["tau"].shape[0])
     return smooth_spectra_vah_multihost(_slice_for(cols, n_global, cfg, mesh),
                                         n_global, species, grid, cfg, mesh)
@@ -393,6 +403,10 @@ def spacetime_distributions_pod(surface, species, grid, df_data, cfg: Config,
     if mesh is None:
         mesh = global_mesh(axis=cfg.mesh_axis)
     cols = dndx_cols(surface, cfg)
+    if cfg.mode in (2, 3):
+        # full columns on every process -> identical decision everywhere
+        from ..kernels.vah import effective_vah_cfg
+        cfg = effective_vah_cfg(cols, cfg)
     n_global = int(cols["tau"].shape[0])
     if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3):
         cols = {k: np.asarray(v) for k, v in cols.items()}

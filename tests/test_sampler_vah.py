@@ -314,3 +314,27 @@ def test_vah_sampler_sharded():
     pt_1d = np.concatenate([np.hypot(e["px"], e["py"]) for e in ev_1d])
     tol = 5 * np.sqrt(pt_sh.var() / pt_sh.size + pt_1d.var() / pt_1d.size)
     assert abs(pt_sh.mean() - pt_1d.mean()) < tol + 0.01
+
+
+def test_vah_sampler_df_gate_bit_identical():
+    """Mode-2/3 surfaces without c0..c4 (every real VAH file): the gated
+    sampler (df chains structurally absent, coefficient rows dropped from
+    the per-slot gather) emits BITWISE identical events to the ungated
+    one evaluating the chains on exact zeros -- same RNG stream, same
+    acceptance comparisons (w_visc = 0.5 either way)."""
+    sp = species6()
+    surf = vah_flow_surface(n=24, seed=11)
+    cfg = Config(operation=2, mode=2, dimension=2, df_mode=2,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, y_cut=3.0, sampler_seed=5)
+    ev_g = sample_particles(surf, sp, MCIDS, None, None, cfg, PLASMA,
+                            nevents=40, seed=21)
+    ev_u = sample_particles(surf, sp, MCIDS, None, None,
+                            cfg.replace(vah_df_gate=0), PLASMA,
+                            nevents=40, seed=21)
+    assert sum(len(e["mcid"]) for e in ev_g) > 0
+    assert len(ev_g) == len(ev_u)
+    for a, b in zip(ev_g, ev_u):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

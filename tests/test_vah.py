@@ -305,3 +305,96 @@ def test_vah_run_dir_prepare(tmp_path):
     # to preserve) must get the mT-adaptive eta remap: fixed nodes lose
     # up to ~6e-2 at the pT grid edge on narrow anisotropic integrands
     assert grid.eta_mT_rescale is True
+
+
+def _gate_fixture(n=32, seed=77, with_c=False):
+    rng = np.random.default_rng(seed)
+    cells = make_vah_cells(n, rng)
+    if with_c:
+        for i, nm in enumerate(("c0", "c1", "c2", "c3", "c4")):
+            cells[nm] = rng.normal(0, 0.1, n)
+    surf = Surface(**{k: jnp.asarray(v, jnp.float32)
+                      for k, v in cells.items()})
+    z = jnp.zeros(2, jnp.float32)
+    sp = SpeciesArrays(mass=jnp.asarray([0.139, 0.938], jnp.float32),
+                       sign=jnp.asarray([-1.0, 1.0], jnp.float32),
+                       degeneracy=jnp.asarray([1.0, 2.0], jnp.float32),
+                       baryon=jnp.asarray([0.0, 1.0], jnp.float32),
+                       equilibrium_density=z, bulk_density=z, diff_density=z)
+    grid = native_momentum_grid(dimension=2, n_pT=6, n_phi=4, n_eta=12,
+                                dtype=jnp.float32)
+    cfg = Config(mode=2, dimension=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 cell_chunk=16, precision="f32")
+    return surf, sp, grid, cfg
+
+
+def test_vah_df_gate_bit_identical():
+    """Surfaces without c0..c4 (every real mode-2/3 file): the gated
+    kernel (df chains structurally absent) is BITWISE equal to the
+    ungated one evaluating the chains on exact zeros."""
+    surf, sp, grid, cfg = _gate_fixture()
+    gated = np.asarray(smooth_spectra_vah(surf, sp, grid, cfg))
+    ungated = np.asarray(smooth_spectra_vah(
+        surf, sp, grid, cfg.replace(vah_df_gate=0)))
+    np.testing.assert_array_equal(gated, ungated)
+    assert np.isfinite(gated).all() and (gated > 0).any()
+
+
+def test_vah_df_gate_keeps_nonzero_chains():
+    """Nonzero c columns must defeat the gate: gated == ungated on the
+    same surface, and both differ from the chain-free result."""
+    surf, sp, grid, cfg = _gate_fixture(with_c=True)
+    gated = np.asarray(smooth_spectra_vah(surf, sp, grid, cfg))
+    ungated = np.asarray(smooth_spectra_vah(
+        surf, sp, grid, cfg.replace(vah_df_gate=0)))
+    np.testing.assert_array_equal(gated, ungated)
+    bare = np.asarray(smooth_spectra_vah(
+        surf, sp, grid, cfg.replace(include_shear_deltaf=0,
+                                    include_bulk_deltaf=0)))
+    assert np.abs(gated - bare).max() > 0
+
+
+def test_effective_vah_cfg_decisions():
+    from is3d_tpu.kernels.vah import effective_vah_cfg, vah_surface_cols
+    import jax
+
+    surf, _, _, cfg = _gate_fixture()          # no c columns
+    cols = vah_surface_cols(surf)
+    eff = effective_vah_cfg(cols, cfg)
+    assert (eff.include_shear_deltaf, eff.include_bulk_deltaf) == (0, 0)
+
+    # nonzero c4 alone keeps shear; bulk needs bulkPi AND a c0..c2
+    cols2 = dict(cols); cols2["c4"] = jnp.ones_like(cols["tau"])
+    eff2 = effective_vah_cfg(cols2, cfg)
+    assert (eff2.include_shear_deltaf, eff2.include_bulk_deltaf) == (1, 0)
+    cols3 = dict(cols); cols3["c1"] = jnp.ones_like(cols["tau"])
+    eff3 = effective_vah_cfg(cols3, cfg)       # bulkPi nonzero in fixture
+    assert (eff3.include_shear_deltaf, eff3.include_bulk_deltaf) == (0, 1)
+    cols4 = dict(cols3); cols4["bulkPi"] = jnp.zeros_like(cols["tau"])
+    eff4 = effective_vah_cfg(cols4, cfg)
+    assert eff4.include_bulk_deltaf == 0
+
+    # a tracer column cannot be proven zero -> chains stay (vmap/AD safety)
+    def probe(c3):
+        cols5 = dict(cols); cols5["c3"] = c3
+        eff5 = effective_vah_cfg(cols5, cfg)
+        assert eff5.include_shear_deltaf == 1
+        return c3
+    jax.vmap(probe)(jnp.zeros((2, cols["tau"].shape[0])))
+
+    # config switches already off stay off regardless of the data
+    off = cfg.replace(include_shear_deltaf=0, include_bulk_deltaf=0)
+    eff6 = effective_vah_cfg(cols2, off)
+    assert (eff6.include_shear_deltaf, eff6.include_bulk_deltaf) == (0, 0)
+
+
+def test_vah_df_gate_dndx_bit_identical():
+    """The dN/dX VAH path gates identically (spacetime histograms)."""
+    from is3d_tpu.kernels.dndx import spacetime_distributions
+    surf, sp, grid, cfg = _gate_fixture()
+    a = spacetime_distributions(surf, sp, grid, None, cfg)
+    b = spacetime_distributions(surf, sp, grid, None,
+                                cfg.replace(vah_df_gate=0))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
