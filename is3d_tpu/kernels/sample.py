@@ -557,15 +557,24 @@ _PRE_DF = {
 }
 
 # anisotropic-hydro (VAH) sampling: f_a at (Lambda, a_L) + residual
-# 14-moment corrections in the LRF
-_PRE_VAH = ("Lambda", "aL", "bulkPi", "c0", "c1", "c2", "c3", "c4",
-            "pixx", "pixy", "pixz", "piyy", "piyz", "pizz",
-            "Wlx", "Wly", "Wlz", "dst", "dsx", "dsy", "dsz", "ds_max")
+# 14-moment corrections in the LRF.  The shear / bulk groups are gathered
+# only when their (static) switches are on -- with the vah_df_gate that
+# means a production VAH surface (no c0..c4 columns) gathers 7 + 16
+# instead of 22 + 16 row fields per slot
+_PRE_VAH_BASE = ("Lambda", "aL", "dst", "dsx", "dsy", "dsz", "ds_max")
+_PRE_VAH_SHEAR = ("c3", "c4", "pixx", "pixy", "pixz", "piyy", "piyz",
+                  "pizz", "Wlx", "Wly", "Wlz")
+_PRE_VAH_BULK = ("bulkPi", "c0", "c1", "c2")
 
 
 def _pre_fields(cfg):
     if cfg.mode in (2, 3):
-        return _PRE_VAH
+        fields = _PRE_VAH_BASE
+        if cfg.include_shear_deltaf:
+            fields = fields + _PRE_VAH_SHEAR
+        if cfg.include_bulk_deltaf:
+            fields = fields + _PRE_VAH_BULK
+        return fields
     return _PRE_COMMON + _PRE_DF[cfg.df_mode]
 
 # per-cell fields used only after the keep decision (lab-frame boost +
