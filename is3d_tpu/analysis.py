@@ -50,9 +50,13 @@ def pseudorapidity(px, py, pz):
     kernels/sample.py) -- a particle emitted at eta_s = 2 can fly at
     pseudorapidity 0 and vice versa."""
     pT = np.hypot(np.asarray(px), np.asarray(py))
-    with np.errstate(divide="ignore"):
-        return np.arcsinh(np.where(pT > 0, np.asarray(pz) / np.maximum(pT, 1e-300),
-                                   np.sign(np.asarray(pz)) * np.inf))
+    pz = np.asarray(pz)
+    # an exactly-zero momentum (possible after the f16 D2H pack rounds a
+    # soft hadron) counts at midrapidity instead of sign(0)*inf = NaN
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.arcsinh(np.where(pT > 0, pz / np.maximum(pT, 1e-300),
+                                  np.sign(pz) * np.inf))
+    return np.where((pT > 0) | (pz != 0), out, 0.0)
 
 
 def compute_observables(events, n_flow: int = 8, particle_table=None) -> dict:

@@ -207,11 +207,15 @@ def merge_manifests(out_dir: str, n_workers: int) -> dict:
     missing = [b for b in range(len(plan))
                if str(b) not in merged["batches"]
                or not os.path.exists(merged["batches"][str(b)]["file"])]
-    # count only batches inside the re-derived plan: stale entries from an
-    # earlier run with a larger max_batches must not inflate the yield
+    # count only batches inside the re-derived plan whose output file still
+    # exists: stale entries from an earlier run with a larger max_batches,
+    # or batches whose file was deleted (they are in missing_batches and
+    # will be regenerated), must not inflate the yield
+    missing_set = set(missing)
     merged["total_hadrons"] = sum(v["hadrons"]
                                   for b, v in merged["batches"].items()
-                                  if int(b) < len(plan))
+                                  if int(b) < len(plan)
+                                  and int(b) not in missing_set)
     merged["complete"] = not missing
     merged["missing_batches"] = missing
     _write_manifest(os.path.join(out_dir, "manifest.json"), merged)

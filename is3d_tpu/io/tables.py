@@ -216,3 +216,20 @@ def laguerre_device(n_points: int = 32, alphas=(1, 2), dtype=None) -> dict:
     else:
         cast = lambda a: jnp.asarray(a, dtype=dtype)
     return {a: (cast(r), cast(w)) for a, (r, w) in raw.items()}
+
+
+def laguerre_in_precision(laguerre, dtype) -> dict:
+    """Cast (or build, if None) a ``laguerre_device()`` dict to the surface
+    precision.
+
+    The feqmod renormalization scan carries a chunk accumulator seeded from
+    the surface arrays; f64 nodes under an x64 runtime would promote the
+    chunk contribution and break the scan-carry dtype.  Every kernel path
+    applies the cast through this ONE helper (kernels/feqmod
+    ._feqmod_spectra_dispatch, kernels/dndx.spacetime_distributions,
+    parallel/multihost) so a future precision-rule change cannot silently
+    diverge between them."""
+    if laguerre is None:
+        laguerre = laguerre_device()
+    return {a: (jnp.asarray(r, dtype), jnp.asarray(w, dtype))
+            for a, (r, w) in laguerre.items()}

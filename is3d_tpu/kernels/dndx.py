@@ -146,9 +146,6 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     histogram accumulators are psum-reduced over ICI (the reference
     OpenMP-parallelizes this kernel the same way as the spectra loop,
     emissionfunction_smooth_kernels.cpp:1000-2135)."""
-    if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3) and laguerre is None:
-        from ..io.tables import laguerre_device
-        laguerre = laguerre_device()
     cols = dndx_cols(surface, cfg)
     if cfg.mode in (2, 3):
         # provably-zero VAH residual-df chains structurally absent
@@ -161,9 +158,8 @@ def spacetime_distributions(surface, species: SpeciesArrays,
     grid = grid.replace(eta_mT_rescale=False)
     feq = cfg.df_mode in (3, 4) and cfg.mode not in (2, 3)
     dt = cols["tau"].dtype
-    # laguerre in the surface precision (see feqmod._feqmod_spectra_dispatch)
-    lag = ({a: (jnp.asarray(r, dt), jnp.asarray(w, dt))
-            for a, (r, w) in laguerre.items()} if feq
+    from ..io.tables import laguerre_in_precision
+    lag = (laguerre_in_precision(laguerre, dt) if feq
            else jnp.zeros((), dt))
     from ..parallel.mesh import grouped_cell_reduce
 

@@ -638,9 +638,8 @@ def _feqmod_spectra_dispatch(cols, species, grid, df_data, laguerre,
     # compute thermal moments in the surface precision: a f64 laguerre
     # table against f32 cell columns (x64-enabled runtime) would promote
     # the chunk contribution and break the scan-carry dtype
-    dt = cols["tau"].dtype
-    laguerre = {a: (jnp.asarray(r, dt), jnp.asarray(w, dt))
-                for a, (r, w) in laguerre.items()}
+    from ..io.tables import laguerre_in_precision
+    laguerre = laguerre_in_precision(laguerre, cols["tau"].dtype)
 
     def run(sub, both):
         return grouped_cell_reduce(

@@ -191,9 +191,13 @@ def smooth_spectra_multihost(cols_local: dict, n_global: int, species, grid,
     """Multi-host linear-df smooth spectra (df_mode 1/2): each process
     supplies surface_columns() of its process_cell_slice; returns the full
     (S, PT, PHI, Y) spectra on every process."""
+    if cfg.mode in (2, 3):
+        raise ValueError(
+            f"smooth_spectra_multihost handles VH surfaces only; VAH "
+            f"(mode={cfg.mode}) runs through smooth_spectra_vah_multihost")
     if cfg.df_mode not in (1, 2):
         _reject_feqmod(cfg, "smooth spectra", "feqmod_spectra_multihost")
-        raise ValueError(f"df_mode must be 1-4, got {cfg.df_mode}")
+        raise ValueError(f"df_mode must be 1 or 2, got {cfg.df_mode}")
     from ..kernels.smooth import _smooth_spectra_jit
     kern = lambda c, s, g, d: _smooth_spectra_jit(c, s, g, d, cfg)
     return multihost_cell_reduce(kern, cols_local, n_global,
@@ -250,13 +254,8 @@ def spacetime_distributions_multihost(cols_local: dict, n_global: int,
 
 
 def _laguerre_cast(laguerre, dtype):
-    """Laguerre nodes/weights in the surface precision (same reasoning as
-    kernels/feqmod._feqmod_spectra_dispatch)."""
-    if laguerre is None:
-        from ..io.tables import laguerre_device
-        laguerre = laguerre_device()
-    return {a: (jnp.asarray(r, dtype), jnp.asarray(w, dtype))
-            for a, (r, w) in laguerre.items()}
+    from ..io.tables import laguerre_in_precision
+    return laguerre_in_precision(laguerre, dtype)
 
 
 def _feqmod_jobs(cols_full: dict, n_global: int, df_data, laguerre,
