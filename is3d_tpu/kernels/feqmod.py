@@ -365,7 +365,7 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
             Vp = sm(mTf) * cr(D1) - cm(D2)
 
     if both:
-        arg = pdotu / cb(c["T"])
+        arg = pdotu * cb(1.0 / c["T"])
         if cfg.include_baryon and cfg.df_mode != 4:
             # Jonah fallback feq has no chem (:861)
             arg = arg - baryon_b * cb(c["alphaB"])
@@ -377,6 +377,12 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         r = 1.0 / pdotu
         terms = []
         if cfg.df_mode == 3:
+            # NOTE: deliberately NOT regrouped like the hot linear CE kernel
+            # (smooth._linear_df_flat): this fallback chain runs only on
+            # breakdown cells (cold), and the regrouped coefficient products
+            # can turn a clip-regulated +-inf into a 0 * inf = NaN on
+            # degenerate coefficient tables (e.g. betaV = 0 with meson
+            # baryon number 0)
             if shear_on:
                 terms.append(cb(0.5 / (df.betapi * c["T"])) * pipp * r)
             if bulk_on:
@@ -490,8 +496,10 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
 
     chem_mod = baryon_b * cb(c["alphaB_mod"])
     # NaN-free derivative under AD, bit-identical forward: see common.py
+    # (per-cell reciprocal: a broadcast division would cost a full-rank
+    # divide per momentum point)
     f_mod = scaled_fermi_bose(jnp.abs(c["renorm"])[:, None, :, None],  # (C,1,S,1)
-                              E_mod / cb(c["T_mod"]) - chem_mod, sign_b)
+                              E_mod * cb(1.0 / c["T_mod"]) - chem_mod, sign_b)
     if rescaled:
         # jacobian of the per-cell zscale node compression (the shared
         # s(mT) jacobian is applied to the reduced output instead)
@@ -512,6 +520,10 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
 
     contrib = pds * f
     if cfg.outflow:
+        # keep the compare + select here (unlike the linear/VAH kernels'
+        # max(pds, 0) * f): the fallback df chain can be NaN/inf at
+        # non-emitting points on degenerate coefficient tables, and the
+        # where() doubles as the filter that zeroes them
         contrib = jnp.where(pds > 0.0, contrib, 0.0)
 
     mask = (valid & c["valid"]).astype(contrib.dtype)

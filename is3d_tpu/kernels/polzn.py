@@ -58,6 +58,15 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
     cm = lambda x: x[:, None, None, :]                 # (C,M)
     sb = lambda x: x[None, None, :, None]              # (S,)
     MT = mTf[None, None, :, :]
+
+    # fold the validity mask into the per-cell dsigma fields: pds (and so
+    # meas = pds * f0 * w) is exactly 0 on invalid / pad cells, replacing
+    # a full-rank mask multiply per momentum point (bit-identical -- valid
+    # cells multiply by 1.0, masked contributions were (finite) * 0 = 0)
+    mask = (valid & c["valid"]).astype(c["tau"].dtype)
+    c = dict(c)
+    for k in ("dat", "dan", "dax", "day"):
+        c[k] = c[k] * mask
     bb = lambda x: _phi_broadcast(x, F)
 
     tau = c["tau"]
@@ -118,7 +127,6 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
     f0 = fermi_bose(MT * bb(B1) - cm(W2), sign_b)
     pref = (-0.25 / sb(species.mass)) * (1.0 - sign_b * f0)
 
-    mask = (valid & c["valid"]).astype(pds.dtype)
     if cfg.dimension == 2:
         if remap:
             # clean quadrature weight; the s(mT) substitution jacobian is
@@ -132,7 +140,7 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
             eta = grid.eta
             d_eta = (eta[1] - eta[0]) if eta.shape[0] > 1 else 1.0
             w = (grid.eta_weight * d_eta)[None, :, None, None]
-        meas = pds * f0 * (w * cb(mask))
+        meas = pds * f0 * w
 
         def red(a):
             out = jnp.sum(a, axis=(0, 1))              # (S,M)
@@ -140,7 +148,7 @@ def _chunk_polzn(c, valid, species, grid, cfg, T_avg):
                 out = out * s_flat
             return out.reshape(S, P, F, 1)
     else:
-        meas = pds * f0 * cb(mask)
+        meas = pds * f0
 
         def red(a):
             return _reduce_cells_3d(a, S, P, F, grid.n_y)

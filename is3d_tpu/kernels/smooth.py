@@ -131,6 +131,15 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     tau = c["tau"]
     shear_on, _, diff_on = df_switches(cfg)
 
+    # fold the validity mask into the per-cell dsigma fields: pds (and so
+    # the contribution) is exactly 0 on invalid / pad cells, replacing a
+    # full-rank mask multiply per momentum point (bit-identical -- valid
+    # cells multiply by 1.0, masked contributions were (finite) * 0 = 0)
+    mask = (valid & c["valid"]).astype(tau.dtype)
+    c = dict(c)
+    for k in ("dat", "dan", "dax", "day"):
+        c[k] = c[k] * mask
+
     W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
     W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
     C4 = ((c["pixx"][:, None] * (pxf * pxf)[None]
@@ -186,7 +195,9 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     baryon_b = sb(species.baryon)
     mass2_b = sb(species.mass ** 2)
     cb = lambda x: x[:, None, None, None]              # (C,)
-    arg = pdotu / cb(c["T"])
+    # per-cell reciprocal: a broadcast division would cost a full-rank
+    # divide per momentum point
+    arg = pdotu * cb(1.0 / c["T"])
     if cfg.include_baryon:
         arg = arg - baryon_b * cb(c["alphaB"])
 
@@ -197,11 +208,13 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
                          feqbar)
     f = feq if df is None else feq * (1.0 + df)
 
-    contrib = pds * f
     if cfg.outflow:
-        contrib = jnp.where(pds > 0.0, contrib, 0.0)
-    mask = (valid & c["valid"]).astype(contrib.dtype)
-    contrib = contrib * cb(mask)
+        # max(p.ds, 0) * f == where(p.ds > 0, p.ds * f, 0) for finite f
+        # (fermi_bose and the df chain are NaN-free): one op instead of a
+        # compare + select on the full-rank block
+        contrib = jnp.maximum(pds, 0.0) * f
+    else:
+        contrib = pds * f
 
     if not reduce:
         # pointwise consumers need common nodes across (cell, species)
@@ -340,30 +353,54 @@ def _linear_df_flat(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b,
         if shear_on:
             terms.append(cb(0.5 / (c["T"] ** 2 * (c["E"] + c["P"]))) * pipp)
         if bulk_on:
-            bulkPi = cb(c["bulkPi"])
-            bulk0 = cb(df.c0 - df.c2)
-            bulk1 = cb(df.c1)
-            bulk2 = cb(4.0 * df.c2 - df.c0)
-            terms.append((bulk0 * mass2_b
-                          + (bulk1 * baryon_b + bulk2 * pdotu) * pdotu)
-                         * bulkPi)
+            # bulkPi folded into the hoisted per-cell / per-(cell, species)
+            # coefficients instead of a full-rank multiply per point
+            bulkPi = c["bulkPi"]
+            bulk0 = cb((df.c0 - df.c2) * bulkPi) * mass2_b
+            bulk1 = cb(df.c1 * bulkPi) * baryon_b
+            bulk2 = cb((4.0 * df.c2 - df.c0) * bulkPi)
+            terms.append(bulk0 + (bulk1 + bulk2 * pdotu) * pdotu)
         if diff_on:
             terms.append((cb(df.c3) * baryon_b + cb(df.c4) * pdotu) * Vp)
     elif cfg.df_mode == 2:
-        # single reciprocal instead of three divisions per point
-        r = 1.0 / pdotu if (shear_on or bulk_on or diff_on) else None
+        # The CE chain is regrouped as  R_TERM/(u.p) + P_TERM*(u.p) + C_TERM
+        # with every per-cell / per-(cell, species) coefficient (bulkPi,
+        # 1/betabulk, m^2, baryon) folded OUTSIDE the full-rank block --
+        # same math as the reference's per-point form
+        # (emissionfunction_smooth_kernels.cpp:313-321), one reciprocal and
+        # ~8 instead of ~12 full-rank ops per momentum point:
+        #   shear:  pi:pp / (2 betapi T (u.p))                  -> R
+        #   bulk:   [ (F/T^2 + 1/3T)(u.p) + b G - m^2/(3T(u.p)) ] Pi/betabulk
+        #                                                        -> P, C, R
+        #   diff:   [ nB/(E+P) - b/(u.p) ] V.p / betaV           -> C, R
+        if not (shear_on or bulk_on or diff_on):
+            return None
+        r = 1.0 / pdotu
+        r_term = p_term = c_term = None
+        acc = lambda a, b: b if a is None else a + b
         if shear_on:
-            terms.append(cb(0.5 / (df.betapi * c["T"])) * pipp * r)
+            r_term = cb(0.5 / (df.betapi * c["T"])) * pipp
         if bulk_on:
-            bulkPi = cb(c["bulkPi"])
-            bulk0 = cb(df.F / (c["T"] ** 2 * df.betabulk))
-            bulk1 = cb(df.G / df.betabulk)
-            bulk2 = cb(1.0 / (3.0 * c["T"] * df.betabulk))
-            terms.append((bulk0 * pdotu + bulk1 * baryon_b
-                          + bulk2 * (pdotu - mass2_b * r)) * bulkPi)
+            bulkPi = c["bulkPi"]
+            inv_bb = 1.0 / df.betabulk
+            b2 = inv_bb / (3.0 * c["T"])
+            p_term = cb((df.F / c["T"] ** 2 * inv_bb + b2) * bulkPi)
+            c_term = cb(df.G * inv_bb * bulkPi) * baryon_b
+            r_term = acc(r_term, -(cb(b2 * bulkPi) * mass2_b))
         if diff_on:
-            terms.append((cb(c["baryon_enthalpy_ratio"]) - baryon_b * r)
-                         * Vp * cb(1.0 / df.betaV))
+            inv_bV = cb(1.0 / df.betaV)
+            c_term = acc(c_term, cb(c["baryon_enthalpy_ratio"]
+                                    / df.betaV) * Vp)
+            r_term = acc(r_term, -(inv_bV * baryon_b) * Vp)
+        out = r_term * r
+        if p_term is not None:
+            out = out + p_term * pdotu
+        if c_term is not None:
+            out = out + c_term
+        out = feqbar * out
+        if cfg.regulate_deltaf:
+            out = jnp.clip(out, -1.0, 1.0)
+        return out
     else:
         raise ValueError("linear df kernel supports df_mode 1 or 2")
 

@@ -92,6 +92,14 @@ def _chunk_vah_spectra(c, valid, species, grid, cfg, reduce: bool = True):
     bb = lambda x: _phi_broadcast(x, F)
 
     tau = c["tau"]
+    # fold the validity mask into the per-cell dsigma fields: pds (and so
+    # the contribution) is exactly 0 on invalid / pad cells, replacing the
+    # full-rank mask multiply per momentum point (bit-identical -- valid
+    # cells multiply by 1.0, masked contributions were (finite) * 0 = 0)
+    mask = valid.astype(tau.dtype)
+    c = dict(c)
+    for k in ("dat", "dan", "dax", "day"):
+        c[k] = c[k] * mask
     remap = cfg.dimension == 2 and grid.eta_mT_rescale
     if remap:
         lam_cp = c["Lambda"][:, None, None]
@@ -171,28 +179,29 @@ def _chunk_vah_spectra(c, valid, species, grid, cfg, reduce: bool = True):
     else:
         f = fa * (1.0 + fabar * df)
 
-    contrib = pds * f
     if cfg.outflow:
-        contrib = jnp.where(pds > 0.0, contrib, 0.0)
-    mask = valid.astype(contrib.dtype)
+        # max(p.ds, 0) * f == where(p.ds > 0, p.ds * f, 0) for finite f:
+        # one op instead of a compare + select on the full-rank block
+        contrib = jnp.maximum(pds, 0.0) * f
+    else:
+        contrib = pds * f
 
     if not reduce:
-        # pointwise consumers need common nodes across (cell, species)
+        # pointwise consumers need common nodes across (cell, species);
+        # the validity mask is already folded into pds
         assert not remap, "reduce=False requires fixed eta nodes"
-        return contrib * cb(mask)                      # (C,R,S,M)
+        return contrib                                 # (C,R,S,M)
 
     if cfg.dimension == 2:
         w = grid.eta_weight[None, :, None, None]
         if remap:
-            # jacobian of the eta-node rescale (exact substitution),
-            # folded with the validity mask into one block operand
-            jm = s_cp * mask[:, None, None]                    # (C,S,P)
-            contrib = contrib * (w * bb(jm[:, None, :, :]))
+            # jacobian of the eta-node rescale (exact substitution)
+            contrib = contrib * (w * bb(s_cp[:, None, :, :]))
         else:
-            contrib = contrib * (w * cb(mask))
+            contrib = contrib * w
         out = jnp.sum(contrib, axis=(0, 1)).reshape(S, P, F, 1)
     else:
-        out = _reduce_cells_3d(contrib * cb(mask), S, P, F, grid.n_y)
+        out = _reduce_cells_3d(contrib, S, P, F, grid.n_y)
 
     deg = species.degeneracy[:, None, None, None]
     return CF_PREFACTOR * deg * out
