@@ -304,6 +304,19 @@ class IS3D:
                 result.events = sample_particles(
                     self.surface, species, np.asarray(mcids), grid, df_data,
                     cfg, plasma, particle_table, mesh=self.mesh)
+            if cfg.do_resonance_decays and not cfg.test_sampler:
+                # event-level MC decay cascade (kernels/mc_decays.py) -- the
+                # sampled twin of the smooth feed-down on operation 1.  The
+                # reference has no such capability (it hands events to an
+                # external afterburner); test_sampler mode keeps raw
+                # resonances so its histograms compare against the
+                # undecayed mean yield.
+                from .kernels.mc_decays import decay_events
+                from .kernels.sample import _resolve_seed
+                with timer.phase("MC resonance decays"):
+                    result.events = decay_events(
+                        result.events, particle_table, cfg,
+                        seed=_resolve_seed(None, cfg))
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
                 if cfg.test_sampler:

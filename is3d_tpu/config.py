@@ -42,6 +42,8 @@ class Config:
     particle_diff_tolerance: float = 0.01
 
     # --- resonance decays ---
+    # operation=1: smooth feed-down (kernels/decays.py); operation=2:
+    # event-level MC cascade on the sampled hadrons (kernels/mc_decays.py)
     do_resonance_decays: int = 0
     lightest_particle: int = 111  # PDG MC id of lightest decay product
 

@@ -302,6 +302,60 @@ def test_real_table_builds_and_terminates(real_table):
                                    rtol=1e-7, atol=1e-7)
 
 
+def test_api_operation2_decays_events(tmp_path, reference_dir):
+    """IS3D wiring: operation=2 with do_resonance_decays=1 runs the MC
+    cascade on the sampled events -- output holds only stable hadrons and
+    the OSCAR writer accepts the decayed schema."""
+    import os
+    from is3d_tpu.api import IS3D
+    from is3d_tpu.config import Config
+
+    chosen = tmp_path / "chosen.dat"
+    chosen.write_text("211\n-211\n113\n223\n")
+    rng = np.random.default_rng(12)
+    n = 12
+    cols = dict(
+        tau=rng.uniform(1, 4, n), x=rng.uniform(-2, 2, n),
+        y=rng.uniform(-2, 2, n), eta=np.zeros(n),
+        dat=rng.uniform(0.2, 1.0, n), dax=rng.uniform(-0.2, 0.2, n),
+        day=rng.uniform(-0.2, 0.2, n), dan=np.zeros(n),
+        ux=rng.uniform(-0.3, 0.3, n), uy=rng.uniform(-0.3, 0.3, n),
+        un=np.zeros(n),
+        E=rng.uniform(0.25, 0.4, n), T=rng.uniform(0.15, 0.16, n),
+        P=rng.uniform(0.04, 0.08, n),
+        pixx=np.zeros(n), pixy=np.zeros(n), pixn=np.zeros(n),
+        piyy=np.zeros(n), piyn=np.zeros(n), bulkPi=np.zeros(n))
+
+    def run(decays):
+        cfg = Config(operation=2, mode=1, dimension=2, df_mode=1, hrg_eos=1,
+                     do_resonance_decays=decays, sampler_seed=97,
+                     max_num_samples=4, min_num_hadrons=1.0, y_cut=3.0)
+        r = IS3D(cfg, data_dir=reference_dir,
+                 results_dir=str(tmp_path / f"res{decays}"),
+                 chosen_file=str(chosen))
+        r.read_fo_surf_from_memory(**cols)
+        return r.run_particlization(write_files=True).events
+
+    raw = run(0)
+    n_raw = sum(len(e["E"]) for e in raw)
+    n_res = sum(int(np.isin(e["mcid"], (113, 223)).sum()) for e in raw)
+    assert n_raw > 0 and n_res > 0      # resonances actually sampled
+
+    dec = run(1)
+    assert len(dec) == len(raw)
+    tabs = mcd.build_decay_tables(
+        __import__("is3d_tpu.io.pdg", fromlist=["pdg"]).read_resonances(
+            f"{reference_dir}/PDG", 1))
+    stable_ids = set(tabs.mc_id[tabs.stable].tolist())
+    for e in dec:
+        assert set(np.unique(e["mcid"])) <= stable_ids
+        for k in ("E", "px", "py", "pz", "t", "x", "y", "z",
+                  "tau", "eta", "yp", "mass"):
+            assert len(e[k]) == len(e["mcid"])
+    assert sum(len(e["E"]) for e in dec) > n_raw  # decays add hadrons
+    assert os.path.exists(tmp_path / "res1" / "particle_list_osc.dat")
+
+
 def test_mc_vs_smooth_feed_down_yield(real_table):
     """Statistical twin check: decaying sampled rho(770) events gives the
     same pi+ multiplicity as the smooth feed-down's yield bookkeeping
