@@ -52,7 +52,7 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                    out_dir: str = "oversampling", events_per_batch: int = 100,
                    base_seed: int = 0, max_batches: int = 1000,
                    resume: bool = True, worker_id: int = 0,
-                   n_workers: int = 1, mesh=None):
+                   n_workers: int = 1, mesh=None, particle_table=None):
     """Sample until cfg.min_num_hadrons hadrons (or max limits), writing one
     OSCAR file per batch into <out_dir>/results_<i>/ (oversample.sh layout).
 
@@ -74,8 +74,19 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
     share-nothing TPU-native analog of the reference's
     run_multithread_sampling_iS3D.py sandboxed process pool.
 
+    With ``cfg.do_resonance_decays`` and a ``particle_table``, every batch
+    is run through the event-level MC decay cascade (kernels/mc_decays.py)
+    before writing, under its own deterministic per-batch seed -- resumed
+    runs reproduce decayed batches byte-identically, and the flag is pinned
+    in the manifest so decayed and undecayed batches cannot mix.
+
     Returns (n_batches, total_hadrons, mean_yield); totals cover only this
     worker's batches when n_workers > 1."""
+    do_decays = bool(getattr(cfg, "do_resonance_decays", 0))
+    if do_decays and particle_table is None:
+        raise ValueError("cfg.do_resonance_decays=1 needs particle_table= "
+                         "(the full ParticleTable the decay channels come "
+                         "from)")
     ntot = abs(calculate_total_yield(surface, species, df_data, cfg, plasma))
     n_events_needed = int(np.ceil(cfg.min_num_hadrons / max(ntot, 1e-30)))
     n_events_needed = min(n_events_needed, cfg.max_num_samples)
@@ -90,7 +101,8 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
     manifest = {"base_seed": base_seed, "events_per_batch": events_per_batch,
                 "n_events_needed": n_events_needed, "batches": {},
                 "worker_id": worker_id, "n_workers": n_workers,
-                "mesh_shards": mesh_shards, "max_batches": max_batches}
+                "mesh_shards": mesh_shards, "max_batches": max_batches,
+                "decays": int(do_decays)}
     if os.path.exists(manifest_path):
         if not resume:
             raise ValueError(
@@ -107,7 +119,8 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                 or prev.get("n_events_needed") != n_events_needed
                 or prev.get("worker_id", 0) != worker_id
                 or prev.get("n_workers", 1) != n_workers
-                or prev.get("mesh_shards", 0) != mesh_shards):
+                or prev.get("mesh_shards", 0) != mesh_shards
+                or prev.get("decays", 0) != int(do_decays)):
             raise ValueError(
                 f"{manifest_path} was written with base_seed="
                 f"{prev.get('base_seed')}, events_per_batch="
@@ -134,7 +147,12 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
         plan.append(min(events_per_batch, left))
         left -= plan[-1]
 
-    seeds = ensemble_seeds(base_seed, max_batches)
+    # one spawn plan covers both streams: children [0, max_batches) seed
+    # the sampler batches (unchanged from pre-decay manifests, so resume
+    # stays compatible), [max_batches, 2*max_batches) seed the per-batch
+    # decay cascades
+    seeds = ensemble_seeds(base_seed, 2 * max_batches if do_decays
+                           else max_batches)
     total = 0
     for batch, nev in enumerate(plan):
         if batch % n_workers != worker_id:
@@ -147,6 +165,10 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
         events = sample_particles(surface, species, mcids, None, df_data,
                                   cfg, plasma, nevents=nev,
                                   seed=seeds[batch], mesh=mesh)
+        if do_decays:
+            from .kernels.mc_decays import decay_events
+            events = decay_events(events, particle_table, cfg,
+                                  seed=seeds[max_batches + batch])
         d = os.path.join(out_dir, f"results_{batch}")
         os.makedirs(d, exist_ok=True)
         out_file = os.path.join(d, "particle_list_osc.dat")

@@ -71,7 +71,7 @@ def main(argv: list[str]) -> int:
             f"({', '.join(_OWN_KEYS)}) and not an iS3D config parameter")
     run = IS3D.from_run_dir(kv.get("run_dir", "."), overrides=overrides)
     run.read_fo_surf_from_file(write_averages=False)
-    (_table, df_data, species, mcids, _grid, plasma) = run._prepare()
+    (table, df_data, species, mcids, _grid, plasma) = run._prepare()
 
     mesh = None
     if kv.get("mesh_devices"):
@@ -88,7 +88,8 @@ def main(argv: list[str]) -> int:
         base_seed=int(kv.get("base_seed", 0)),
         max_batches=int(kv.get("max_batches", 1000)),
         worker_id=int(kv.get("worker_id", 0)),
-        n_workers=int(kv.get("n_workers", 1)), mesh=mesh)
+        n_workers=int(kv.get("n_workers", 1)), mesh=mesh,
+        particle_table=table)
     print(f"worker {kv.get('worker_id', 0)}/{kv.get('n_workers', 1)}: "
           f"{total} hadrons over its share of {n_batches} batches "
           f"(mean yield {ntot:.3f}/event)")
