@@ -377,3 +377,93 @@ def test_mc_vs_smooth_feed_down_yield(real_table):
         br_pip += float(real_table.decays_branch[s_rho][ch]) * d.count(211)
     got = (o["mcid"] == 211).sum() / n_par
     assert abs(got - br_pip) < 0.05 * max(br_pip, 0.1), (got, br_pip)
+
+
+def test_mc_decays_spectra_match_smooth_feed_down(real_table, reference_dir):
+    """Full twin check on momentum spectra: sampling rho0+pions and running
+    the event-level MC cascade must reproduce the pion dN/dy and pT shape
+    of smooth Cooper-Frye spectra + the smooth feed-down cascade
+    (kernels/decays.py) on the same surface -- the two independent decay
+    implementations are cross-validated through the sampler (reference
+    methodology scripts/compare_sampling_smooth.py, extended to feed-down).
+    Both comparisons are exact in expectation for a boost-invariant
+    surface: daughter pT is invariant under longitudinal boosts, so the
+    all-daughter histogram / (2 y_cut nev) estimates the y-differential
+    feed-down spectrum without edge corrections."""
+    import jax.numpy as jnp
+    from is3d_tpu.config import Config
+    from is3d_tpu.data import SpeciesArrays
+    from is3d_tpu.io import pdg, deltaf as deltaf_io
+    from is3d_tpu.io.tables import native_momentum_grid
+    from is3d_tpu.kernels.smooth import smooth_spectra
+    from is3d_tpu.kernels.sample import sample_particles
+    from is3d_tpu.kernels.decays import do_resonance_decays
+    from is3d_tpu import observables
+    from test_sampler import small_surface, equilibrium_density, PLASMA
+    from oracle import bin_fractions_from_grid
+
+    table = real_table
+    ids = [211, -211, 113]
+    idx = pdg.chosen_indices(table, ids)
+    mcids = table.mc_id[idx].astype(np.int32)
+    i_pip = int(np.where(mcids == 211)[0][0])
+    sp = SpeciesArrays(
+        mass=jnp.asarray(table.mass[idx]),
+        sign=jnp.asarray(table.sign[idx], dtype=jnp.float64),
+        degeneracy=jnp.asarray(table.gspin[idx]),
+        baryon=jnp.asarray(table.baryon[idx], dtype=jnp.float64),
+        equilibrium_density=jnp.zeros(len(idx)),
+        bulk_density=jnp.zeros(len(idx)),
+        diff_density=jnp.zeros(len(idx)))
+    neq = equilibrium_density(np.asarray(sp.mass), np.asarray(sp.degeneracy),
+                              np.asarray(sp.sign), np.asarray(sp.baryon),
+                              0.155)
+    sp = sp.replace(equilibrium_density=jnp.asarray(neq))
+    df_data = deltaf_io.build_deltaf_data(
+        f"{reference_dir}/deltaf_coefficients", hrg_eos=1,
+        particle_table=table, T_avg=0.155)
+
+    surf = small_surface(n=24, seed=11)
+    y_cut = 4.0
+    cfg = Config(operation=2, dimension=2, df_mode=1, y_cut=y_cut,
+                 sampler_seed=21)     # ideal df: both sides exactly equal
+
+    # smooth side: CF spectra then the wave-levelized feed-down
+    grid = native_momentum_grid(dimension=2, n_pT=48, pT_max=5.0, n_phi=24,
+                                n_eta=48)
+    spectra = np.asarray(smooth_spectra(
+        surf, sp, grid, df_data, cfg.replace(operation=1, cell_chunk=32)))
+    decayed = do_resonance_decays(spectra.copy(), table, mcids, grid, cfg)
+    dNdy_sm = np.asarray(observables.dN_dy(jnp.asarray(decayed), grid))[:, 0]
+    dNpT_sm = np.asarray(observables.dN_twopipTdpTdy(
+        jnp.asarray(decayed), grid))[i_pip, :, 0]
+
+    # sampled side: sample all three species, MC-decay the rho0s
+    nev = 1000
+    events = sample_particles(surf, sp, mcids, None, df_data, cfg, PLASMA,
+                              nevents=nev)
+    n_rho = sum(int((e["mcid"] == 113).sum()) for e in events)
+    assert n_rho > 500                  # the test must actually decay rhos
+    events = mcd.decay_events(events, table, seed=33)
+    mcid_all = np.concatenate([e["mcid"] for e in events])
+    pT_all = np.concatenate([np.hypot(e["px"], e["py"]) for e in events])
+    assert not np.any(mcid_all == 113)
+
+    # per-species dN/dy incl. feed-down (number conservation makes the
+    # total/(2 y_cut) estimator exact even though daughters leave |y|<y_cut)
+    for i, mcid in enumerate(mcids):
+        if mcid == 113:
+            continue
+        n_s = int((mcid_all == mcid).sum())
+        got = n_s / (2.0 * y_cut) / nev
+        sig = math.sqrt(max(n_s, 1)) / (2.0 * y_cut) / nev
+        assert abs(got - dNdy_sm[i]) < 5.0 * sig + 0.02 * dNdy_sm[i], \
+            (mcid, got, dNdy_sm[i])
+
+    # pi+ pT shape incl. the feed-down bump at pT ~ p*(rho)
+    edges = np.array([0.0, 0.25, 0.45, 0.7, 1.0, 1.5, 5.0])
+    pred = bin_fractions_from_grid(np.asarray(grid.pT), dNpT_sm, edges)
+    counts, _ = np.histogram(pT_all[mcid_all == 211], bins=edges)
+    frac = counts / counts.sum()
+    sig = np.sqrt(np.maximum(counts, 1)) / counts.sum()
+    assert np.all(np.abs(frac - pred) < 5.0 * sig + 0.015), (frac, pred)
