@@ -311,12 +311,15 @@ class IS3D:
                 # external afterburner); test_sampler mode keeps raw
                 # resonances so its histograms compare against the
                 # undecayed mean yield.
-                from .kernels.mc_decays import decay_events
+                from .kernels.mc_decays import decay_events, derive_decay_seed
                 from .kernels.sample import _resolve_seed
                 with timer.phase("MC resonance decays"):
+                    # NOT the sampler's seed itself: the cascade's per-pass
+                    # fold_in(key(seed), i) would alias the sampler's
+                    # per-event Threefry streams
                     result.events = decay_events(
                         result.events, particle_table, cfg,
-                        seed=_resolve_seed(None, cfg))
+                        seed=derive_decay_seed(_resolve_seed(None, cfg)))
             if write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
                 if cfg.test_sampler:

@@ -127,8 +127,10 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                 f"{prev.get('events_per_batch')}, n_events_needed="
                 f"{prev.get('n_events_needed')} (now {n_events_needed}), "
                 f"worker {prev.get('worker_id', 0)}/"
-                f"{prev.get('n_workers', 1)}; refusing to resume with "
-                "different parameters (would silently mix sample streams)")
+                f"{prev.get('n_workers', 1)}, decays="
+                f"{prev.get('decays', 0)} (now {int(do_decays)}); refusing "
+                "to resume with different parameters (would silently mix "
+                "sample streams)")
         manifest = prev
         # max_batches is a run-length cap, not a stream parameter: batch
         # seeds/contents don't depend on it, so resuming with a different
@@ -147,12 +149,7 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
         plan.append(min(events_per_batch, left))
         left -= plan[-1]
 
-    # one spawn plan covers both streams: children [0, max_batches) seed
-    # the sampler batches (unchanged from pre-decay manifests, so resume
-    # stays compatible), [max_batches, 2*max_batches) seed the per-batch
-    # decay cascades
-    seeds = ensemble_seeds(base_seed, 2 * max_batches if do_decays
-                           else max_batches)
+    seeds = ensemble_seeds(base_seed, max_batches)
     total = 0
     for batch, nev in enumerate(plan):
         if batch % n_workers != worker_id:
@@ -166,9 +163,15 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                                   cfg, plasma, nevents=nev,
                                   seed=seeds[batch], mesh=mesh)
         if do_decays:
-            from .kernels.mc_decays import decay_events
+            # the decay seed derives from the batch's sampler seed through
+            # an independent SeedSequence branch: a pure function of
+            # (base_seed, batch), so it survives a resume with a different
+            # max_batches cap (which legitimately changes the plan length
+            # but must not change any batch's streams) and never aliases
+            # the sampler's own Threefry streams
+            from .kernels.mc_decays import decay_events, derive_decay_seed
             events = decay_events(events, particle_table, cfg,
-                                  seed=seeds[max_batches + batch])
+                                  seed=derive_decay_seed(seeds[batch]))
         d = os.path.join(out_dir, f"results_{batch}")
         os.makedirs(d, exist_ok=True)
         out_file = os.path.join(d, "particle_list_osc.dat")
@@ -205,14 +208,20 @@ def merge_manifests(out_dir: str, n_workers: int) -> dict:
                       ("base_seed", "events_per_batch", "n_events_needed")}
             merged.update(n_workers=n_workers, batches={},
                           max_batches=m.get("max_batches", 1000),
-                          mesh_shards=m.get("mesh_shards", 0))
+                          mesh_shards=m.get("mesh_shards", 0),
+                          decays=m.get("decays", 0))
         else:
             for key in ("base_seed", "events_per_batch", "n_events_needed",
-                        "max_batches", "mesh_shards"):
-                if m.get(key, merged.get(key)) != merged.get(key):
+                        "max_batches", "mesh_shards", "decays"):
+                # mesh_shards/decays default to 0 for pre-flag manifests --
+                # a decayed worker must NOT merge silently with an old
+                # undecayed one
+                have = (m.get(key, 0) if key in ("mesh_shards", "decays")
+                        else m.get(key, merged.get(key)))
+                if have != merged.get(key):
                     raise ValueError(
                         f"worker {k} manifest disagrees on {key}: "
-                        f"{m.get(key)} != {merged.get(key)}")
+                        f"{have} != {merged.get(key)}")
         if m.get("n_workers", 1) != n_workers:
             raise ValueError(
                 f"worker {k} ran with n_workers={m.get('n_workers', 1)}, "

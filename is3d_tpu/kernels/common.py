@@ -182,6 +182,11 @@ def prepare_cells(cols: dict, cfg, df_data: Optional[DeltafData]) -> dict:
 PAD_ONE_COLUMNS = ("tau", "T", "E", "P", "Lambda", "aL")
 
 
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (1 for n <= 1)."""
+    return 1 << max(0, (int(n) - 1).bit_length())
+
+
 def chunk_element_budget() -> int:
     """Per-scan-step element budget for the (chunk x species x momentum)
     block.  On TPU, XLA fuses the block into the reduction so the budget can

@@ -63,6 +63,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .common import next_pow2 as _next_pow2
+
 TWO_PI = 2.0 * math.pi
 GAUSS_PTS = 12
 _GL_X, _GL_W = np.polynomial.legendre.leggauss(GAUSS_PTS)
@@ -439,10 +441,6 @@ def _wave_bucket(dimension: int) -> int:
     # large enough that per-dispatch latency (~100 ms on a serving-layer
     # TPU) amortizes over the wave
     return 256 if dimension == 2 else 32
-
-
-def _next_pow2(n: int) -> int:
-    return 1 << max(0, (n - 1).bit_length())
 
 
 def _run_wave(tasks2, tasks3, parents, pT, phi, y_grid, dimension, n_seg,

@@ -63,6 +63,7 @@ import jax
 import jax.numpy as jnp
 
 from ..units import HBARC
+from .common import next_pow2 as _next_pow2
 
 # The phase-space density vanishes like sqrt(distance) at both m23
 # endpoints, so the quantile function has infinite slope at q = 0 and 1;
@@ -171,7 +172,10 @@ def build_decay_tables(table, lightest_particle: int = 111) -> DecayTables:
             continue
         probs = np.array([c[0] for c in chs])
         cum[s, :len(chs)] = np.cumsum(probs / probs.sum())
-        cum[s, len(chs):] = 1.0
+        # the last REAL channel must close the unit interval exactly: a
+        # cumsum end a few ulp below 1.0 would let a uniform select a
+        # padding channel (a bogus 2-body decay into table row 0)
+        cum[s, len(chs) - 1:] = 1.0
         for j, (_, n, i1, i2, i3, q) in enumerate(chs):
             nd[s, j] = n
             d1[s, j], d2[s, j], d3[s, j] = i1, i2, i3
@@ -341,18 +345,36 @@ def _cascade_jit(sidx, E, px, py, pz, t, x, y, z, eid, n0, key, tabs,
 # host orchestration
 # ======================================================================
 
-def _next_pow2(v: int) -> int:
-    return 1 << max(0, (int(v) - 1).bit_length())
-
-
+# id(table)-keyed; each entry holds a strong reference to the source table
+# so a garbage-collected table's recycled address can never alias a stale
+# entry.  Bounded by the number of distinct particle tables in a process.
 _TABLE_CACHE = {}
 
 
 def _cached_tables(table, lightest) -> DecayTables:
     k = (id(table), int(lightest))
     if k not in _TABLE_CACHE:
-        _TABLE_CACHE[k] = build_decay_tables(table, lightest)
-    return _TABLE_CACHE[k]
+        _TABLE_CACHE[k] = (table, build_decay_tables(table, lightest), {})
+    return _TABLE_CACHE[k][1]
+
+
+def _cached_device_tables(table, lightest, tabs: DecayTables, dtype):
+    """The immutable on-device table dict, uploaded once per dtype."""
+    dev = _TABLE_CACHE[(id(table), int(lightest))][2]
+    key = np.dtype(dtype).name
+    if key not in dev:
+        dev[key] = tabs.device(dtype)
+    return dev[key]
+
+
+def derive_decay_seed(seed: int) -> int:
+    """An independent decay-stream seed from a sampler seed.
+
+    The cascade must not consume the same Threefry streams as the sampler
+    that produced the events (fold_in(key(seed), i) appears in both), so
+    callers derive the decay seed through a distinct SeedSequence branch."""
+    return int(np.random.SeedSequence((int(seed), 0x6D63)).generate_state(
+        2, dtype=np.uint64)[0] % (2**63))
 
 
 def decay_events(events: list, table, cfg=None, seed: int = 0,
@@ -375,8 +397,11 @@ def decay_events(events: list, table, cfg=None, seed: int = 0,
     if N == 0:
         return [dict(e) for e in events]
 
-    cat = lambda k: np.concatenate([np.asarray(e[k]) for e in events])
-    mcid_in = cat("mcid").astype(np.int64)
+    FIELDS = ("mcid", "mass", "E", "px", "py", "pz", "t", "x", "y", "z",
+              "tau", "eta", "yp")
+    cols = {k: np.concatenate([np.asarray(e[k]) for e in events])
+            for k in FIELDS}
+    mcid_in = cols["mcid"].astype(np.int64)
     eid_in = np.repeat(np.arange(len(events), dtype=np.int32), counts)
 
     order = np.argsort(tabs.mc_id, kind="stable")
@@ -392,9 +417,7 @@ def decay_events(events: list, table, cfg=None, seed: int = 0,
     # of a sampled event); stable ones pass through host-side untouched,
     # shrinking the cascade's static capacity and both transfer directions
     unst = ~tabs.stable[sidx_all]
-    pass_cols = {k: cat(k)[~unst] for k in
-                 ("mcid", "mass", "E", "px", "py", "pz", "t", "x", "y", "z",
-                  "tau", "eta", "yp")}
+    pass_cols = {k: v[~unst] for k, v in cols.items()}
     eid_pass = eid_in[~unst]
     sidx_in = sidx_all[unst]
     eid_unst = eid_in[unst]
@@ -417,11 +440,13 @@ def decay_events(events: list, table, cfg=None, seed: int = 0,
 
         sidx = jnp.asarray(np.pad(sidx_in, (0, C - n_u)))
         eid = jnp.asarray(np.pad(eid_unst, (0, C - n_u), constant_values=-1))
-        args = [pad_f(cat(k)[unst])
+        args = [pad_f(cols[k][unst])
                 for k in ("E", "px", "py", "pz", "t", "x", "y", "z")]
 
+        dev_tabs = _cached_device_tables(table, lightest_particle, tabs,
+                                         dtype)
         st = _cascade_jit(sidx, *args, eid, n_u, jax.random.key(int(seed)),
-                          tabs.device(dtype), n_passes=tabs.n_passes)
+                          dev_tabs, n_passes=tabs.n_passes)
         nf = int(st[-1])
         if nf > C:
             raise RuntimeError(f"decay cascade overflow: {nf} hadrons > "
