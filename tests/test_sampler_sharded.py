@@ -69,3 +69,51 @@ def test_sharded_sampler_on_shell(smash_table, df_data):
             continue
         E2 = e["mass"]**2 + e["px"]**2 + e["py"]**2 + e["pz"]**2
         np.testing.assert_allclose(e["E"]**2, E2, rtol=1e-10)
+
+
+def test_sharded_sampler_events_decay(smash_table, df_data):
+    """The MC decay cascade consumes sharded-sampler events unchanged
+    (same EVENT_FIELDS schema): mesh-sampled rho0s decay to stable pions
+    with per-event four-momentum conserved."""
+    import jax.numpy as jnp
+    from is3d_tpu.io import pdg
+    from is3d_tpu.data import SpeciesArrays
+    from is3d_tpu.kernels.mc_decays import decay_events, build_decay_tables
+    from test_sampler import small_surface, equilibrium_density, PLASMA
+
+    ids = np.asarray([211, -211, 113], dtype=np.int32)
+    idx = pdg.chosen_indices(smash_table, ids)
+    sp = SpeciesArrays(
+        mass=jnp.asarray(smash_table.mass[idx]),
+        sign=jnp.asarray(smash_table.sign[idx], dtype=jnp.float64),
+        degeneracy=jnp.asarray(smash_table.gspin[idx]),
+        baryon=jnp.asarray(smash_table.baryon[idx], dtype=jnp.float64),
+        equilibrium_density=jnp.zeros(len(idx)),
+        bulk_density=jnp.zeros(len(idx)),
+        diff_density=jnp.zeros(len(idx)))
+    neq = equilibrium_density(np.asarray(sp.mass), np.asarray(sp.degeneracy),
+                              np.asarray(sp.sign), np.asarray(sp.baryon),
+                              0.155)
+    sp = sp.replace(equilibrium_density=jnp.asarray(neq))
+    mcids = smash_table.mc_id[idx].astype(np.int32)
+
+    surf = small_surface(n=16, seed=5)
+    cfg = Config(operation=2, dimension=2, df_mode=1, y_cut=3.0,
+                 sampler_seed=9)
+    mesh = default_mesh(axis=cfg.mesh_axis)
+    events = sample_particles_sharded(surf, sp, mcids, df_data, cfg, PLASMA,
+                                      mesh, nevents=20, seed=31)
+    n_rho = sum(int((e["mcid"] == 113).sum()) for e in events)
+    assert n_rho > 0
+    p4_before = [np.array([e[k].sum() for k in ("E", "px", "py", "pz")])
+                 for e in events]
+
+    out = decay_events(events, smash_table, seed=77)
+    tabs = build_decay_tables(smash_table)
+    stable_ids = set(tabs.mc_id[tabs.stable].tolist())
+    assert len(out) == len(events)
+    for e, p4 in zip(out, p4_before):
+        assert set(np.unique(e["mcid"])) <= stable_ids
+        np.testing.assert_allclose(
+            np.array([e[k].sum() for k in ("E", "px", "py", "pz")]), p4,
+            rtol=1e-6, atol=1e-6)
