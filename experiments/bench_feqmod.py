@@ -3,16 +3,22 @@
 The feqmod SIMD kernel historically evaluated BOTH the modified-equilibrium
 branch (momentum transform at the scaled rapidity) and the linearized
 fallback per point, then masked per cell -- roughly twice the per-point work
-of the linear-df kernel.  The host-side breakdown partition
-(kernels/feqmod._feqmod_spectra_dispatch) routes clean cells to a
-feqmod-only kernel; on production surfaces (REAL shipped coefficient
-tables, realistic viscous magnitudes) the breakdown fraction measures 0%,
-so the partitioned rate is the production number.  The unpartitioned rate
-(feqmod_partition=0) is also printed for comparison.
+of the linear-df kernel.  Since round 3 the production kernel routes per
+CHUNK inside the compiled scan (kernels/feqmod.routed_switch): clean chunks
+pay only the feqmod chain, all-breakdown chunks only the cheaper linearized
+chain, and only genuinely mixed chunks pay both.  Rows measured here:
+
+* routed / clean surface      -- production regime (REAL shipped coefficient
+  tables, realistic viscous magnitudes: breakdown fraction 0)
+* routed / breakdown-heavy    -- the physically interesting strong-bulk
+  regime (bulkPi = -0.9 P trips the breakdown probe on every cell), which
+  used to run the both-branch kernel at ~24-28 Geval/s
+* both-branch everywhere      -- feqmod_partition=0, the unrouted kernel
+  (the AD/vmap paths run this variant)
 
 Uses the real deltaf coefficient tables from /root/reference when present
-(the synthetic fake tables put betabulk ~ 2e-5, an unphysical regime where
->50% of cells trip the breakdown probe); falls back to synthetic otherwise.
+(the synthetic fake tables put betabulk ~ 2e-5, an unphysical regime);
+falls back to synthetic otherwise.
 
 Fresh surface per rep + forced readback (serving countermeasures,
 NOTES_ROUND1.md).
@@ -44,6 +50,12 @@ def real_deltaf_data(dtype):
                                     T_avg=0.155, dtype=dtype)
 
 
+def strong_bulk(surface):
+    """bulkPi = -0.9 P: trips the mode-3 breakdown probe (negative
+    linearized pion density) and mode 4's detA guard on every cell."""
+    return surface.replace(bulkPi=-0.9 * surface.P)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     dtype = jnp.float32
@@ -55,35 +67,31 @@ def main():
         df = real_deltaf_data(dtype)
     else:
         print("NOTE: reference tables unavailable, synthetic regime "
-              "(unrealistically high breakdown fraction); skipping the "
-              "partitioned rows -- per-rep split sizes would recompile "
-              "inside the timed window")
+              "(unrealistically high breakdown fraction)")
         df = synthetic_deltaf_data(dtype=dtype)
     lag = laguerre_device()
+    ev = n * 320 * 32 * 24 * grid.n_eta
+
+    rows = [("routed, clean surface", 1, False),
+            ("routed, breakdown-heavy surface", 1, True),
+            ("both-branch everywhere", 0, False)]
     for df_mode in (3, 4):
-        for partition in (1, 0):
-            if partition and not have_real:
+        for label, partition, heavy in rows:
+            if heavy and not have_real:
                 continue
             cfg = Config(dimension=2, df_mode=df_mode, include_shear_deltaf=1,
                          include_bulk_deltaf=1, include_baryondiff_deltaf=0,
                          include_baryon=0, regulate_deltaf=1, outflow=1,
                          cell_chunk=65536, precision="f32",
                          feqmod_partition=partition,
-                         # force the partition regardless of n so the
-                         # printed label always matches the dispatch
                          feqmod_partition_min_cells=1)
             surfs = [synthetic_surface(n, dimension=2, seed=s, dtype=dtype)
                      for s in (0, 100, 101, 102)]
-            if partition:
-                # breakdown fraction of the TIMED surfaces (the label must
-                # describe the timed routing, not the warm-up's)
-                fracs = [float(np.asarray(_breakdown_probe_jit(
-                    surface_columns(s, cfg), df, lag, cfg)[0]).mean())
-                    for s in surfs[1:]]
-                if max(fracs) > 0.0:
-                    print(f"WARNING: nonzero breakdown fractions {fracs}: "
-                          "split sizes vary per rep, timings include "
-                          "recompiles")
+            if heavy:
+                surfs = [strong_bulk(s) for s in surfs]
+            fracs = [float(np.asarray(_breakdown_probe_jit(
+                surface_columns(s, cfg), df, lag, cfg)[1]).mean())
+                for s in surfs[1:]]
             smooth_spectra_feqmod(surfs[0], sp, grid, df, cfg)  # warmup
             dts, checks = [], []
             for s in surfs[1:]:
@@ -91,11 +99,10 @@ def main():
                 out = np.asarray(smooth_spectra_feqmod(s, sp, grid, df, cfg))
                 checks.append(float(out.sum()))
                 dts.append(time.perf_counter() - t0)
-            assert len(set(checks)) == 3, "distinct inputs must give distinct sums"
-            ev = n * 320 * 32 * 24 * grid.n_eta
-            tag = (f"partitioned (breakdown frac {max(fracs):.3f})"
-                   if partition else "unpartitioned (both branches everywhere)")
-            print(f"feqmod 2+1D df{df_mode} {tag}: "
+            assert len(set(checks)) == 3, \
+                "distinct inputs must give distinct sums"
+            print(f"feqmod 2+1D df{df_mode} {label} "
+                  f"(breakdown frac {max(fracs):.3f}): "
                   f"{ev / np.median(dts) / 1e9:.1f} Geval/s "
                   f"({n} cells, 320 species, 32x24x{grid.n_eta})")
 

@@ -35,7 +35,8 @@ from .common import (surface_columns, prepare_cells, pad_and_chunk,
                      carry_seed_zero,
                      effective_chunk)
 from .smooth import _chunk_contribution
-from .feqmod import _chunk_contribution_feqmod, _prepare_feqmod_cells
+from .feqmod import (_chunk_contribution_feqmod, _prepare_feqmod_cells,
+                     routed_switch, feqmod_kernel_mode, _routing_sort)
 
 
 def _cell_dNdy(contrib, species, grid, cfg):
@@ -62,13 +63,19 @@ def _cell_dNdy(contrib, species, grid, cfg):
             CF_PREFACTOR * dydeta * deg[:, None])
 
 
-@partial(jax.jit, static_argnames=("cfg", "both"))
+@partial(jax.jit, static_argnames=("cfg", "mode"))
 def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config,
-              both: bool = True):
+              mode: str = "both"):
     factor = 4 if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3) else 1
     per_cell = factor * species.n_species * grid.n_pT * grid.n_phi * \
         grid.n_eta * (1 if cfg.dimension == 2 else grid.n_y)
     chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
+    if mode == "routed" and cols["tau"].shape[0] > chunk:
+        # group-local clean/fallback ordering so the routed switch sees
+        # mostly pure chunks (kernels/feqmod._routing_sort; the x/y
+        # position columns ride the same permutation, so the (tau, r)
+        # binning is untouched cell-for-cell)
+        cols = _routing_sort(cols, df_data, laguerre, cfg)
     chunked, mask, _ = pad_and_chunk(cols, chunk)
     S = species.n_species
     R = grid.n_eta if cfg.dimension == 2 else grid.n_y
@@ -103,13 +110,24 @@ def _dndx_jit(cols, species, grid, df_data, laguerre, cfg: Config,
         elif cfg.df_mode in (3, 4):
             c = prepare_cells(chunk_cols, cfg, df_data)
             c = _prepare_feqmod_cells(c, species, laguerre, cfg)
-            contrib = _chunk_contribution_feqmod(c, m, species, grid, cfg,
-                                                 reduce=False, both=both)
+
+            def reduced(b):
+                # reduce INSIDE the routing switch so its output is the
+                # small (C, S)/(S, R) pair, not the full-rank block
+                contrib = _chunk_contribution_feqmod(
+                    c, m, species, grid, cfg, reduce=False, branch=b)
+                return _cell_dNdy(contrib, species, grid, cfg)
+
+            if mode == "routed":
+                per_cell, dydeta = routed_switch(c, m, reduced)
+            else:
+                per_cell, dydeta = reduced(mode)
         else:
             c = prepare_cells(chunk_cols, cfg, df_data)
             contrib = _chunk_contribution(c, m, species, grid, cfg,
                                           reduce=False)
-        per_cell, dydeta = _cell_dNdy(contrib, species, grid, cfg)
+        if cfg.df_mode not in (3, 4) or cfg.mode in (2, 3):
+            per_cell, dydeta = _cell_dNdy(contrib, species, grid, cfg)
 
         tau = c["tau"]
         r = jnp.sqrt(c["x"] ** 2 + c["y"] ** 2)
@@ -163,24 +181,14 @@ def spacetime_distributions(surface, species: SpeciesArrays,
            else jnp.zeros((), dt))
     from ..parallel.mesh import grouped_cell_reduce
 
-    def run(sub, both):
-        kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg, both)
-        return grouped_cell_reduce(kern, sub, (species, grid, df_data, lag),
-                                   cfg, mesh, unroll_groups=True)
-
-    # host-side breakdown partition (shared routing: clean cells skip the
-    # fallback chain; histograms are additive and the routing depends on
-    # the surface alone, so sharding stability is untouched)
-    jobs = None
-    if feq:
-        from .feqmod import partition_cells_by_breakdown
-        jobs = partition_cells_by_breakdown(cols, df_data, lag, cfg)
-    if jobs is None:
-        acc = run(cols, True)
-    else:
-        parts = [run(sub, both) for sub, both in jobs]
-        acc = (parts[0] if len(parts) == 1
-               else jax.tree.map(jnp.add, parts[0], parts[1]))
+    # in-kernel chunk routing (clean chunks skip the fallback chain,
+    # all-breakdown chunks skip the feqmod chain; kernels/feqmod
+    # .routed_switch) -- the routing depends on the surface alone, so
+    # sharding stability is untouched
+    mode = feqmod_kernel_mode(cfg, cols["tau"].shape[0]) if feq else "both"
+    kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg, mode)
+    acc = grouped_cell_reduce(kern, cols, (species, grid, df_data, lag),
+                              cfg, mesh, unroll_groups=True)
     return dndx_finalize(acc, grid, cfg)
 
 

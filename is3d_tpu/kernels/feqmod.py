@@ -13,7 +13,16 @@ translation:
   early exit; f64 adjugate + refinement is converged well below 1e-6 parity);
 * the per-cell breakdown branch (goto-style fallback to linearized df,
   :811-877) becomes a per-(cell, rapidity-node) mask selecting between the
-  feqmod and linearized evaluations, both computed vectorized;
+  feqmod and linearized evaluations -- and, in the production "routed"
+  mode, a per-CHUNK lax.switch that runs only the branch the chunk needs:
+  chunks whose every cell cleared the breakdown probe pay only the
+  momentum-transform chain, chunks whose every valid cell broke down pay
+  only the (cheaper) linearized chain, and only genuinely mixed chunks
+  evaluate both.  The routing predicate and the per-point branch select
+  are computed from the SAME in-program values, so they can never
+  disagree, and chunk composition follows the canonical group tree
+  (parallel/mesh.py), so results stay bit-identical across device counts
+  AND processes -- no global host-side partition decision exists anymore;
 * per-(cell, species) renormalization n_linear/n_mod uses the batched
   Gauss-Laguerre quadrature over a (C, S, Q) block (:744-778).
 """
@@ -210,12 +219,15 @@ def _feqmod_transform(c, laguerre, cfg: Config):
         # detA <= detA_min cells to the linearized Jonah df, the same
         # guard mode 3 applies (deliberate, documented divergence).
         c["breakdown"] = detA <= cfg.deta_min
-    if "bd_forced" in c:
-        # partitioned dispatch: the probe's flag is authoritative, so the
-        # kernel's branch select can never ulp-disagree with the routing
-        # (the same math in a different fusion context can flip a
-        # threshold comparison -- see parallel/mesh.py's measured drift)
-        c["breakdown"] = c["bd_forced"] > 0.5
+    # chunk-routing predicate: cells that need the fallback chain at ANY
+    # rapidity node.  3+1D adds the narrow-cell mask's eligibility
+    # (detA < 0.01, _chunk_contribution_feqmod) so a chunk routed to the
+    # feqmod-only branch provably never needed the per-point mask.  The
+    # predicate and the per-point select read the SAME in-program values,
+    # so routing and masking cannot ulp-disagree.
+    c["routing"] = c["breakdown"]
+    if cfg.dimension == 3:
+        c["routing"] = c["routing"] | (detA < 0.01)
     return c
 
 
@@ -263,24 +275,34 @@ def _prepare_feqmod_cells(c, species, laguerre, cfg: Config,
 
 def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
                                grid: MomentumGrid, cfg: Config,
-                               reduce: bool = True, both: bool = True):
+                               reduce: bool = True, branch: str = "both"):
     """Spectra contribution of one cell chunk, (S, PT, PHI, Y_out).
 
     Computed in the TPU-friendly (C, R, S, M = PT*PHI) layout (full lane
     tiles; see kernels/smooth._chunk_contribution) with the same factored
-    composites; both the feqmod and the linearized-fallback branches are
-    evaluated and masked per cell.  With reduce=False, returns the masked
-    pointwise emission block at (C, R, S, M) -- no weights or prefactor --
-    consumed by the dN/dX spacetime kernel (fixed eta nodes only).
+    composites.  With reduce=False, returns the masked pointwise emission
+    block at (C, R, S, M) -- no weights or prefactor -- consumed by the
+    dN/dX spacetime kernel (fixed eta nodes only).
 
-    both=False compiles a feqmod-only variant that skips the entire
-    linearized-fallback chain (pipp/Vp composites, feq, out_df) -- the
-    per-point cost the reference's scalar loop never pays because it
-    branches per cell (emissionfunction_smooth_kernels.cpp:811-877).  Only
-    valid for chunks whose every cell the breakdown probe cleared
-    (breakdown False, and in 3+1D detA >= 0.01 so the narrow-cell mask
-    never fires); the host-side partition in smooth_spectra_feqmod owns
-    that routing."""
+    branch selects which evaluation chains are traced (the reference's
+    scalar loop branches once per cell and never pays the other chain,
+    emissionfunction_smooth_kernels.cpp:811-877):
+
+    * "both": feqmod AND linearized fallback evaluated at every point,
+      selected per (cell, rapidity node) by the breakdown mask -- always
+      correct, roughly twice the per-point work;
+    * "mod":  feqmod only.  Valid for chunks whose every cell cleared the
+      routing predicate (breakdown False, and in 3+1D detA >= 0.01 so the
+      narrow-cell mask never fires);
+    * "lin":  linearized fallback only.  Valid for chunks whose every
+      VALID cell broke down (the per-point select would pick the fallback
+      everywhere).
+
+    The per-chunk lax.switch in _feqmod_spectra_jit routes between the
+    three from the in-kernel ``routing``/``breakdown`` flags."""
+    assert branch in ("both", "mod", "lin"), branch
+    fallback_needed = branch in ("both", "lin")
+    mod_needed = branch in ("both", "mod")
     S = species.n_species
     P, F = grid.n_pT, grid.n_phi
     M = P * F
@@ -304,13 +326,14 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     from .smooth import df_switches
     shear_on, bulk_on, diff_on = df_switches(cfg)
     W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
-    W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
+    W2 = (c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
+          if fallback_needed else None)
     C4 = ((c["pixx"][:, None] * (pxf * pxf)[None]
            + c["piyy"][:, None] * (pyf * pyf)[None]
            + 2.0 * c["pixy"][:, None] * (pxf * pyf)[None])
-          if shear_on else None)
+          if shear_on and fallback_needed else None)
     D2 = (c["Vx"][:, None] * pxf[None] + c["Vy"][:, None] * pyf[None]
-          if diff_on else None)
+          if diff_on and fallback_needed else None)
 
     rescaled = cfg.dimension == 2 and grid.eta_mT_rescale
     if rescaled:
@@ -322,7 +345,7 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         from .smooth import _rescaled_eta_operands, _rescaled_vh_terms
         ops = _rescaled_eta_operands(c, species, grid, S, P, F, M)
         s_flat = ops[-1]
-        if both:
+        if fallback_needed:
             pds_u, pdotu, pipp, Vp = _rescaled_vh_terms(c, ops, W1, W2, C4,
                                                         D2, pxf, pyf)
         delta_u = None    # only consulted on the 3+1D narrow-cell mask
@@ -334,8 +357,11 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         else:
             delta_u = grid.y[None, :] - c["eta"][:, None]
             delta_s = delta_u
-        if both:
+        if fallback_needed:
             ch_u, sh_u = jnp.cosh(delta_u), jnp.sinh(delta_u)
+        # mod-branch factors: traced unconditionally ("lin" relies on XLA
+        # dead-code elimination -- the whole feqmod chain below is pure and
+        # unused there, so it vanishes from the compiled kernel)
         ch_s, sh_s = jnp.cosh(delta_s), jnp.sinh(delta_s)
 
     def lin_factors(ch, sh):
@@ -344,7 +370,7 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         B1 = ch * c["ut"][:, None] - sh * (tau * c["un"])[:, None]
         return A1, B1, t_sh
 
-    if both and not rescaled:
+    if fallback_needed and not rescaled:
         # ---- fallback branch (linearized df at unscaled rapidity) --------
         A1u, B1u, t_sh_u = lin_factors(ch_u, sh_u)
         pds_u = sm(mTf) * cr(A1u) + cm(W1)
@@ -364,7 +390,7 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
             D1 = ch_u * c["Vt"][:, None] - t_sh_u * c["Vn"][:, None]
             Vp = sm(mTf) * cr(D1) - cm(D2)
 
-    if both:
+    if fallback_needed:
         arg = pdotu * cb(1.0 / c["T"])
         if cfg.include_baryon and cfg.df_mode != 4:
             # Jonah fallback feq has no chem (:861)
@@ -471,19 +497,37 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         delta_s = (yf[:, None, None, None]
                    + zscale[:, None, None, None]
                    * grid.eta[None, :, None, None] * s_flat[None, None])
-        ch_q, sh_q = jnp.cosh(delta_s), jnp.sinh(delta_s)
-        pds_s = (sm(mTf) * (cb(c["dat"]) * ch_q + cb(c["dan"] / tau) * sh_q)
+        # ONE full-rank exp instead of the cosh/sinh pair: with
+        # E = e^delta and R = 1/E, every cosh/sinh-bilinear composite
+        # refactors into E/R (and E^2/R^2) coefficients hoisted per cell
+        # or per (cell, m) -- ch = (E+R)/2, sh = (E-R)/2, ch^2 =
+        # (E^2+R^2+2)/4, sh^2 = (E^2+R^2-2)/4, ch sh = (E^2-R^2)/4.  The
+        # delta_s nodes are full-rank (C, R, S, M) in rescaled mode (the
+        # per-cell zscale cannot ride the addition-theorem split), so the
+        # saved transcendental is a full-rank op (cosh overflow -> inf is
+        # preserved: E or R overflows identically).
+        eq = jnp.exp(delta_s)
+        rq = 1.0 / eq
+        E2q, R2q = eq * eq, rq * rq
+        dan_t = c["dan"] / tau
+        pds_s = (sm(mTf) * (cb(0.5 * (c["dat"] + dan_t)) * eq
+                            + cb(0.5 * (c["dat"] - dan_t)) * rq)
                  + cm(W1))
+        t1 = ((0.25 * (qaa + qbb + 2.0 * qab)) * E2q
+              + (0.25 * (qaa + qbb - 2.0 * qab)) * R2q
+              + 0.5 * (qaa - qbb))
+        t2 = 0.5 * (qag + qbg) * eq + 0.5 * (qag - qbg) * rq
     else:
         A1s, _, t_sh_s = lin_factors(ch_s, sh_s)
         pds_s = sm(mTf) * cr(A1s) + cm(W1)
         ch_q, sh_q = cr(ch_s), cr(sh_s)
+        t1 = (ch_q * ch_q * qaa + 2.0 * (ch_q * sh_q) * qab
+              + sh_q * sh_q * qbb)
+        t2 = ch_q * qag + sh_q * qbg
 
     # |x|^2 = |Minv p|^2 via the expanded quadratic form (x = A^-1 p with
     # the 2-pass residual refinement folded into Minv, _refined_inverse --
     # the reference does <= 5 refinement passes per point)
-    t1 = ch_q * ch_q * qaa + 2.0 * (ch_q * sh_q) * qab + sh_q * sh_q * qbb
-    t2 = ch_q * qag + sh_q * qbg
     x2 = sm(mT2f) * t1 + 2.0 * sm(mTf) * t2 + qgg
     # unlike the sum-of-squares form, the expanded quadratic can overflow
     # to inf - inf = NaN on extreme (masked / breakdown-routed) cells;
@@ -506,7 +550,7 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         f_mod = f_mod * zscale[:, None, None, None]
 
     # ---- branch selection -------------------------------------------------
-    if both:
+    if branch == "both":
         breakdown = c["breakdown"][:, None, None, None]
         if cfg.dimension == 3:
             narrow = ((c["detA"][:, None] < 0.01)
@@ -515,6 +559,8 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
 
         pds = jnp.where(breakdown, pds_u, pds_s)
         f = jnp.where(breakdown, f_fallback, f_mod)
+    elif branch == "lin":
+        pds, f = pds_u, f_fallback
     else:
         pds, f = pds_s, f_mod
 
@@ -550,12 +596,72 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
     return CF_PREFACTOR * deg * out
 
 
-@partial(jax.jit, static_argnames=("cfg", "both"))
+def routed_switch(cells, valid_mask, branch_fn):
+    """Per-chunk routing between the three feqmod evaluation variants.
+
+    The predicate reads the SAME in-program ``routing``/``breakdown``
+    values the per-point mask uses, so the selected branch is always
+    consistent with the select it replaces:
+
+    * no valid cell routed          -> "mod"  (feqmod chain only)
+    * every valid cell broken down  -> "lin"  (fallback chain only)
+    * otherwise                     -> "both" (per-point select)
+
+    Chunk composition follows the canonical group tree, so the routing --
+    hence every output bit -- is identical for every device count.
+    ``branch_fn(branch)`` must return the chunk's (small, reduced)
+    contribution pytree; the switch output is that pytree, so the
+    full-rank emission block never materializes across the branch
+    boundary."""
+    v = valid_mask & cells["valid"]
+    any_route = jnp.any(cells["routing"] & v)
+    all_bd = ~jnp.any(~cells["breakdown"] & v)
+    idx = jnp.where(any_route, jnp.where(all_bd, 1, 2), 0).astype(jnp.int32)
+    return lax.switch(idx, [lambda: branch_fn("mod"),
+                            lambda: branch_fn("lin"),
+                            lambda: branch_fn("both")])
+
+
+def feqmod_kernel_mode(cfg: Config, n_cells: int) -> str:
+    """Static kernel mode for a feqmod dispatch: "routed" (per-chunk
+    lax.switch, the production default) or "both" (single branch-select
+    kernel -- AD/vmap paths set feqmod_partition=0, and surfaces below
+    feqmod_partition_min_cells skip routing so tiny parity fixtures keep
+    pinning the exact both-branch artifact)."""
+    if cfg.feqmod_partition and n_cells >= cfg.feqmod_partition_min_cells:
+        return "routed"
+    return "both"
+
+
+def _routing_sort(cols, df_data, laguerre, cfg: Config) -> dict:
+    """Stable in-kernel ordering of a cell block by its routing flag
+    (clean first, fallback-routed last), so the scan chunks the routed
+    switch sees are mostly PURE and take a single-branch arm -- on a
+    mixed surface with scattered breakdown cells every chunk would
+    otherwise contain both kinds and pay the both-branch kernel.
+
+    Purely a performance hint: the switch re-derives the flags in-kernel
+    from the (possibly re-fused) chunk data, so a cell that lands on the
+    'wrong' side only costs speed, never correctness.  The permutation is
+    a stable argsort of a function of the block's cells alone -- group
+    blocks are canonical (parallel/mesh.py) -- so chunk composition, and
+    hence every output bit, stays identical across device AND process
+    counts."""
+    c = prepare_cells(cols, cfg, df_data)
+    c = _feqmod_transform(c, laguerre, cfg)
+    key = (c["routing"] & c["valid"]).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    return {k: v[order] for k, v in cols.items()}
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode"))
 def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config,
-                        both: bool = True):
+                        mode: str = "both"):
     per_cell = 4 * species.n_species * grid.n_pT * grid.n_phi * grid.n_eta * \
         (1 if cfg.dimension == 2 else grid.n_y)
     chunk = effective_chunk(cfg.cell_chunk, cols["tau"].shape[0], per_cell)
+    if mode == "routed" and cols["tau"].shape[0] > chunk:
+        cols = _routing_sort(cols, df_data, laguerre, cfg)
     chunked, mask, _ = pad_and_chunk(cols, chunk)
     n_y_out = 1 if cfg.dimension == 2 else grid.n_y
     # seed the carry from the (possibly device-varying) surface data so the
@@ -570,8 +676,13 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config,
         cells = prepare_cells(chunk_cols, cfg, df_data)
         cells = _prepare_feqmod_cells(cells, species, laguerre, cfg,
                                       eta_rescaled=rescaled)
-        return acc + _chunk_contribution_feqmod(cells, m, species, grid, cfg,
-                                                both=both), None
+        contrib_of = lambda b: _chunk_contribution_feqmod(
+            cells, m, species, grid, cfg, branch=b)
+        if mode == "routed":
+            part = routed_switch(cells, m, contrib_of)
+        else:
+            part = contrib_of(mode)
+        return acc + part, None
 
     if cfg.remat_scan:
         body = jax.checkpoint(body)
@@ -581,70 +692,32 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _breakdown_probe_jit(cols, df_data, laguerre, cfg: Config):
-    """(routing, breakdown) per cell for the host-side partition.
-
-    breakdown is the exact transform/breakdown computation the kernel
-    itself runs (_feqmod_transform); it is fed back to both kernels as the
-    authoritative ``bd_forced`` column so the branch select can never
-    disagree with the routing.  routing additionally keeps 3+1D cells with
-    detA below the narrow-cell guard (x 1.001 margin so an ulp-level
-    fusion-context drift of the kernel's own detA cannot put a
-    narrow-mask-eligible cell in the clean partition) on the both-branch
-    kernel.  (C,) bools -- negligible next to the (C, R, S, M) kernel."""
+    """(routing, breakdown) per cell -- a DIAGNOSTIC twin of the flags the
+    kernel computes in-program (_feqmod_transform).  The production
+    routing itself happens inside the kernel (routed_switch), where
+    predicate and per-point select share one set of values by
+    construction; this probe exists for benchmarks and tests that want
+    the breakdown fraction without running the full kernel."""
     c = prepare_cells(cols, cfg, df_data)
     c = _feqmod_transform(c, laguerre, cfg)
-    breakdown = c["breakdown"]
-    routing = breakdown
-    if cfg.dimension == 3:
-        routing = routing | (c["detA"] < 0.01 * 1.001)
-    return routing, breakdown
-
-
-def partition_cells_by_breakdown(cols, df_data, laguerre, cfg: Config):
-    """Host-side routing for the feqmod cell partition, shared by the
-    spectra and dN/dX dispatches.
-
-    Returns None when partitioning is disabled or the surface is below
-    feqmod_partition_min_cells; otherwise a list of up to two
-    (cols_subset, both) jobs whose results are summed.  Each subset
-    carries the probe's breakdown flag as the ``bd_forced`` column."""
-    n = cols["tau"].shape[0]
-    if not cfg.feqmod_partition or n < cfg.feqmod_partition_min_cells:
-        return None
-    routing, bd = _breakdown_probe_jit(cols, df_data, laguerre, cfg)
-    routing = np.asarray(routing)
-    bd = np.asarray(bd).astype(cols["tau"].dtype)
-
-    def take(idx):
-        sub = {k: v[idx] for k, v in cols.items()}
-        sub["bd_forced"] = bd[idx]
-        return sub
-
-    jobs = []
-    idx_clean = np.flatnonzero(~routing)
-    if idx_clean.size:
-        jobs.append((take(idx_clean), False))
-    idx_mixed = np.flatnonzero(routing)
-    if idx_mixed.size:
-        jobs.append((take(idx_mixed), True))
-    return jobs
+    return c["routing"], c["breakdown"]
 
 
 def _feqmod_spectra_dispatch(cols, species, grid, df_data, laguerre,
                              cfg: Config, mesh=None):
-    """Partitioned feqmod spectra over raw cell columns.
+    """Feqmod spectra over raw cell columns, chunk-routed.
 
-    The SIMD kernel evaluates BOTH the momentum-transform branch and the
+    The SIMD "both" kernel evaluates the momentum-transform branch AND the
     linearized fallback at every (cell, momentum) point, where the
     reference's scalar loop branches once per cell
-    (emissionfunction_smooth_kernels.cpp:811-877).  On production surfaces
-    breakdown cells are rare, so route cells host-side by the per-cell
-    breakdown probe: clean cells run a feqmod-only kernel (no fallback
-    chain at all), breakdown cells keep the both-branch kernel.  Same
-    per-cell math; only the summation grouping changes.  Each partition
-    reduces through the canonical group tree, and the partition is a
-    function of the surface alone, so results stay bit-identical across
-    device counts."""
+    (emissionfunction_smooth_kernels.cpp:811-877).  The production kernel
+    instead routes per CHUNK inside the compiled scan (routed_switch):
+    clean chunks pay only the feqmod chain, all-breakdown chunks only the
+    cheaper linearized chain, and only genuinely mixed chunks pay both.
+    The routing is a function of the surface alone (canonical chunk
+    boundaries, in-program flags), so results stay bit-identical across
+    device counts and the reduction still runs through the canonical
+    group tree."""
     from ..parallel.mesh import grouped_cell_reduce
 
     # compute thermal moments in the surface precision: a f64 laguerre
@@ -652,18 +725,11 @@ def _feqmod_spectra_dispatch(cols, species, grid, df_data, laguerre,
     # the chunk contribution and break the scan-carry dtype
     from ..io.tables import laguerre_in_precision
     laguerre = laguerre_in_precision(laguerre, cols["tau"].dtype)
-
-    def run(sub, both):
-        return grouped_cell_reduce(
-            lambda c, s, g, d, lag: _feqmod_spectra_jit(c, s, g, d, lag, cfg,
-                                                        both),
-            sub, (species, grid, df_data, laguerre), cfg, mesh=mesh)
-
-    jobs = partition_cells_by_breakdown(cols, df_data, laguerre, cfg)
-    if jobs is None:
-        return run(cols, True)
-    parts = [run(sub, both) for sub, both in jobs]
-    return parts[0] if len(parts) == 1 else parts[0] + parts[1]
+    mode = feqmod_kernel_mode(cfg, cols["tau"].shape[0])
+    return grouped_cell_reduce(
+        lambda c, s, g, d, lag: _feqmod_spectra_jit(c, s, g, d, lag, cfg,
+                                                    mode),
+        cols, (species, grid, df_data, laguerre), cfg, mesh=mesh)
 
 
 def smooth_spectra_feqmod(surface, species: SpeciesArrays, grid: MomentumGrid,
@@ -672,8 +738,9 @@ def smooth_spectra_feqmod(surface, species: SpeciesArrays, grid: MomentumGrid,
     """dN/(pT dpT dphi dy) with modified equilibrium df (modes 3-4).
 
     Reduced through the canonical group tree (parallel/mesh.py) so the
-    result is bit-identical to the mesh-sharded path; large surfaces are
-    partitioned by the breakdown probe (_feqmod_spectra_dispatch)."""
+    result is bit-identical to the mesh-sharded path; chunks are routed
+    between the feqmod/fallback/both evaluation variants in-kernel
+    (_feqmod_spectra_dispatch)."""
     if cfg.df_mode not in (3, 4):
         raise ValueError("smooth_spectra_feqmod handles df modes 3-4")
     if laguerre is None:

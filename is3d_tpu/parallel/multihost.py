@@ -27,15 +27,14 @@ the surface is sharded.  The spectra accumulator is psum-combined by the
 canonical fold and returned replicated, so every process holds the full
 result and any of them can write outputs.
 
-feqmod (df_mode 3/4) needs one extra ingredient: its dispatch partitions
-cells by a host-side breakdown probe (kernels/feqmod.py), a global,
-order-changing decision every process must agree on before sharding.  The
-feqmod_* functions therefore take the FULL surface columns on every process
-(a 1M-cell surface is ~250 MB of host numpy -- host RAM is never the scarce
-resource the chips are): each process runs the same deterministic probe,
-derives the same partition, and slices its own shard of each partition.
-The slice-based functions (smooth/VAH/polzn/dN_dX) keep the
-load-only-your-slice contract and reject feqmod configs.
+feqmod (df_mode 3/4) keeps the same load-only-your-slice contract as every
+other path: the breakdown routing happens per chunk INSIDE the compiled
+kernel (kernels/feqmod.routed_switch), from flags computed in-program on
+each device's own cells -- there is no global host-side partition decision
+to agree on, so no process ever needs another process's columns.  (Until
+round 3 the feqmod dispatch compacted cells by a host-side probe and
+therefore required the FULL columns on every process; the in-kernel
+routing removed that scaling liability.)
 """
 
 from __future__ import annotations
@@ -178,11 +177,10 @@ def _fold_replicated(mesh: Mesh):
 def _reject_feqmod(cfg: Config, what: str, alternative: str) -> None:
     if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3):
         raise ValueError(
-            f"multi-host {what} supports df_mode 1/2 (and VAH modes 2/3) "
-            "only under the load-only-your-slice contract; the feqmod "
-            "dispatch partitions cells by a global breakdown probe -- use "
-            f"{alternative} with the FULL columns on every process (see "
-            f"module docstring). Got df_mode={cfg.df_mode}.")
+            f"multi-host {what} handles df_mode 1/2 (and VAH modes 2/3); "
+            f"feqmod (df_mode {cfg.df_mode}) runs through {alternative} "
+            "(same slice-local contract, plus the Gauss-Laguerre table for "
+            "the in-kernel breakdown routing).")
 
 
 def smooth_spectra_multihost(cols_local: dict, n_global: int, species, grid,
@@ -246,7 +244,7 @@ def spacetime_distributions_multihost(cols_local: dict, n_global: int,
     from ..kernels.dndx import _dndx_jit, dndx_finalize
     grid = grid.replace(eta_mT_rescale=False)   # same as the in-process path
     lag = jnp.zeros((), cols_local["tau"].dtype)   # no feqmod branch here
-    kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg, True)
+    kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg, "both")
     acc = multihost_cell_reduce(kern, cols_local, n_global,
                                 (species, grid, df_data, lag), cfg, mesh,
                                 unroll_groups=True)
@@ -258,68 +256,39 @@ def _laguerre_cast(laguerre, dtype):
     return laguerre_in_precision(laguerre, dtype)
 
 
-def _feqmod_jobs(cols_full: dict, n_global: int, df_data, laguerre,
-                 cfg: Config):
-    """The global breakdown partition, computed identically on every
-    process (the probe is a deterministic function of the full surface and
-    the coefficient tables, so no cross-host agreement step is needed --
-    every process derives the same jobs in the same order)."""
-    from ..kernels.feqmod import partition_cells_by_breakdown
-    if cols_full["tau"].shape[0] != n_global:
-        raise ValueError(
-            "feqmod multi-host needs the FULL surface columns on every "
-            f"process ({n_global} cells, got {cols_full['tau'].shape[0]}); "
-            "the breakdown partition is a global decision -- see module "
-            "docstring")
-    jobs = partition_cells_by_breakdown(cols_full, df_data, laguerre, cfg)
-    return jobs if jobs is not None else [(cols_full, True)]
-
-
-def _run_feqmod_jobs(jobs, kern_of_both, replicated, cfg: Config,
-                     mesh: Mesh, unroll_groups: bool = False):
-    """Each partition sliced per process and reduced through its own
-    canonical tree (same combine as the single-host dispatch: partition
-    results added elementwise in job order)."""
-    parts = []
-    for sub, both in jobs:
-        n_job = sub["tau"].shape[0]
-        start, stop = process_cell_slice(cfg, n_job, mesh)
-        local = {k: np.asarray(v)[start:stop] for k, v in sub.items()}
-        parts.append(multihost_cell_reduce(
-            kern_of_both(both), local, n_job, replicated, cfg, mesh,
-            unroll_groups=unroll_groups))
-    return (parts[0] if len(parts) == 1
-            else jax.tree.map(jnp.add, parts[0], parts[1]))
-
-
-def feqmod_spectra_multihost(cols_full: dict, n_global: int, species, grid,
+def feqmod_spectra_multihost(cols_local: dict, n_global: int, species, grid,
                              df_data, cfg: Config, laguerre=None,
                              mesh: Mesh | None = None):
-    """Multi-host feqmod smooth spectra (df_mode 3/4): every process passes
-    the FULL surface_columns() (the breakdown partition is global, module
-    docstring); returns the full (S, PT, PHI, Y) spectra on every process,
-    bit-identical to the single-host partitioned dispatch."""
+    """Multi-host feqmod smooth spectra (df_mode 3/4): each process
+    supplies surface_columns() of its process_cell_slice (the SAME
+    slice-local contract as every other path -- breakdown routing happens
+    per chunk inside the kernel); returns the full (S, PT, PHI, Y)
+    spectra on every process, bit-identical to the single-host routed
+    dispatch."""
     if cfg.df_mode not in (3, 4):
         raise ValueError("feqmod multi-host handles df modes 3-4, got "
                          f"{cfg.df_mode}")
     if mesh is None:
         mesh = global_mesh(axis=cfg.mesh_axis)
-    from ..kernels.feqmod import _feqmod_spectra_jit
-    lag = _laguerre_cast(laguerre, cols_full["tau"].dtype)
-    jobs = _feqmod_jobs(cols_full, n_global, df_data, lag, cfg)
-    kern_of_both = lambda both: (
-        lambda c, s, g, d, lg: _feqmod_spectra_jit(c, s, g, d, lg, cfg, both))
-    return _run_feqmod_jobs(jobs, kern_of_both,
-                            (species, grid, df_data, lag), cfg, mesh)
+    from ..kernels.feqmod import _feqmod_spectra_jit, feqmod_kernel_mode
+    lag = _laguerre_cast(laguerre, cols_local["tau"].dtype)
+    # mode derives from the GLOBAL cell count, so every process compiles
+    # the same program regardless of its slice length
+    mode = feqmod_kernel_mode(cfg, n_global)
+    kern = lambda c, s, g, d, lg: _feqmod_spectra_jit(c, s, g, d, lg, cfg,
+                                                      mode)
+    return multihost_cell_reduce(kern, cols_local, n_global,
+                                 (species, grid, df_data, lag), cfg, mesh)
 
 
-def feqmod_spacetime_distributions_multihost(cols_full: dict, n_global: int,
+def feqmod_spacetime_distributions_multihost(cols_local: dict, n_global: int,
                                              species, grid, df_data,
                                              cfg: Config, laguerre=None,
                                              mesh: Mesh | None = None) -> dict:
-    """Multi-host feqmod dN/dX (df_mode 3/4): every process passes the FULL
-    dndx_cols() (global breakdown partition); returns the normalized
-    distribution dict on every process."""
+    """Multi-host feqmod dN/dX (df_mode 3/4): each process supplies
+    dndx_cols() of its process_cell_slice (slice-local contract, see
+    feqmod_spectra_multihost); returns the normalized distribution dict
+    on every process."""
     if cfg.df_mode not in (3, 4) or cfg.mode in (2, 3):
         raise ValueError("feqmod dN/dX multi-host handles df modes 3-4 on "
                          f"VH surfaces, got df_mode={cfg.df_mode} "
@@ -327,14 +296,14 @@ def feqmod_spacetime_distributions_multihost(cols_full: dict, n_global: int,
     if mesh is None:
         mesh = global_mesh(axis=cfg.mesh_axis)
     from ..kernels.dndx import _dndx_jit, dndx_finalize
+    from ..kernels.feqmod import feqmod_kernel_mode
     grid = grid.replace(eta_mT_rescale=False)   # same as the in-process path
-    lag = _laguerre_cast(laguerre, cols_full["tau"].dtype)
-    jobs = _feqmod_jobs(cols_full, n_global, df_data, lag, cfg)
-    kern_of_both = lambda both: (
-        lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg, both))
-    acc = _run_feqmod_jobs(jobs, kern_of_both,
-                           (species, grid, df_data, lag), cfg, mesh,
-                           unroll_groups=True)
+    lag = _laguerre_cast(laguerre, cols_local["tau"].dtype)
+    mode = feqmod_kernel_mode(cfg, n_global)
+    kern = lambda c, s, g, d, lg: _dndx_jit(c, s, g, d, lg, cfg, mode)
+    acc = multihost_cell_reduce(kern, cols_local, n_global,
+                                (species, grid, df_data, lag), cfg, mesh,
+                                unroll_groups=True)
     return dndx_finalize(acc, grid, cfg)
 
 
@@ -358,9 +327,9 @@ def smooth_spectra_pod(surface, species, grid, df_data, cfg: Config,
     cols = surface_columns(surface, cfg)
     n_global = int(cols["tau"].shape[0])
     if cfg.df_mode in (3, 4):
-        cols = {k: np.asarray(v) for k, v in cols.items()}
-        return feqmod_spectra_multihost(cols, n_global, species, grid,
-                                        df_data, cfg, mesh=mesh)
+        return feqmod_spectra_multihost(
+            _slice_for(cols, n_global, cfg, mesh), n_global, species, grid,
+            df_data, cfg, mesh=mesh)
     return smooth_spectra_multihost(_slice_for(cols, n_global, cfg, mesh),
                                     n_global, species, grid, df_data, cfg,
                                     mesh)
@@ -408,9 +377,9 @@ def spacetime_distributions_pod(surface, species, grid, df_data, cfg: Config,
         cfg = effective_vah_cfg(cols, cfg)
     n_global = int(cols["tau"].shape[0])
     if cfg.df_mode in (3, 4) and cfg.mode not in (2, 3):
-        cols = {k: np.asarray(v) for k, v in cols.items()}
         return feqmod_spacetime_distributions_multihost(
-            cols, n_global, species, grid, df_data, cfg, mesh=mesh)
+            _slice_for(cols, n_global, cfg, mesh), n_global, species, grid,
+            df_data, cfg, mesh=mesh)
     return spacetime_distributions_multihost(
         _slice_for(cols, n_global, cfg, mesh), n_global, species, grid,
         df_data, cfg, mesh)

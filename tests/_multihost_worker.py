@@ -111,9 +111,10 @@ def dndx_fixtures():
 
 
 def feqmod_fixtures():
-    """df_mode 3 with the partition forced on: the synthetic coefficient
-    tables put a large fraction of cells in breakdown, so BOTH partitions
-    (clean feqmod-only + both-branch) are exercised across the pod."""
+    """df_mode 3 with chunk routing forced on: the synthetic coefficient
+    tables put a large fraction of cells in breakdown, so multiple routing
+    arms (feqmod-only / fallback-only / both-branch chunks) are exercised
+    across the pod."""
     import dataclasses
     cfg, n_global, surface, species, grid, df = fixtures()
     cfg = dataclasses.replace(cfg, df_mode=3, feqmod_partition_min_cells=1)
@@ -168,17 +169,19 @@ def compute_multihost(out: dict) -> None:
               "dN_twopitaurdtaudrdy"):
         out[f"dndx_{k}"] = np.asarray(dnx[k])
 
-    # feqmod paths: FULL columns on every process (global partition)
+    # feqmod paths: the SAME slice-local contract as every other kernel
+    # (in-kernel chunk routing; no global partition decision exists)
     cfg, n_global, surface, species, grid, df = feqmod_fixtures()
-    cols_full = {k: np.asarray(v)
-                 for k, v in surface_columns(surface, cfg).items()}
+    start, stop = multihost.process_cell_slice(cfg, n_global)
+    cols = _slice(surface_columns(surface, cfg), start, stop)
     out["feqmod"] = np.asarray(multihost.feqmod_spectra_multihost(
-        cols_full, n_global, species, grid, df, cfg))
+        cols, n_global, species, grid, df, cfg))
 
     cfg, n_global, surface, species, grid, df = feqmod_dndx_fixtures()
-    cols_full = {k: np.asarray(v) for k, v in dndx_cols(surface, cfg).items()}
+    start, stop = multihost.process_cell_slice(cfg, n_global)
+    cols = _slice(dndx_cols(surface, cfg), start, stop)
     dnx = multihost.feqmod_spacetime_distributions_multihost(
-        cols_full, n_global, species, grid, df, cfg)
+        cols, n_global, species, grid, df, cfg)
     for k in ("dN_dy", "dN_taudtaudy", "dN_twopitaurdtaudrdy"):
         out[f"feqmod_dndx_{k}"] = np.asarray(dnx[k])
 

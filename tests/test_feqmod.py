@@ -217,34 +217,50 @@ def test_feqmod_partition_bit_stable_across_meshes(smash_table, df_data):
 
 
 def test_feqmod_partition_single_sided(smash_table, df_data):
-    """All-clean and all-breakdown surfaces produce exactly one partition
-    job each; results still match the unpartitioned dispatch."""
+    """All-clean and all-breakdown surfaces exercise the single-branch
+    ("mod" / "lin") arms of the in-kernel chunk routing; results still
+    match the plain both-branch dispatch, and the single-branch kernels
+    themselves agree with the routed result (the switch must select
+    exactly the chain the explicit-branch kernel compiles)."""
     from is3d_tpu.kernels.common import surface_columns
-    from is3d_tpu.kernels.feqmod import partition_cells_by_breakdown
-    from is3d_tpu.io.tables import laguerre_device
+    from is3d_tpu.kernels.feqmod import (_breakdown_probe_jit,
+                                         _feqmod_spectra_jit,
+                                         feqmod_kernel_mode)
+    from is3d_tpu.io.tables import laguerre_device, laguerre_in_precision
 
     rng = np.random.default_rng(47)
     grid = native_momentum_grid(dimension=2, n_pT=4, n_phi=3, n_eta=12)
     species = pikp_species(smash_table)
     cfg = BASE_CFG.replace(df_mode=3, cell_chunk=8,
                            feqmod_partition_min_cells=1)
-    for bulk_fac, want_both in ((0.0, False), (-0.9, True)):
+    assert feqmod_kernel_mode(cfg, 11) == "routed"
+    assert feqmod_kernel_mode(cfg.replace(feqmod_partition=0), 11) == "both"
+    for bulk_fac, branch in ((0.0, "mod"), (-0.9, "lin")):
         cells = random_cells(11, rng, dimension=2)
         cells["bulkPi"] = bulk_fac * cells["P"]
         surf = to_surface(cells)
-        jobs = partition_cells_by_breakdown(
-            surface_columns(surf, cfg), df_data, laguerre_device(), cfg)
-        assert len(jobs) == 1 and jobs[0][1] is want_both
+        cols = surface_columns(surf, cfg)
+        routing, bd = _breakdown_probe_jit(cols, df_data, laguerre_device(),
+                                           cfg)
+        want = np.full(11, branch == "lin")
+        np.testing.assert_array_equal(np.asarray(bd), want)
         ref = np.asarray(smooth_spectra_feqmod(
             surf, species, grid, df_data, cfg.replace(feqmod_partition=0)))
         got = np.asarray(smooth_spectra_feqmod(surf, species, grid, df_data,
                                                cfg))
         np.testing.assert_allclose(got, ref, rtol=5e-12, atol=1e-300)
-    # below the min-cells threshold the probe must not run at all
-    assert partition_cells_by_breakdown(
-        surface_columns(surf, cfg.replace(feqmod_partition_min_cells=64)),
-        df_data, laguerre_device(),
-        cfg.replace(feqmod_partition_min_cells=64)) is None
+        # at identical chunking, the switch selects exactly the chain the
+        # explicit single-branch kernel compiles
+        lag = laguerre_in_precision(laguerre_device(), cols["tau"].dtype)
+        routed_direct = np.asarray(_feqmod_spectra_jit(
+            cols, species, grid, df_data, lag, cfg, "routed"))
+        direct = np.asarray(_feqmod_spectra_jit(
+            cols, species, grid, df_data, lag, cfg, branch))
+        np.testing.assert_allclose(routed_direct, direct, rtol=1e-13,
+                                   atol=1e-300)
+    # below the min-cells threshold routing is skipped (both-branch mode)
+    assert feqmod_kernel_mode(
+        cfg.replace(feqmod_partition_min_cells=64), 11) == "both"
 
 
 @pytest.mark.parametrize("df_mode", [3, 4])
