@@ -141,10 +141,39 @@ class IS3D:
                 self.surface = tonp(self.surface)
         return particle_table, df_data, species, chosen_mcids, grid, plasma
 
+    def _maybe_fill_vah_coefficients(self):
+        """Opt-in (cfg.vah_coefficient_tables): fill MISSING per-cell VAH
+        residual-df coefficients c0..c4 on mode-2/3 surfaces from the
+        shipped deltaf_coefficients/vah tables, bilinearly interpolated in
+        (Lambda, aL).  The reference ships these tables but its C++ build
+        never loads them (the kernel reads zero-filled FO_surf fields,
+        emissionfunction.cpp:1409-1417); the interpolation follows the one
+        component that ever consumed them, src/cuda/deltafReader.cu:208-283.
+        User-supplied columns always win; with the option off (default)
+        absent columns stay zero and the vah_df_gate drops the chains."""
+        cfg = self.cfg
+        if not (cfg.vah_coefficient_tables and cfg.mode in (2, 3)):
+            return
+        s = self.surface
+        if s is None or s.Lambda is None or s.aL is None:
+            return
+        missing = [k for k in ("c0", "c1", "c2", "c3", "c4")
+                   if getattr(s, k) is None]
+        if not missing:
+            return
+        tables = deltaf_io.load_vah_coefficient_tables(
+            os.path.join(self.data_dir, "deltaf_coefficients"))
+        coeffs = deltaf_io.interpolate_vah_coefficients(
+            tables, np.asarray(s.Lambda), np.asarray(s.aL))
+        self.surface = s.replace(
+            **{k: jnp.asarray(coeffs[k], dtype=s.tau.dtype)
+               for k in missing})
+
     def _prepare_impl(self):
         cfg = self.cfg
         if self.surface is None:
             self.read_fo_surf_from_file()
+        self._maybe_fill_vah_coefficients()
 
         particle_table = pdg_io.read_resonances(
             os.path.join(self.data_dir, "PDG"), cfg.hrg_eos)

@@ -96,18 +96,18 @@ class Config:
                                 # bit-identical for every device count
                                 # (raised in multiples of itself so a
                                 # group stays under cell_slab)
-    feqmod_partition: int = 1   # host-side partition of the feqmod spectra
-                                # pass: cells are routed by a cheap per-cell
-                                # breakdown probe into a feqmod-only dispatch
-                                # (skips the linearized-fallback chain the
-                                # SIMD kernel otherwise evaluates at every
-                                # point) plus a both-branch dispatch for the
-                                # breakdown cells.  Same math per cell; only
-                                # the summation grouping changes (kernels/
-                                # feqmod.py)
-    feqmod_partition_min_cells: int = 16384  # below this the probe dispatch
-                                # + second kernel compile cost more than the
-                                # fallback work they remove
+    feqmod_partition: int = 1   # in-kernel chunk routing of the feqmod
+                                # pass (kernels/feqmod.routed_switch): each
+                                # scan chunk runs only the evaluation chain
+                                # it needs -- feqmod-only when no cell broke
+                                # down, fallback-only when every valid cell
+                                # did, both-branch otherwise.  Same math per
+                                # cell; 0 forces the single both-branch
+                                # kernel (the AD/vmap paths do)
+    feqmod_partition_min_cells: int = 16384  # below this, routing is skipped
+                                # (3x branch compile cost dwarfs the saved
+                                # work; tiny parity fixtures keep pinning
+                                # the exact both-branch artifact)
     vah_df_gate: int = 1        # host-side probe of the VAH residual-df
                                 # inputs (c0..c4, bulkPi): chains whose
                                 # coefficient columns are identically zero
@@ -121,6 +121,16 @@ class Config:
                                 # (vmap/AD) are treated as nonzero, so
                                 # batched and differentiated runs keep the
                                 # chains (kernels/vah.effective_vah_cfg)
+    vah_coefficient_tables: int = 0  # opt-in: fill missing per-cell VAH
+                                # residual-df coefficients c0..c4 on mode-2/3
+                                # surfaces by bilinear interpolation of the
+                                # shipped deltaf_coefficients/vah tables in
+                                # (Lambda, aL) -- a data asset the reference
+                                # C++ build never loads (its kernel reads
+                                # zero-filled FO_surf fields; only the legacy
+                                # CUDA port wired them, deltafReader.cu:208).
+                                # Default off: zero / user-supplied columns,
+                                # bug-compatible with the reference
     remat_scan: int = 0         # jax.checkpoint the per-chunk scan bodies of
                                 # the smooth kernels so reverse-mode AD
                                 # (is3d_tpu.diff) recomputes each chunk's

@@ -398,3 +398,109 @@ def test_vah_df_gate_dndx_bit_identical():
                                 cfg.replace(vah_df_gate=0))
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+# ---------------------------------------------------------------- vah tables
+
+def test_vah_coefficient_tables_interpolation(reference_dir):
+    """Loader + bilinear interpolation of the shipped
+    deltaf_coefficients/vah tables: exact at grid nodes (matching the
+    1/hbarC^3 unit conversion of the only reference consumer,
+    src/cuda/deltafReader.cu:273-277), bilinear between nodes, clamped
+    outside the (Lambda, aL) domain."""
+    from is3d_tpu.io.deltaf import (load_vah_coefficient_tables,
+                                    interpolate_vah_coefficients)
+    from is3d_tpu.units import HBARC
+    t = load_vah_coefficient_tables(f"{reference_dir}/deltaf_coefficients")
+    L, aL = t["Lambda_invfm"], t["aL"]
+    names = ("c0", "c1", "c2", "c3", "c4")
+    assert t["c0"].shape == (len(aL), len(L)) == (180, 80)
+
+    # exact node reproduction
+    iL, ia = 17, 53
+    got = interpolate_vah_coefficients(t, np.array([L[iL] * HBARC]),
+                                       np.array([aL[ia]]))
+    for k in names:
+        np.testing.assert_allclose(got[k][0], t[k][ia, iL] / HBARC**3,
+                                   rtol=1e-12)
+
+    # interior points vs an independent bilinear (scipy)
+    from scipy.interpolate import RegularGridInterpolator
+    rng = np.random.default_rng(3)
+    Lq = rng.uniform(L[0], L[-1], 64)
+    aq = rng.uniform(aL[0], aL[-1], 64)
+    got = interpolate_vah_coefficients(t, Lq * HBARC, aq)
+    for k in names:
+        ref = RegularGridInterpolator((aL, L), t[k])(
+            np.stack([aq, Lq], axis=1)) / HBARC**3
+        np.testing.assert_allclose(got[k], ref, rtol=1e-12)
+
+    # out-of-domain queries clamp to the edge values
+    lo = interpolate_vah_coefficients(t, np.array([0.01]), np.array([-3.0]))
+    hi = interpolate_vah_coefficients(t, np.array([99.0]), np.array([99.0]))
+    for k in names:
+        np.testing.assert_allclose(lo[k][0], t[k][0, 0] / HBARC**3,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(hi[k][0], t[k][-1, -1] / HBARC**3,
+                                   rtol=1e-12)
+
+
+def test_vah_coefficient_tables_wiring(reference_dir):
+    """cfg.vah_coefficient_tables=1 fills MISSING c0..c4 on a mode-2
+    surface from the shipped tables; the resulting spectra (a) equal a run
+    with the interpolated values passed explicitly as surface columns and
+    (b) actually activate the residual-df chains (differ from the
+    gated-zero default).  User-supplied columns win; default config never
+    touches the surface."""
+    from is3d_tpu.api import IS3D
+    from is3d_tpu.io.deltaf import (load_vah_coefficient_tables,
+                                    interpolate_vah_coefficients)
+
+    rng = np.random.default_rng(91)
+    cells = make_vah_cells(24, rng)
+    for k in ("pitt", "pitx", "pity", "pitn", "pinn"):
+        cells.pop(k, None)
+    surf = Surface(**{k: jnp.asarray(v) for k, v in cells.items()})
+    cfg = Config(mode=2, dimension=2, df_mode=4, operation=1,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 vah_coefficient_tables=1)
+
+    run = IS3D(cfg, data_dir=reference_dir)
+    run.surface = surf
+    run._maybe_fill_vah_coefficients()
+    assert run.surface.c0 is not None
+    tables = load_vah_coefficient_tables(
+        f"{reference_dir}/deltaf_coefficients")
+    want = interpolate_vah_coefficients(tables, np.asarray(surf.Lambda),
+                                        np.asarray(surf.aL))
+    for k in ("c0", "c1", "c2", "c3", "c4"):
+        np.testing.assert_allclose(np.asarray(getattr(run.surface, k)),
+                                   want[k], rtol=1e-12)
+
+    grid = native_momentum_grid(dimension=2, n_pT=5, n_phi=4, n_eta=16)
+    z = jnp.zeros(1)
+    sp = SpeciesArrays(mass=jnp.array([0.139]), sign=jnp.array([-1.0]),
+                       degeneracy=jnp.array([1.0]), baryon=jnp.array([0.0]),
+                       equilibrium_density=z, bulk_density=z, diff_density=z)
+    filled = np.asarray(smooth_spectra_vah(run.surface, sp, grid, cfg))
+    explicit = np.asarray(smooth_spectra_vah(
+        surf.replace(**{k: jnp.asarray(want[k]) for k in want}),
+        sp, grid, cfg))
+    np.testing.assert_array_equal(filled, explicit)
+
+    gated = np.asarray(smooth_spectra_vah(surf, sp, grid, cfg))
+    assert np.abs(filled - gated).max() > 0.0
+
+    # user-supplied columns win; default config is a no-op
+    run2 = IS3D(cfg, data_dir=reference_dir)
+    user = surf.replace(c0=jnp.full_like(surf.tau, 0.5))
+    run2.surface = user
+    run2._maybe_fill_vah_coefficients()
+    np.testing.assert_array_equal(np.asarray(run2.surface.c0),
+                                  np.asarray(user.c0))
+    assert run2.surface.c1 is not None      # missing ones still filled
+    run3 = IS3D(cfg.replace(vah_coefficient_tables=0),
+                data_dir=reference_dir)
+    run3.surface = surf
+    run3._maybe_fill_vah_coefficients()
+    assert run3.surface.c0 is None
