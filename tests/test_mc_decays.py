@@ -467,3 +467,88 @@ def test_mc_decays_spectra_match_smooth_feed_down(real_table, reference_dir):
     frac = counts / counts.sum()
     sig = np.sqrt(np.maximum(counts, 1)) / counts.sum()
     assert np.all(np.abs(frac - pred) < 5.0 * sig + 0.015), (frac, pred)
+
+
+def test_mc_decays_3d_rapidity_twin(real_table, reference_dir):
+    """3+1D statistical twin: the MC cascade's daughter RAPIDITY
+    distribution must match the smooth feed-down's y-differential spectra
+    on a genuinely 3+1D surface.  The 2+1D twin above checks only the pT
+    shape -- daughter pT is exactly invariant under longitudinal boosts
+    there, so the cascade's longitudinal kinematics (parent rapidity
+    structure + decay rapidity kick) went untested.  Here the surface
+    carries cells at eta in [-2, 2] and the comparison is per-species
+    dN/dy binned in rapidity, 5 sigma."""
+    import jax.numpy as jnp
+    from is3d_tpu.config import Config
+    from is3d_tpu.data import SpeciesArrays
+    from is3d_tpu.io import pdg, deltaf as deltaf_io
+    from is3d_tpu.io.tables import native_momentum_grid
+    from is3d_tpu.kernels.smooth import smooth_spectra
+    from is3d_tpu.kernels.sample import sample_particles
+    from is3d_tpu.kernels.decays import do_resonance_decays
+    from is3d_tpu import observables
+    from test_sampler import small_surface, equilibrium_density, PLASMA
+
+    table = real_table
+    ids = [211, -211, 113]
+    idx = pdg.chosen_indices(table, ids)
+    mcids = table.mc_id[idx].astype(np.int32)
+    sp = SpeciesArrays(
+        mass=jnp.asarray(table.mass[idx]),
+        sign=jnp.asarray(table.sign[idx], dtype=jnp.float64),
+        degeneracy=jnp.asarray(table.gspin[idx]),
+        baryon=jnp.asarray(table.baryon[idx], dtype=jnp.float64),
+        equilibrium_density=jnp.zeros(len(idx)),
+        bulk_density=jnp.zeros(len(idx)),
+        diff_density=jnp.zeros(len(idx)))
+    neq = equilibrium_density(np.asarray(sp.mass), np.asarray(sp.degeneracy),
+                              np.asarray(sp.sign), np.asarray(sp.baryon),
+                              0.155)
+    sp = sp.replace(equilibrium_density=jnp.asarray(neq))
+    df_data = deltaf_io.build_deltaf_data(
+        f"{reference_dir}/deltaf_coefficients", hrg_eos=1,
+        particle_table=table, T_avg=0.155)
+
+    surf = small_surface(n=24, seed=13, dimension=3)
+    cfg = Config(operation=2, dimension=3, df_mode=1, sampler_seed=27)
+
+    # smooth side: 3+1D CF spectra on a y grid generously covering the
+    # surface's eta support (+- 2) plus the decay rapidity kick, then the
+    # wave-levelized feed-down
+    grid = native_momentum_grid(dimension=3, n_pT=24, pT_max=4.0, n_phi=16,
+                                y_max=5.0, n_y=41)
+    spectra = np.asarray(smooth_spectra(
+        surf, sp, grid, df_data, cfg.replace(operation=1, cell_chunk=32)))
+    decayed = do_resonance_decays(spectra.copy(), table, mcids, grid, cfg)
+    dNdy_sm = np.asarray(observables.dN_dy(jnp.asarray(decayed), grid))
+    y_nodes = np.asarray(grid.y)
+    # containment: the spectrum must have died off by the y grid edge,
+    # otherwise the binned comparison below leaks
+    assert dNdy_sm[:, 0].max() < 1e-2 * dNdy_sm.max()
+    assert dNdy_sm[:, -1].max() < 1e-2 * dNdy_sm.max()
+
+    # sampled side
+    nev = 6000
+    events = sample_particles(surf, sp, mcids, None, df_data, cfg, PLASMA,
+                              nevents=nev)
+    n_rho = sum(int((e["mcid"] == 113).sum()) for e in events)
+    assert n_rho > 500
+    events = mcd.decay_events(events, table, seed=35)
+    mcid_all = np.concatenate([e["mcid"] for e in events])
+    y_all = np.concatenate([e["yp"] for e in events])
+    assert not np.any(mcid_all == 113)
+
+    edges = np.array([-5.0, -2.5, -1.5, -0.7, 0.0, 0.7, 1.5, 2.5, 5.0])
+    fine = np.linspace(-5.0, 5.0, 4001)
+    for i, mcid in enumerate(mcids):
+        if mcid == 113:
+            continue
+        dens = np.interp(fine, y_nodes, dNdy_sm[i])
+        pred_bins = np.array([
+            np.trapezoid(np.where((fine >= lo) & (fine < hi), dens, 0.0),
+                         fine)
+            for lo, hi in zip(edges[:-1], edges[1:])]) * nev
+        counts, _ = np.histogram(y_all[mcid_all == mcid], bins=edges)
+        sig = np.sqrt(np.maximum(counts, 1.0))
+        ok = np.abs(counts - pred_bins) < 5.0 * sig + 0.02 * pred_bins + 2.0
+        assert ok.all(), (mcid, counts, pred_bins)
