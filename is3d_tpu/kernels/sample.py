@@ -804,7 +804,8 @@ def _one_event(cell, species: SpeciesArrays, key, lam, n_cap: int,
                           core["py"], core["pz"],
                           jax.random.fold_in(key, 987654321), cfg)
     return dict(
-        keep=core["keep"], sidx=core["sidx"].astype(jnp.int16), mass=mass,
+        keep=core["keep"], sidx=core["sidx"].astype(jnp.int16),
+        cidx=core["cidx"].astype(jnp.int32), mass=mass,
         tau=lab["tau"], x=lab["x"], y=lab["y"], eta=lab["eta"],
         t=lab["tau"] * lab["cosheta"], z=lab["tau"] * lab["sinheta"],
         E=lab["E"], px=lab["px"], py=lab["py"], pz=lab["pz"], yp=lab["yp"],
@@ -814,11 +815,25 @@ def _one_event(cell, species: SpeciesArrays, key, lam, n_cap: int,
 
 EVENT_FIELDS = ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
                 "E", "px", "py", "pz", "yp")
-# fields actually transferred device->host; the rest are exact functions of
-# these and get rebuilt host-side (the tunnel link is the bottleneck):
-# mcid = mcids[sidx], mass = mass(sidx), E = sqrt(mass^2 + p^2) (on-shell
-# by construction), t = tau cosh(eta), z = tau sinh(eta), yp = atanh(pz / E)
-PACK_FIELDS = ("sidx", "tau", "x", "y", "eta", "px", "py", "pz")
+
+
+def _pack_fields(cfg: Config) -> tuple:
+    """Fields actually transferred device->host; the rest are exact
+    functions of these and get rebuilt host-side (the D2H link is the
+    bottleneck): mcid = mcids[sidx], mass = mass(sidx),
+    E = sqrt(mass^2 + p^2) (on-shell by construction), t = tau cosh(eta),
+    z = tau sinh(eta), yp = atanh(pz / E).  Positions ride as the CELL
+    INDEX: tau/x/y (and eta in 3+1D -- in 2+1D eta is sampled per hadron)
+    are per-cell quantities, so one int32 replaces 3 (2+1D) or 4 (3+1D)
+    f16 fields and the host rebuilds them exactly from a one-time cell
+    position table -- 16 -> 14 (2+1D) / 12 (3+1D) bytes per hadron, and
+    the positions stop paying the f16 rounding entirely."""
+    if cfg.dimension == 2:
+        return ("sidx", "cidx", "eta", "px", "py", "pz")
+    return ("sidx", "cidx", "px", "py", "pz")
+
+
+_PACK_INT = ("sidx", "cidx")    # never f16-cast
 
 
 def _empty_event() -> dict:
@@ -829,21 +844,22 @@ def _empty_event() -> dict:
 
 
 def _pack_cast(packed: dict, cfg: Config) -> dict:
-    """Optionally halve the D2H bytes: ship the 7 float fields as f16
+    """Optionally halve the D2H bytes: ship the float fields as f16
     (cfg.sampler_pack == "f16", the default).  f16 keeps 11 significand
-    bits -> relative rounding <= 2^-11 ~ 4.9e-4 on momenta and <= 5e-3 fm
-    absolute on positions (values are O(1-10)), far below both the
-    sampler's statistical resolution and the reference's own %.6e output
-    precision; E stays exactly on-shell because it is rebuilt host-side
-    from the rounded momenta.  The species index ships as int16 always.
-    "auto" packs f16 only on the f32/bf16 fast path -- f64 parity runs
-    ship exact float values."""
+    bits -> relative rounding <= 2^-11 ~ 4.9e-4 on momenta (and the 2+1D
+    per-hadron eta), far below both the sampler's statistical resolution
+    and the reference's own %.6e output precision; E stays exactly
+    on-shell because it is rebuilt host-side from the rounded momenta,
+    and positions are exact (cell-table indirection, _pack_fields).  The
+    species / cell indices ship as int16 / int32 always.  "auto" packs
+    f16 only on the f32/bf16 fast path -- f64 parity runs ship exact
+    float values."""
     mode = cfg.sampler_pack
     if mode == "auto":
         mode = "f16" if cfg.precision in ("f32", "bf16") else "f32"
     if mode != "f16":
         return packed
-    return {k: (v if k == "sidx" else v.astype(jnp.float16))
+    return {k: (v if k in _PACK_INT else v.astype(jnp.float16))
             for k, v in packed.items()}
 
 
@@ -868,7 +884,7 @@ def _event_batch_packed_jit(cell, species, keys, lam, n_cap: int,
     packed = {
         k: jnp.zeros((cap_total,), out[k].dtype)
              .at[idx].set(out[k].reshape(-1), mode="drop")
-        for k in PACK_FIELDS}
+        for k in _pack_fields(cfg)}
     counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
     return _pack_cast(packed, cfg), counts, out["acceptances"], out["samples"]
 
@@ -901,17 +917,97 @@ def _start_host_transfers(packed: dict, *extras) -> None:
             pass                        # already a numpy array (CPU tests)
 
 
-def _reconstruct_packed(packed: dict, mcids_np, mass_np) -> None:
-    """Rebuild the derived per-hadron fields host-side from PACK_FIELDS
-    (in place): (mcid, mass) from the int16 species index, on-shell E,
-    (t, z) from (tau, eta), yp.  f16-transferred fields are upcast to
-    f32 first (see _pack_cast)."""
+def _bucket_len(n_kept: int, cap: int, granule: int) -> int:
+    """Transfer length for a drained batch: the kept-hadron count rounded
+    up to a granule.  The packed buffer is sized with ~25% systematic
+    headroom (_packed_capacity) that would otherwise ride the bottleneck
+    D2H link as dead bytes every batch; slicing to the actual count needs
+    a concrete length per dispatch, and the granule bounds the number of
+    distinct slice shapes (compiled executables) at O(cap / granule)."""
+    if n_kept >= cap:
+        return cap
+    return min(cap, -(-max(n_kept, 1) // granule) * granule)
+
+
+def _transfer_granule(cap: int) -> int:
+    return max(cap // 8, 1 << 14)
+
+
+class _DrainWorker:
+    """Single FIFO drain thread: overlaps the host-side numpy event
+    assembly of batch k with the device compute and D2H transfer of
+    batches k+1..  (Sequential drains on the dispatch thread leave the
+    bottleneck link idle during every reconstruction -- measured ~15% of
+    the sampler's end-to-end budget.)  One thread, FIFO queue: event
+    order is preserved and numpy/transfer waits release the GIL.  The
+    bounded queue is the in-flight batch limit (device buffers stay alive
+    while queued)."""
+
+    def __init__(self, fn, maxsize: int = 3):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=maxsize)
+        self._err = None
+
+        def loop():
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                if self._err is None:
+                    try:
+                        fn(item)
+                    except BaseException as e:   # re-raised on the caller
+                        self._err = e
+
+        self._t = threading.Thread(target=loop, daemon=True,
+                                   name="is3d-sampler-drain")
+        self._t.start()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def put(self, item) -> None:
+        self._check()
+        self._q.put(item)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        self._check()
+
+
+def _cell_positions(cell, cfg: Config) -> dict:
+    """One-time host copy of the per-cell positions the packed stream
+    references by index (see _pack_fields).  (C,) arrays -- tiny next to
+    the per-hadron payload they replace."""
+    names = ("tau", "x", "y") if cfg.dimension == 2 else ("tau", "x", "y",
+                                                          "eta")
+    return {k: np.asarray(cell[k], dtype=np.float64) for k in names}
+
+
+def _reconstruct_packed(packed: dict, mcids_np, mass_np, cellpos: dict,
+                        cfg: Config) -> None:
+    """Rebuild the derived per-hadron fields host-side from the packed
+    transfer fields (in place): (mcid, mass) from the int16 species index,
+    (tau, x, y[, eta]) from the int32 cell index via the cell position
+    table, on-shell E, (t, z) from (tau, eta), yp.  f16-transferred
+    fields are upcast to f32 first (see _pack_cast)."""
     for k, v in packed.items():
         if v.dtype == np.float16:
             packed[k] = v.astype(np.float32)
     sidx = np.clip(packed.pop("sidx").astype(np.int64), 0, len(mcids_np) - 1)
     packed["mcid"] = mcids_np[sidx]
     packed["mass"] = mass_np[sidx].astype(packed["px"].dtype)
+    cidx = np.clip(packed.pop("cidx").astype(np.int64), 0,
+                   len(cellpos["tau"]) - 1)
+    dtype = packed["px"].dtype
+    for k in cellpos:
+        if k == "eta" and "eta" in packed:
+            continue            # 2+1D: eta is per hadron, transferred
+        packed[k] = cellpos[k][cidx].astype(dtype)
     # on-shell by construction: E is not transferred at all
     packed["E"] = np.sqrt(packed["mass"]**2 + packed["px"]**2
                           + packed["py"]**2 + packed["pz"]**2)
@@ -1097,6 +1193,8 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     B = events_per_batch
     ntot_est = min(_mean_total_yield(cell, cfg), lam) or lam
     cap_total = _packed_capacity(B, ntot_est, n_cap)
+    granule = _transfer_granule(cap_total)
+    cellpos = _cell_positions(cell, cfg)
 
     events = []
     total_acc = total_samp = 0
@@ -1106,42 +1204,50 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         nonlocal total_acc, total_samp
         b, packed, counts, acc, samp = item
         with timings("transfer_wait"):
-            counts = np.asarray(counts)  # blocks on this batch's transfer
-            if int(counts.sum()) > cap_total:
+            counts = np.asarray(counts)  # blocks until this batch computed
+            # hadrons are packed event-major, so the first b events occupy
+            # exactly the first sum(counts[:b]) slots; slice the transfer
+            # to that (bucketed) length -- the capacity headroom and any
+            # ragged-tail events never ride the bottleneck link
+            n_kept = int(counts[:b].sum())
+            if n_kept > cap_total:
                 raise RuntimeError(
-                    f"sampler packed-output overflow: {int(counts.sum())} kept "
+                    f"sampler packed-output overflow: {n_kept} kept "
                     f"hadrons > capacity {cap_total}; the mean-yield estimate "
                     "is inconsistent with the sampled yield")
-            packed = {k: np.asarray(v) for k, v in packed.items()}
+            n_pad = _bucket_len(n_kept, cap_total, granule)
+            cut = {k: v[:n_pad] for k, v in packed.items()}
+            _start_host_transfers(cut)
+            cut = {k: np.asarray(v) for k, v in cut.items()}
             total_acc += int(np.asarray(acc)[:b].sum())
             total_samp += int(np.asarray(samp)[:b].sum())
         with timings("host_assembly"):
-            offsets = np.concatenate([[0], np.cumsum(counts)])
-            _reconstruct_packed(packed, mcids_np, mass_np)
+            offsets = np.concatenate([[0], np.cumsum(counts[:b])])
+            _reconstruct_packed(cut, mcids_np, mass_np, cellpos, cfg)
             for e in range(b):
                 lo, hi = int(offsets[e]), int(offsets[e + 1])
-                events.append({k: packed[k][lo:hi] for k in EVENT_FIELDS})
+                events.append({k: cut[k][lo:hi] for k in EVENT_FIELDS})
 
-    # keep a few batches in flight: dispatch is async, so the device
-    # computes batch k+1..k+3 while the host blocks on batch k's transfer
-    # (the device-to-host link and the compute are comparable costs)
-    in_flight = []
-    for start in range(0, nevents, events_per_batch):
-        b = min(events_per_batch, nevents - start)
-        # dispatch a full-width batch even for the ragged tail: one compiled
-        # shape total, and per-event statistics are unchanged because event
-        # i depends only on fold_in(base_key, i)
-        with timings("dispatch"):
-            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-                jnp.arange(start, start + B))
-            packed, counts, acc, samp = _event_batch_packed_jit(
-                cell, species, keys, lam_dev, n_cap, cap_total, cfg)
-            _start_host_transfers(packed, counts, acc, samp)
-        in_flight.append((b, packed, counts, acc, samp))
-        if len(in_flight) > 3:
-            drain(in_flight.pop(0))
-    while in_flight:
-        drain(in_flight.pop(0))
+    # pipeline: the dispatch thread keeps batches in flight while a single
+    # FIFO drain thread overlaps transfer waits AND numpy event assembly
+    # with the in-flight batches' compute; the bounded queue is the
+    # in-flight limit
+    worker = _DrainWorker(drain)
+    try:
+        for start in range(0, nevents, events_per_batch):
+            b = min(events_per_batch, nevents - start)
+            # dispatch a full-width batch even for the ragged tail: one
+            # compiled shape total, and per-event statistics are unchanged
+            # because event i depends only on fold_in(base_key, i)
+            with timings("dispatch"):
+                keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                    jnp.arange(start, start + B))
+                packed, counts, acc, samp = _event_batch_packed_jit(
+                    cell, species, keys, lam_dev, n_cap, cap_total, cfg)
+                _start_host_transfers({}, counts, acc, samp)
+            worker.put((b, packed, counts, acc, samp))
+    finally:
+        worker.close()
     timings.report("sample_particles")
 
     if total_samp:
@@ -1251,13 +1357,19 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
                               lam_local, n_cap, cfg)
 
         out = jax.vmap(one)(keys_r)
+        # globalize the cell index: the per-shard cell arrays are the
+        # contiguous slice [dev*per_dev, (dev+1)*per_dev) of the padded
+        # global columns, so one offset makes cidx index the global cell
+        # position table on the host
+        out["cidx"] = out["cidx"] + jnp.int32(dev) * jnp.int32(
+            cell["tau"].shape[0])
         keep = out["keep"].reshape(-1)
         pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
         idx = jnp.where(keep, pos, cap_shard)    # unkept -> OOB, dropped
         packed = {
             k: jnp.zeros((cap_shard,), out[k].dtype)
                  .at[idx].set(out[k].reshape(-1), mode="drop")
-            for k in PACK_FIELDS}
+            for k in _pack_fields(cfg)}
         counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
         # per-event statistics so the host can exclude ragged-tail events
         # (dispatched for shape stability but never returned)
@@ -1267,6 +1379,9 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
 
     mcids_np = np.asarray(mcids, dtype=np.int64)
     mass_np = np.asarray(species.mass, dtype=np.float64)
+    granule = _transfer_granule(cap_shard)
+    cellpos = _cell_positions(
+        {k: cell_global[k] for k in ("tau", "x", "y", "eta")}, cfg)
 
     events = []
     total_acc = total_samp = 0
@@ -1277,40 +1392,46 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
         b, packed, counts, acc, samp = item
         with timings("transfer_wait"):
             counts = np.asarray(counts)          # (D, B)
-            packed = {k: np.asarray(v) for k, v in packed.items()}  # (D, cap)
-            if int(counts.sum(axis=1).max()) > cap_shard:
+            kept_shard = counts[:, :b].sum(axis=1)
+            if int(kept_shard.max()) > cap_shard:
                 raise RuntimeError(
                     f"sharded sampler packed-output overflow: "
-                    f"{int(counts.sum(axis=1).max())} kept hadrons on one "
+                    f"{int(kept_shard.max())} kept hadrons on one "
                     f"shard > capacity {cap_shard}")
+            # slice every shard to the worst shard's (bucketed) kept count
+            # before the transfer (hadrons are event-major per shard, so
+            # the first b events sit in the first kept_shard[d] slots)
+            n_pad = _bucket_len(int(kept_shard.max()), cap_shard, granule)
+            cut = {k: v[:, :n_pad] for k, v in packed.items()}
+            _start_host_transfers(cut)
+            cut = {k: np.asarray(v) for k, v in cut.items()}  # (D, n_pad)
             total_acc += int(np.asarray(acc)[:, :b].sum())
             total_samp += int(np.asarray(samp)[:, :b].sum())
         with timings("host_assembly"):
-            _reconstruct_packed(packed, mcids_np, mass_np)
+            _reconstruct_packed(cut, mcids_np, mass_np, cellpos, cfg)
             offsets = np.concatenate(
-                [np.zeros((n_dev, 1), np.int64), np.cumsum(counts, axis=1)],
-                axis=1)                          # (D, B+1)
+                [np.zeros((n_dev, 1), np.int64),
+                 np.cumsum(counts[:, :b], axis=1)], axis=1)   # (D, b+1)
             for e in range(b):
                 ev = {}
                 for k in EVENT_FIELDS:
                     ev[k] = np.concatenate(
-                        [packed[k][d, offsets[d, e]:offsets[d, e + 1]]
+                        [cut[k][d, offsets[d, e]:offsets[d, e + 1]]
                          for d in range(n_dev)])
                 events.append(ev)
 
-    in_flight = []
-    for start in range(0, nevents, B):
-        b = min(B, nevents - start)
-        with timings("dispatch"):
-            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-                jnp.arange(start, start + B))
-            packed, counts, acc, samp = run(cell_global, species, keys)
-            _start_host_transfers(packed, counts, acc, samp)
-        in_flight.append((b, packed, counts, acc, samp))
-        if len(in_flight) > 3:
-            drain(in_flight.pop(0))
-    while in_flight:
-        drain(in_flight.pop(0))
+    worker = _DrainWorker(drain)
+    try:
+        for start in range(0, nevents, B):
+            b = min(B, nevents - start)
+            with timings("dispatch"):
+                keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                    jnp.arange(start, start + B))
+                packed, counts, acc, samp = run(cell_global, species, keys)
+                _start_host_transfers({}, counts, acc, samp)
+            worker.put((b, packed, counts, acc, samp))
+    finally:
+        worker.close()
     timings.report("sample_particles_sharded")
 
     if total_samp:
