@@ -817,23 +817,37 @@ EVENT_FIELDS = ("mcid", "mass", "tau", "x", "y", "eta", "t", "z",
                 "E", "px", "py", "pz", "yp")
 
 
-def _pack_fields(cfg: Config) -> tuple:
+def _index_pack_bits(n_species: int, n_cells: int):
+    """Bit position for fusing (species, cell) indices into ONE int32
+    transfer word: sidx << cbits | cidx.  Returns None when they don't
+    fit in 31 bits (sign bit left clear) -- then sidx ships as int16 and
+    cidx as int32 separately.  Both sides derive this from the same
+    static shapes, so no layout metadata rides the link."""
+    cbits = max(1, (max(n_cells, 1) - 1).bit_length())
+    sbits = max(1, (max(n_species, 1) - 1).bit_length())
+    return cbits if (cbits + sbits) <= 31 else None
+
+
+def _pack_fields(cfg: Config, fused_idx: bool) -> tuple:
     """Fields actually transferred device->host; the rest are exact
     functions of these and get rebuilt host-side (the D2H link is the
     bottleneck): mcid = mcids[sidx], mass = mass(sidx),
     E = sqrt(mass^2 + p^2) (on-shell by construction), t = tau cosh(eta),
     z = tau sinh(eta), yp = atanh(pz / E).  Positions ride as the CELL
     INDEX: tau/x/y (and eta in 3+1D -- in 2+1D eta is sampled per hadron)
-    are per-cell quantities, so one int32 replaces 3 (2+1D) or 4 (3+1D)
+    are per-cell quantities, so one index replaces 3 (2+1D) or 4 (3+1D)
     f16 fields and the host rebuilds them exactly from a one-time cell
-    position table -- 16 -> 14 (2+1D) / 12 (3+1D) bytes per hadron, and
-    the positions stop paying the f16 rounding entirely."""
+    position table; when species and cell index fit one int32
+    (_index_pack_bits) they fuse into ``scidx`` -- 16 -> 12 (2+1D) / 10
+    (3+1D) bytes per hadron, and the positions stop paying the f16
+    rounding entirely."""
+    idx = ("scidx",) if fused_idx else ("sidx", "cidx")
     if cfg.dimension == 2:
-        return ("sidx", "cidx", "eta", "px", "py", "pz")
-    return ("sidx", "cidx", "px", "py", "pz")
+        return idx + ("eta", "px", "py", "pz")
+    return idx + ("px", "py", "pz")
 
 
-_PACK_INT = ("sidx", "cidx")    # never f16-cast
+_PACK_INT = ("sidx", "cidx", "scidx")    # never f16-cast
 
 
 def _empty_event() -> dict:
@@ -878,13 +892,16 @@ def _event_batch_packed_jit(cell, species, keys, lam, n_cap: int,
     out = jax.vmap(
         lambda k: _one_event(cell, species, k, lam, n_cap, cfg)
     )(keys)
+    cbits = _index_pack_bits(species.n_species, cell["tau"].shape[0])
+    if cbits is not None:
+        out["scidx"] = (out["sidx"].astype(jnp.int32) << cbits) | out["cidx"]
     keep = out["keep"].reshape(-1)
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     idx = jnp.where(keep, pos, cap_total)     # unkept -> OOB, dropped
     packed = {
         k: jnp.zeros((cap_total,), out[k].dtype)
              .at[idx].set(out[k].reshape(-1), mode="drop")
-        for k in _pack_fields(cfg)}
+        for k in _pack_fields(cfg, cbits is not None)}
     counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
     return _pack_cast(packed, cfg), counts, out["acceptances"], out["samples"]
 
@@ -998,11 +1015,19 @@ def _reconstruct_packed(packed: dict, mcids_np, mass_np, cellpos: dict,
     for k, v in packed.items():
         if v.dtype == np.float16:
             packed[k] = v.astype(np.float32)
-    sidx = np.clip(packed.pop("sidx").astype(np.int64), 0, len(mcids_np) - 1)
+    n_cells = len(cellpos["tau"])
+    if "scidx" in packed:
+        cbits = _index_pack_bits(len(mcids_np), n_cells)
+        sc = packed.pop("scidx").astype(np.int64)
+        sidx = sc >> cbits
+        cidx = sc & ((1 << cbits) - 1)
+    else:
+        sidx = packed.pop("sidx").astype(np.int64)
+        cidx = packed.pop("cidx").astype(np.int64)
+    sidx = np.clip(sidx, 0, len(mcids_np) - 1)
     packed["mcid"] = mcids_np[sidx]
     packed["mass"] = mass_np[sidx].astype(packed["px"].dtype)
-    cidx = np.clip(packed.pop("cidx").astype(np.int64), 0,
-                   len(cellpos["tau"]) - 1)
+    cidx = np.clip(cidx, 0, n_cells - 1)
     dtype = packed["px"].dtype
     for k in cellpos:
         if k == "eta" and "eta" in packed:
@@ -1339,6 +1364,9 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
         ntot_shard = ntot_shard * 2.0 * cfg.y_cut
     ntot_shard_max = float(np.maximum(ntot_shard, 1e-3).max())
     cap_shard = _packed_capacity(B, ntot_shard_max, n_cap)
+    # fused (species, GLOBAL cell) transfer index, sized to the padded
+    # global cell axis the host position table covers
+    cbits_global = _index_pack_bits(species.n_species, per_dev * n_dev)
 
     in_specs = ({k: P(axis) for k in cell_global}, P(), P())
 
@@ -1363,13 +1391,16 @@ def sample_particles_sharded(surface, species: SpeciesArrays, mcids,
         # position table on the host
         out["cidx"] = out["cidx"] + jnp.int32(dev) * jnp.int32(
             cell["tau"].shape[0])
+        if cbits_global is not None:
+            out["scidx"] = ((out["sidx"].astype(jnp.int32) << cbits_global)
+                            | out["cidx"])
         keep = out["keep"].reshape(-1)
         pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
         idx = jnp.where(keep, pos, cap_shard)    # unkept -> OOB, dropped
         packed = {
             k: jnp.zeros((cap_shard,), out[k].dtype)
                  .at[idx].set(out[k].reshape(-1), mode="drop")
-            for k in _pack_fields(cfg)}
+            for k in _pack_fields(cfg, cbits_global is not None)}
         counts = jnp.sum(out["keep"], axis=1).astype(jnp.int32)   # (B,)
         # per-event statistics so the host can exclude ragged-tail events
         # (dispatched for shape stability but never returned)
