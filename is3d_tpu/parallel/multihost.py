@@ -140,8 +140,10 @@ def _assemble_global_cols(cols_local: dict, start: int, stop_real: int,
         mask = (jnp.arange(a, b) < n_global).astype(cols["tau"].dtype)
         for k in ("dat", "dax", "day", "dan"):
             cols[k] = cols[k] * mask
-    return {k: jax.make_array_from_process_local_data(sharding,
-                                                      np.asarray(v))
+    # global_shape passed explicitly: with heterogeneous device-per-process
+    # splits jax cannot infer it from the (non-uniform) local shards
+    return {k: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v), global_shape=(n_padded,))
             for k, v in cols.items()}
 
 
