@@ -14,7 +14,11 @@ device-to-host readback, so the serving layer cannot fake the timing
 (NOTES_ROUND1.md measurement gotchas).  Reports both input and
 final-state hadrons/s -- the cascade grows the hadron count ~1.5x.
 
-Usage: python experiments/bench_mc_decays.py [n_cells] [nevents]
+Usage: python experiments/bench_mc_decays.py [n_cells] [nevents] [hrg_eos]
+
+hrg_eos 1 (default) benches the urqmd list; hrg_eos 2 benches the smash
+list -- longer decay chains (5 cascade waves vs 4) and ~50% more species,
+the heavier production configuration.
 """
 
 import sys
@@ -38,11 +42,13 @@ REFERENCE = "/root/reference"
 def main():
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     nevents = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    hrg_eos = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     dtype = jnp.float32
     cfg = Config(operation=2, mode=1, dimension=2, df_mode=2,
                  include_shear_deltaf=1, include_bulk_deltaf=1,
-                 regulate_deltaf=1, precision="f32",
+                 regulate_deltaf=1, precision="f32", hrg_eos=hrg_eos,
                  do_resonance_decays=1)
+    print(f"hrg_eos={hrg_eos} ({'urqmd' if hrg_eos == 1 else 'smash'} list)")
     avg = ThermoAverages(0.155, 0.33, 0.057, 0.0, 0.0)
 
     table = pdg_io.read_resonances(f"{REFERENCE}/PDG", cfg.hrg_eos)

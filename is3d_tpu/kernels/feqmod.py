@@ -665,9 +665,12 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config,
     chunked, mask, _ = pad_and_chunk(cols, chunk)
     n_y_out = 1 if cfg.dimension == 2 else grid.n_y
     # seed the carry from the (possibly device-varying) surface data so the
-    # scan carry type matches under shard_map as well as plain jit
+    # scan carry type matches under shard_map as well as plain jit; the
+    # carry is >= f32 even for bf16 inputs (common.accum_dtype)
+    from .common import accum_dtype
+    adt = accum_dtype(cols["tau"].dtype)
     acc0 = jnp.zeros((species.n_species, grid.n_pT, grid.n_phi, n_y_out),
-                     dtype=cols["tau"].dtype) + carry_seed_zero(cols)
+                     dtype=adt) + carry_seed_zero(cols)
 
     rescaled = cfg.dimension == 2 and grid.eta_mT_rescale
 
@@ -682,7 +685,7 @@ def _feqmod_spectra_jit(cols, species, grid, df_data, laguerre, cfg: Config,
             part = routed_switch(cells, m, contrib_of)
         else:
             part = contrib_of(mode)
-        return acc + part, None
+        return acc + part.astype(adt), None
 
     if cfg.remat_scan:
         body = jax.checkpoint(body)

@@ -35,7 +35,7 @@ from ..io.tables import MomentumGrid
 from ..io.deltaf import DeltafData
 from .common import (surface_columns, prepare_cells, pad_and_chunk,
                      fermi_bose,
-                     carry_seed_zero,
+                     carry_seed_zero, accum_dtype,
                      effective_chunk)
 
 
@@ -420,14 +420,17 @@ def _smooth_spectra_jit(cols, species, grid, df_data, cfg: Config):
     chunked, mask, n_chunks = pad_and_chunk(cols, chunk)
     n_y_out = 1 if cfg.dimension == 2 else grid.n_y
     # seed the carry from the (possibly device-varying) surface data so the
-    # scan carry type matches under shard_map as well as plain jit
+    # scan carry type matches under shard_map as well as plain jit; the
+    # carry is >= f32 even for bf16 inputs (accum_dtype)
+    adt = accum_dtype(cols["tau"].dtype)
     acc0 = jnp.zeros((species.n_species, grid.n_pT, grid.n_phi, n_y_out),
-                     dtype=cols["tau"].dtype) + carry_seed_zero(cols)
+                     dtype=adt) + carry_seed_zero(cols)
 
     def body(acc, inp):
         chunk_cols, m = inp
         cells = prepare_cells(chunk_cols, cfg, df_data)
-        return acc + _chunk_contribution(cells, m, species, grid, cfg), None
+        part = _chunk_contribution(cells, m, species, grid, cfg)
+        return acc + part.astype(adt), None
 
     if cfg.remat_scan:
         body = jax.checkpoint(body)
