@@ -505,7 +505,13 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         # delta_s nodes are full-rank (C, R, S, M) in rescaled mode (the
         # per-cell zscale cannot ride the addition-theorem split), so the
         # saved transcendental is a full-rank op (cosh overflow -> inf is
-        # preserved: E or R overflows identically).
+        # preserved: E or R overflows identically).  NOTE a VAH-style
+        # (C, R, S, P)-rank exp with phi-broadcast into the block was
+        # tried and measured SLOWER (56.5 vs 64.2 clean-path Geval/s,
+        # round 3): XLA materializes the broadcast+reshape here instead
+        # of fusing it (the VAH kernel's bb() composites fuse because
+        # they enter through mT-monomial fmas, not as transcendental
+        # outputs).  Keep the full-rank exp.
         eq = jnp.exp(delta_s)
         rq = 1.0 / eq
         E2q, R2q = eq * eq, rq * rq
