@@ -481,3 +481,69 @@ def test_sampler_bf16_surface_upcasts_statistics(smash_table, df_data):
     events = sample_particles(surf_bf16, sp16, MCIDS, None, df_data, cfg,
                               PLASMA, nevents=2, seed=3)
     assert sum(len(e["mcid"]) for e in events) > 0
+
+
+def test_transfer_pack_helpers():
+    """Host-side transfer-layout helpers: fused-index bit budget and the
+    bucketed slice length (kernels/sample)."""
+    from is3d_tpu.kernels.sample import (_index_pack_bits, _pack_fields,
+                                         _bucket_len, _transfer_granule)
+    from is3d_tpu.config import Config
+
+    # 320 species x 65536 cells (indices 0..65535): 9 + 16 bits -> fused
+    cb = _index_pack_bits(320, 65536)
+    assert cb == 16
+    assert (320 - 1) << cb < 2**31
+    # does not fit 31 bits -> separate sidx/cidx fields
+    assert _index_pack_bits(600, 2**26) is None
+    cfg2 = Config(dimension=2)
+    cfg3 = Config(dimension=3)
+    assert _pack_fields(cfg2, True) == ("scidx", "eta", "px", "py", "pz")
+    assert _pack_fields(cfg3, True) == ("scidx", "px", "py", "pz")
+    assert _pack_fields(cfg2, False)[:2] == ("sidx", "cidx")
+
+    # bucketing: rounds up to the granule, caps at capacity, never 0
+    g = _transfer_granule(1 << 20)
+    assert g == (1 << 20) // 8
+    assert _bucket_len(1, 1 << 20, g) == g
+    assert _bucket_len(g + 1, 1 << 20, g) == 2 * g
+    assert _bucket_len(1 << 20, 1 << 20, g) == 1 << 20
+    assert _bucket_len((1 << 20) + 5, 1 << 20, g) == 1 << 20
+    assert _bucket_len(0, 1 << 20, g) == g
+
+
+def test_sampler_separate_index_fields_roundtrip(smash_table, df_data):
+    """Events are identical whether the (species, cell) indices ship fused
+    or as separate fields: force the fallback by a species/cell count that
+    cannot fit 31 bits is impractical in-test, so instead exercise
+    _reconstruct_packed on both layouts directly."""
+    import jax.numpy as jnp
+    from is3d_tpu.kernels.sample import (_reconstruct_packed,
+                                         _index_pack_bits)
+    from is3d_tpu.config import Config
+
+    rng = np.random.default_rng(5)
+    n_h, n_cells, n_sp = 257, 1000, 7
+    cfg = Config(dimension=2)
+    mcids = np.arange(1, n_sp + 1, dtype=np.int64) * 111
+    mass = np.linspace(0.1, 1.9, n_sp)
+    cellpos = {k: rng.uniform(1, 9, n_cells) for k in ("tau", "x", "y")}
+    sidx = rng.integers(0, n_sp, n_h)
+    cidx = rng.integers(0, n_cells, n_h)
+    base = dict(eta=rng.normal(0, 1, n_h).astype(np.float32),
+                px=rng.normal(0, 1, n_h).astype(np.float32),
+                py=rng.normal(0, 1, n_h).astype(np.float32),
+                pz=rng.normal(0, 1, n_h).astype(np.float32))
+
+    cb = _index_pack_bits(n_sp, n_cells)
+    fused = dict(base, scidx=((sidx.astype(np.int32) << cb)
+                              | cidx.astype(np.int32)))
+    sep = dict(base, sidx=sidx.astype(np.int16),
+               cidx=cidx.astype(np.int32))
+    _reconstruct_packed(fused, mcids, mass, cellpos, cfg)
+    _reconstruct_packed(sep, mcids, mass, cellpos, cfg)
+    for k in ("mcid", "mass", "tau", "x", "y", "eta", "E", "t", "z", "yp"):
+        np.testing.assert_array_equal(fused[k], sep[k], err_msg=k)
+    np.testing.assert_array_equal(fused["mcid"], mcids[sidx])
+    np.testing.assert_array_equal(fused["tau"],
+                                  cellpos["tau"][cidx].astype(np.float32))
