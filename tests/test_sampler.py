@@ -547,3 +547,43 @@ def test_sampler_separate_index_fields_roundtrip(smash_table, df_data):
     np.testing.assert_array_equal(fused["mcid"], mcids[sidx])
     np.testing.assert_array_equal(fused["tau"],
                                   cellpos["tau"][cidx].astype(np.float32))
+
+
+@pytest.mark.parametrize("dimension", [2, 3])
+def test_sampler_positions_exactly_from_cells(smash_table, df_data,
+                                              dimension):
+    """Every sampled hadron's (tau, x, y[, eta]) must be EXACTLY a surface
+    cell's position: round 3 ships positions as a cell index against a
+    host-side cell table (no f16 rounding), so set membership is exact.
+    In 2+1D eta is per-hadron (sampled rapidity) and only (tau, x, y)
+    are cell quantities."""
+    surf = small_surface(n=24, seed=21, dimension=dimension)
+    cfg = Config(operation=2, dimension=dimension, df_mode=2,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, y_cut=3.0, sampler_seed=9)
+    species = pikp_species(smash_table)
+    mcids = np.array([211, -211, 321], dtype=np.int32)
+    events = sample_particles(surf, species, mcids, None, df_data, cfg,
+                              PLASMA, nevents=40 if dimension == 2 else 200)
+    n_had = sum(len(e["mcid"]) for e in events)
+    assert n_had > 100
+    names = ("tau", "x", "y") if dimension == 2 else ("tau", "x", "y", "eta")
+    cell_vals = {k: np.asarray(getattr(surf, k), np.float64) for k in names}
+    # positions must map back to one consistent cell index per hadron
+    for e in events:
+        if not len(e["mcid"]):
+            continue
+        idx = None
+        for k in names:
+            # each value must be exactly some cell's value
+            hits = np.isin(np.asarray(e[k], np.float64), cell_vals[k])
+            assert hits.all(), k
+            col = np.searchsorted(np.sort(cell_vals[k]), e[k])
+            assert col.shape == e[k].shape
+        # and the tuple must be a real cell (not a mix of two cells)
+        key_cell = (cell_vals["tau"] * 1e9 + cell_vals["x"] * 1e3
+                    + cell_vals["y"])
+        key_had = (np.asarray(e["tau"], np.float64) * 1e9
+                   + np.asarray(e["x"], np.float64) * 1e3
+                   + np.asarray(e["y"], np.float64))
+        assert np.isin(key_had, key_cell).all()
