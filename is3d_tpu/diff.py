@@ -25,6 +25,9 @@ Supported surface maps:
 * feqmod (df_mode 3-4) spectra               [kernels.feqmod, see below]
 * VAH spectra (mode 2/3 surfaces)            [kernels.vah.smooth_spectra_vah]
 * spin polarization (mode 5 surfaces)        [kernels.polzn.spin_polarization]
+* POST-feed-down spectra                     [decayed_spectra_fn: smooth CF
+  + the resonance-decay cascade (kernels.decays.resonance_feed_down_traced)
+  in one reverse pass -- gradients of final-state observables]
 
 feqmod runs with the host-side breakdown partition disabled (it is a pure
 perf optimization; the both-branch kernel is one jnp map with a jnp.where
@@ -163,6 +166,31 @@ def spectra_fn(species: SpeciesArrays, grid: MomentumGrid,
     def fn(surface):
         from .kernels.smooth import smooth_spectra
         return smooth_spectra(surface, species, grid, df_data, scfg)
+    return fn
+
+
+def decayed_spectra_fn(species: SpeciesArrays, grid: MomentumGrid,
+                       df_data: DeltafData | None, cfg: Config,
+                       table, mcids, mesh=None) -> Callable:
+    """The differentiable surface -> POST-feed-down spectra map: smooth
+    Cooper-Frye (spectra_fn) composed with the resonance-decay cascade
+    (kernels.decays.resonance_feed_down_traced) as one traced
+    computation, so a single reverse pass yields gradients of
+    final-state (decayed) observables with respect to the freeze-out
+    surface.  No reference counterpart exists at either level: the
+    reference's decay routine is exit(-1)-disabled, and calibration
+    pipelines built on it finite-difference full re-runs.
+
+    ``species`` rows, ``mcids``, and the spectra row order must be
+    aligned (chosen-particle order, as the api produces).  ``table`` is
+    the full ParticleTable (decay channels).  Memory: each cascade wave
+    is checkpointed, so backward memory is ~one wave."""
+    base = spectra_fn(species, grid, df_data, cfg, mesh=mesh)
+
+    def fn(surface):
+        from .kernels.decays import resonance_feed_down_traced
+        return resonance_feed_down_traced(base(surface), table, mcids,
+                                          grid, cfg)
     return fn
 
 

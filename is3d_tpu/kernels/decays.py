@@ -123,6 +123,45 @@ def _prepare_parent(parent_spectra, pT, mass_parent):
     return (*_tail_fit_and_patch(logdN, MT_grid, mT_min), MT_grid)
 
 
+def _prepare_parent_traced(parent_spectra, pT, mass_parent):
+    """jnp twin of _prepare_parent + _tail_fit_and_patch for the
+    differentiable cascade (resonance_feed_down_traced): identical math,
+    traceable and AD-safe (the log and the masked least-squares fit use
+    the double-where pattern, so zero-yield bins get gradient 0 and
+    tail-patched bins differentiate through the fit coefficients)."""
+    dtype = parent_spectra.dtype
+    MT_grid = jnp.sqrt(jnp.asarray(pT, dtype) ** 2 + mass_parent ** 2)
+    pos = parent_spectra > 0.0
+    logdN = jnp.where(pos,
+                      jnp.log(jnp.where(pos, parent_spectra, 1.0)),
+                      -jnp.inf)
+    mT_min = MT_FIT_THRESHOLD2 ** 0.5 * mass_parent
+
+    finite = jnp.isfinite(logdN)                        # (P,F,Y)
+    mt = MT_grid[:, None, None]
+    primary = finite & (mt > mT_min)
+    rank_from_end = jnp.cumsum(finite[::-1].astype(jnp.int32),
+                               axis=0)[::-1]
+    fallback = finite & (rank_from_end <= 2)
+    sel = jnp.where(primary.sum(axis=0, keepdims=True) >= 2,
+                    primary, fallback)
+    self_f = sel.astype(dtype)
+    ylog = jnp.where(sel, logdN, 0.0)
+    S0 = self_f.sum(axis=0)
+    S1 = (self_f * mt).sum(axis=0)
+    S2 = (self_f * mt * mt).sum(axis=0)
+    T0 = ylog.sum(axis=0)
+    T1 = (ylog * mt).sum(axis=0)
+    det = S0 * S2 - S1 * S1
+    ok = (S0 >= 2) & (jnp.abs(det) > 0.0)
+    safe_det = jnp.where(ok, det, 1.0)
+    slope = jnp.where(ok, (S0 * T1 - S1 * T0) / safe_det, 0.0)
+    const = jnp.where(ok, (T0 * S2 - T1 * S1) / safe_det, -745.0)
+    patched = jnp.where(finite, jnp.where(finite, logdN, 0.0),
+                        const[None] + slope[None] * mt)
+    return patched, const, slope
+
+
 # ======================================================================
 # parent-spectrum evaluation (jnp, inside jit)
 # ======================================================================
@@ -305,6 +344,30 @@ def _eval_parent_3d_pair_gather(logdN, tc, ts, MT_grid, phi_grid, y_grid,
 # decay integrals (jit)
 # ======================================================================
 
+@jax.custom_jvp
+def _arccos_clipped(x):
+    """arccos(clip(x, -1, 1)) with an AD-safe derivative.
+
+    The primal is EXACTLY the clip + arccos the kernel always computed
+    (the reference acos()'s values that exceed 1 by roundoff; we clip).
+    Under AD the chain d/dx arccos(clip(x)) is (-1/sqrt(1-x^2)) * 0 =
+    inf * 0 = NaN wherever roundoff pushed |x| past 1; the custom
+    derivative takes the correct one-sided subgradient 0 there instead
+    (the differentiable cascade needs this -- same pattern as
+    common.fermi_bose)."""
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+@_arccos_clipped.defjvp
+def _arccos_clipped_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    xc = jnp.clip(x, -1.0, 1.0)
+    inside = jnp.abs(x) < 1.0
+    deriv = jnp.where(
+        inside, -1.0 / jnp.sqrt(jnp.maximum(1.0 - xc * xc, 1e-30)), 0.0)
+    return jnp.arccos(xc), deriv * dx
+
+
 def _decay_kinematics(pT, mass2_1, Estar, pstar, mass_parent, dtype):
     """(P, V) tables shared by 2-/3-body: MTbar, DeltaMT, v weights, etc."""
     v = jnp.asarray(_GL_X, dtype)
@@ -334,10 +397,9 @@ def _parent_MT_Phip(pT, phi, MTbar, DeltaMT, mTcosh_over_pT, Estar,
     MT = MTbar[:, :, None] + DeltaMT[:, :, None] * coszeta        # (P,V,Z)
     # 1e-30 (not 1e-300): must stay a normal number in float32 too
     PT = jnp.sqrt(jnp.maximum(MT ** 2 - mass_parent ** 2, 1e-30))
-    cosPhip_t = jnp.clip(
+    Phip_t = _arccos_clipped(
         (MT * mTcosh_over_pT[:, :, None] - (Estar * mass_parent / pT)[:, None, None])
-        / PT, -1.0, 1.0)
-    Phip_t = jnp.arccos(cosPhip_t)                                # (P,V,Z)
+        / PT)                                                     # (P,V,Z)
     Phip1 = jnp.mod(Phip_t[:, None] + phi[None, :, None, None], TWO_PI)
     Phip2 = jnp.mod(-Phip_t[:, None] + phi[None, :, None, None], TWO_PI)
     return MT[:, None], Phip1, Phip2                              # (P,1|F,V,Z)
@@ -537,19 +599,68 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
         # the MXU/VPU instead.  On CPU the stencil gathers win by ~7x.
         use_hat = jax.default_backend() != "cpu"
     spectra = np.array(spectra, dtype=np.float64, copy=True)
-    mcids = np.asarray(mcids)
-    S = spectra.shape[0]
     pT = np.asarray(grid.pT, dtype=np.float64)
     phi = np.asarray(grid.phi, dtype=np.float64)
     y_grid = np.asarray(grid.y, dtype=np.float64)
     dimension = int(cfg.dimension)
+    S = spectra.shape[0]
 
+    parent_rows, parent_tasks2, parent_tasks3, level = _decay_schedule(
+        table, mcids, pT, cfg.lightest_particle, sequential)
+
+    # ---- phase 2: one batched dispatch per wave x topology-bucket
+    n_waves = int(level.max()) + 1 if len(parent_rows) else 0
+    n_channels_done = 0      # counted at dispatch, like the reference
+    for w in range(n_waves):
+        wave_parents = []   # (logdN, tc, ts)
+        wtasks2 = []
+        wtasks3 = []
+        for i in np.nonzero(level == w)[0]:
+            parent = spectra[parent_rows[i]]                      # (P,F,Y)
+            if not np.any(parent > 0.0):
+                continue
+            # one slot per distinct (parent, adjusted mass): the MT tail
+            # fit must use the abscissa MT = sqrt(pT^2 + M_adj^2) the task
+            # queries -- the reference refits with the adjusted parent
+            # mass per channel (estimate_MT_function_of_dNdypTdpTdphi
+            # inside two_body_decay).  Unadjusted channels (the vast
+            # majority) share one slot per parent as before.
+            slot_by_M = {}
+
+            def slot_for(M, _parent=parent, _s=slot_by_M):
+                if M not in _s:
+                    logdN, tc, ts, _ = _prepare_parent(_parent, pT, M)
+                    _s[M] = len(wave_parents)
+                    wave_parents.append((logdN, tc, ts))
+                return _s[M]
+
+            wtasks2 += [(t[0], t[1], slot_for(t[6])) + t[2:]
+                        for t in parent_tasks2[i]]
+            wtasks3 += [(t[0], t[1], slot_for(t[4])) + t[2:]
+                        for t in parent_tasks3[i]]
+        if not wave_parents:
+            continue
+        n_channels_done += len(wtasks2) + len(wtasks3)
+        spectra += _run_wave(wtasks2, wtasks3, wave_parents, pT, phi, y_grid,
+                             dimension, S, dtype, use_hat)
+
+    print(f"Resonance decays: {n_channels_done} channel-contributions added"
+          f" in {n_waves} waves")
+    return spectra
+
+
+def _decay_schedule(table, mcids, pT, lightest, sequential: bool = False):
+    """Phase 1 of the cascade, a STATIC function of the particle table and
+    the chosen list (never of the spectra): per-parent channel-group task
+    tuples (kinematics + prefactors) and the wave level of every parent.
+    Shared by the production driver (_do_resonance_decays_impl) and the
+    differentiable twin (resonance_feed_down_traced)."""
+    mcids = np.asarray(mcids)
     chosen_table_idx = np.array([table.index_of_mcid(int(m)) for m in mcids])
     chosen_pos = {int(ti): i for i, ti in enumerate(chosen_table_idx)}
 
     # heaviest -> lightest among chosen, skip the lightest particle
     order = np.argsort(-table.mass[chosen_table_idx], kind="stable")
-    lightest = cfg.lightest_particle
 
     # ---- phase 1 (host): per-parent channel-group tasks, kinematics only
     parent_rows = []       # chosen row of each processed parent, mass desc
@@ -668,45 +779,7 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
                 if j is not None and j > i:
                     level[j] = max(level[j], level[i] + 1)
 
-    # ---- phase 2: one batched dispatch per wave x topology-bucket
-    n_waves = int(level.max()) + 1 if len(parent_rows) else 0
-    n_channels_done = 0      # counted at dispatch, like the reference
-    for w in range(n_waves):
-        wave_parents = []   # (logdN, tc, ts)
-        wtasks2 = []
-        wtasks3 = []
-        for i in np.nonzero(level == w)[0]:
-            parent = spectra[parent_rows[i]]                      # (P,F,Y)
-            if not np.any(parent > 0.0):
-                continue
-            # one slot per distinct (parent, adjusted mass): the MT tail
-            # fit must use the abscissa MT = sqrt(pT^2 + M_adj^2) the task
-            # queries -- the reference refits with the adjusted parent
-            # mass per channel (estimate_MT_function_of_dNdypTdpTdphi
-            # inside two_body_decay).  Unadjusted channels (the vast
-            # majority) share one slot per parent as before.
-            slot_by_M = {}
-
-            def slot_for(M, _parent=parent, _s=slot_by_M):
-                if M not in _s:
-                    logdN, tc, ts, _ = _prepare_parent(_parent, pT, M)
-                    _s[M] = len(wave_parents)
-                    wave_parents.append((logdN, tc, ts))
-                return _s[M]
-
-            wtasks2 += [(t[0], t[1], slot_for(t[6])) + t[2:]
-                        for t in parent_tasks2[i]]
-            wtasks3 += [(t[0], t[1], slot_for(t[4])) + t[2:]
-                        for t in parent_tasks3[i]]
-        if not wave_parents:
-            continue
-        n_channels_done += len(wtasks2) + len(wtasks3)
-        spectra += _run_wave(wtasks2, wtasks3, wave_parents, pT, phi, y_grid,
-                             dimension, S, dtype, use_hat)
-
-    print(f"Resonance decays: {n_channels_done} channel-contributions added"
-          f" in {n_waves} waves")
-    return spectra
+    return parent_rows, parent_tasks2, parent_tasks3, level
 
 
 def _q_factor(M, m1, m2, m3):
@@ -719,3 +792,111 @@ def _q_factor(M, m1, m2, m3):
     return float(np.sum(_Q_W * (b - c)
                         * np.sqrt(np.abs((a - s) * (b - s) * (s - c) * (s - d)))
                         / (2.0 * s)))
+
+
+# ======================================================================
+# differentiable twin (no reference counterpart; see is3d_tpu.diff)
+# ======================================================================
+
+def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
+                     n_seg, use_hat):
+    """jnp twin of _run_wave: identical task batching and the SAME wave
+    kernels, but parents are traced arrays and the total stays on device
+    so reverse-mode AD flows through the whole wave."""
+    dtype = parents[0][0].dtype
+    U = _next_pow2(len(parents))
+    pad0 = jnp.full_like(parents[0][0], -745.0)
+    pad1 = jnp.full_like(parents[0][1], -745.0)
+    pad2 = jnp.zeros_like(parents[0][2])
+    logdN = jnp.stack([p[0] for p in parents]
+                      + [pad0] * (U - len(parents)))
+    tc = jnp.stack([p[1] for p in parents] + [pad1] * (U - len(parents)))
+    ts = jnp.stack([p[2] for p in parents] + [pad2] * (U - len(parents)))
+
+    total = jnp.zeros((n_seg,) + parents[0][0].shape, dtype)
+    for tasks, fn, scal in (
+            (tasks2, _two_body_wave, 4), (tasks3, _three_body_wave, 5)):
+        B = min(_wave_bucket(dimension), _next_pow2(max(1, len(tasks))))
+        for lo in range(0, len(tasks), B):
+            chunk = tasks[lo:lo + B]
+            full = chunk + [chunk[0][:1] + (0.0,) + chunk[0][2:]] * (B - len(chunk))
+            seg = jnp.asarray(np.array([t[0] for t in full], dtype=np.int32))
+            pref = jnp.asarray(np.array([t[1] for t in full]), dtype)
+            pidx = jnp.asarray(np.array([t[2] for t in full], dtype=np.int32))
+            MTg = jnp.asarray(np.stack([t[3] for t in full]), dtype)
+            scalars = [jnp.asarray(np.array([t[4 + j] for t in full]), dtype)
+                       for j in range(scal)]
+            total = total + fn(logdN, tc, ts, pidx, seg, pref,
+                               pT, phi, y_grid, MTg, *scalars,
+                               dimension=dimension, n_seg=n_seg,
+                               use_hat=use_hat)
+    return total
+
+
+def resonance_feed_down_traced(spectra, table, mcids, grid, cfg,
+                               use_hat=None, remat: bool = True):
+    """Differentiable resonance-decay feed-down: spectra -> decayed
+    spectra as ONE traced jnp computation, so reverse-mode AD flows from
+    post-feed-down observables back to the Cooper-Frye inputs (compose
+    with diff.spectra_fn; no reference counterpart -- the reference's
+    decay routine is exit(-1)-disabled and certainly not differentiable).
+
+    Identical math to do_resonance_decays via the shared _decay_schedule
+    and the same wave kernels; the two deliberate differences:
+    * all-zero parents are evaluated instead of skipped (their patched
+      log-spectra are the -745 floor, contributing exp(-745) ~ 1e-323 --
+      the production skip is a dispatch-count optimization, not math);
+    * parent-spectrum preparation runs in jnp (_prepare_parent_traced)
+      with AD-safe double-where guards.
+
+    remat=True checkpoints each wave, so backward memory is ~one wave's
+    intermediates instead of the whole cascade (full-list cascades are
+    5 waves of up to hundreds of channel buckets)."""
+    if use_hat is None:
+        use_hat = jax.default_backend() != "cpu"
+    dtype = spectra.dtype
+    pT_np = np.asarray(grid.pT, dtype=np.float64)
+    parent_rows, parent_tasks2, parent_tasks3, level = _decay_schedule(
+        table, mcids, pT_np, cfg.lightest_particle)
+
+    pT = jnp.asarray(grid.pT, dtype)
+    phi = jnp.asarray(grid.phi, dtype)
+    y_grid = jnp.asarray(grid.y, dtype)
+    dimension = int(cfg.dimension)
+    S = spectra.shape[0]
+    spectra = jnp.asarray(spectra, dtype)
+
+    n_waves = int(level.max()) + 1 if len(parent_rows) else 0
+    for w in range(n_waves):
+        rows = [int(i) for i in np.nonzero(level == w)[0]]
+        if not rows:
+            continue
+
+        def wave_fn(sp, _rows=tuple(rows)):
+            wave_parents = []
+            wtasks2 = []
+            wtasks3 = []
+            for i in _rows:
+                parent = sp[parent_rows[i]]
+                slot_by_M = {}
+
+                def slot_for(M, _parent=parent, _s=slot_by_M):
+                    if M not in _s:
+                        prep = _prepare_parent_traced(_parent, pT, M)
+                        _s[M] = len(wave_parents)
+                        wave_parents.append(prep)
+                    return _s[M]
+
+                wtasks2 += [(t[0], t[1], slot_for(t[6])) + t[2:]
+                            for t in parent_tasks2[i]]
+                wtasks3 += [(t[0], t[1], slot_for(t[4])) + t[2:]
+                            for t in parent_tasks3[i]]
+            if not wave_parents:
+                return jnp.zeros_like(sp)
+            return _run_wave_traced(wtasks2, wtasks3, wave_parents, pT,
+                                    phi, y_grid, dimension, S, use_hat)
+
+        if remat:
+            wave_fn = jax.checkpoint(wave_fn)
+        spectra = spectra + wave_fn(spectra)
+    return spectra

@@ -316,3 +316,88 @@ def test_wrt_absent_field_raises(smash_table, df_data):
     scalar = lambda s: jnp.sum(diff.dN_dy_j(smap(s), GRID))
     with pytest.raises(ValueError, match="Vx"):
         diff.surface_value_and_grad(scalar, surf, ("Vx",))
+
+
+# --------------------------------------------------- differentiable decays
+
+def test_traced_feed_down_matches_production(smash_table):
+    """resonance_feed_down_traced must reproduce do_resonance_decays on a
+    multi-channel subset (same schedule, same wave kernels; the traced
+    path only swaps the host-numpy glue for jnp)."""
+    from is3d_tpu.kernels import decays as dk
+    table = smash_table
+    mcids = np.asarray([211, -211, 111, 113, 223, 331])
+    grid = native_momentum_grid(dimension=2, n_pT=24, pT_max=5.0, n_phi=12,
+                                n_eta=8)
+    mass = np.array([float(table.mass[table.index_of_mcid(int(m))])
+                     for m in mcids])
+    MT = np.sqrt(np.asarray(grid.pT)[None, :, None, None] ** 2
+                 + mass[:, None, None, None] ** 2)
+    spectra = np.exp(-MT / 0.15) * (
+        1 + 0.2 * np.cos(2 * np.asarray(grid.phi))[None, None, :, None])
+    cfg = Config(dimension=2, lightest_particle=111)
+    prod = dk.do_resonance_decays(spectra.copy(), table, mcids, grid, cfg)
+    traced = np.asarray(dk.resonance_feed_down_traced(
+        jnp.asarray(spectra), table, mcids, grid, cfg))
+    assert np.abs(prod - spectra).max() > 0        # feed-down happened
+    np.testing.assert_allclose(traced, prod, rtol=1e-10, atol=1e-300)
+    # remat off must give the same values (checkpoint is AD-only)
+    traced2 = np.asarray(dk.resonance_feed_down_traced(
+        jnp.asarray(spectra), table, mcids, grid, cfg, remat=False))
+    np.testing.assert_array_equal(traced, traced2)
+
+
+def test_decayed_spectra_grad_matches_fd(smash_table, df_data):
+    """Gradients of POST-feed-down pion dN/dy with respect to surface
+    fields (diff.decayed_spectra_fn: smooth CF + the traced cascade in
+    one reverse pass) vs central finite differences.  The cascade's
+    contribution is real: the loss includes the rho0 -> pi pi feed-down,
+    whose parent spectrum moves with the surface."""
+    from is3d_tpu.data import SpeciesArrays
+    ids = [211, -211, 113]
+    idx = pdg.chosen_indices(smash_table, ids)
+    mcids = smash_table.mc_id[idx]
+    z = jnp.zeros(len(idx))
+    sp = SpeciesArrays(
+        mass=jnp.asarray(smash_table.mass[idx]),
+        sign=jnp.asarray(smash_table.sign[idx], dtype=jnp.float64),
+        degeneracy=jnp.asarray(smash_table.gspin[idx]),
+        baryon=jnp.asarray(smash_table.baryon[idx], dtype=jnp.float64),
+        equilibrium_density=z, bulk_density=z, diff_density=z)
+    i_rho = int(np.where(mcids == 113)[0][0])
+    i_pi = [int(np.where(mcids == m)[0][0]) for m in (211, -211)]
+
+    rng = np.random.default_rng(19)
+    surf = to_surface(random_cells(5, rng, dimension=2))
+    grid = native_momentum_grid(dimension=2, n_pT=12, pT_max=4.0, n_phi=6,
+                                n_eta=16)
+    cfg = CFG.replace(lightest_particle=111)
+
+    base = diff.spectra_fn(sp, grid, df_data, cfg)
+    fn_map = diff.decayed_spectra_fn(sp, grid, df_data, cfg, smash_table,
+                                     mcids)
+
+    def pion_dndy(decayed):
+        return jnp.sum(diff.dN_dy_j(decayed, grid)[jnp.asarray(i_pi)])
+
+    scalar = lambda s: pion_dndy(fn_map(s))
+    # the feed-down must contribute to the loss (rho yield nonzero)
+    undec = pion_dndy(base(surf))
+    assert float(scalar(surf)) > 1.02 * float(undec)
+
+    value, grads = diff.surface_value_and_grad(scalar, surf, ("T", "ux"))
+    assert np.isfinite(value)
+    for field in ("T", "ux"):
+        g = np.asarray(grads[field])
+        assert np.isfinite(g).all(), field
+        for i in (0, 3):
+            fd = fd_entry(scalar, surf, field, i)
+            got = float(g[i])
+            assert abs(got - fd) < 5e-4 * max(abs(fd), abs(got), 1e-8), \
+                (field, i, got, fd)
+    # and the gradient genuinely flows THROUGH the cascade: compare with
+    # the no-decay loss gradient wrt T -- they must differ measurably
+    _, g0 = diff.surface_value_and_grad(lambda s: pion_dndy(base(s)),
+                                        surf, ("T",))
+    rel = np.abs(np.asarray(grads["T"]) - np.asarray(g0["T"]))
+    assert rel.max() > 1e-3 * np.abs(np.asarray(grads["T"])).max()
