@@ -401,3 +401,43 @@ def test_decayed_spectra_grad_matches_fd(smash_table, df_data):
                                         surf, ("T",))
     rel = np.abs(np.asarray(grads["T"]) - np.asarray(g0["T"]))
     assert rel.max() > 1e-3 * np.abs(np.asarray(grads["T"])).max()
+
+
+def test_decayed_spectra_sharded_grad_matches_single(smash_table, df_data):
+    """decayed_spectra_fn with a device mesh: the forward shards the
+    Cooper-Frye pass over cells (canonical tree -> bit-identical spectra)
+    and the cascade runs on the replicated result; the reverse pass
+    differentiates through shard_map + psum + the traced cascade.
+    Gradients must match the single-device map."""
+    from is3d_tpu.data import SpeciesArrays
+    from is3d_tpu.parallel.mesh import default_mesh
+    ids = [211, -211, 113]
+    idx = pdg.chosen_indices(smash_table, ids)
+    mcids = smash_table.mc_id[idx]
+    z = jnp.zeros(len(idx))
+    sp = SpeciesArrays(
+        mass=jnp.asarray(smash_table.mass[idx]),
+        sign=jnp.asarray(smash_table.sign[idx], dtype=jnp.float64),
+        degeneracy=jnp.asarray(smash_table.gspin[idx]),
+        baryon=jnp.asarray(smash_table.baryon[idx], dtype=jnp.float64),
+        equilibrium_density=z, bulk_density=z, diff_density=z)
+    rng = np.random.default_rng(23)
+    surf = to_surface(random_cells(6, rng, dimension=2))
+    grid = native_momentum_grid(dimension=2, n_pT=10, pT_max=4.0, n_phi=6,
+                                n_eta=12)
+    cfg = CFG.replace(lightest_particle=111)
+
+    def scalar_of(fn_map):
+        return lambda s: jnp.sum(diff.dN_dy_j(fn_map(s), grid))
+
+    f1 = scalar_of(diff.decayed_spectra_fn(sp, grid, df_data, cfg,
+                                           smash_table, mcids))
+    fm = scalar_of(diff.decayed_spectra_fn(sp, grid, df_data, cfg,
+                                           smash_table, mcids,
+                                           mesh=default_mesh(4)))
+    v1, g1 = diff.surface_value_and_grad(f1, surf, ("T", "bulkPi"))
+    vm, gm = diff.surface_value_and_grad(fm, surf, ("T", "bulkPi"))
+    np.testing.assert_allclose(float(vm), float(v1), rtol=1e-12)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(gm[k]), np.asarray(g1[k]),
+                                   rtol=1e-10, err_msg=k)
