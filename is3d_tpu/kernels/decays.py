@@ -379,11 +379,22 @@ def _decay_kinematics(pT, mass2_1, Estar, pstar, mass_parent, dtype):
     DeltaY = jnp.log((pstar + jnp.sqrt(Estar2 + pT2)) / mT)       # (P,)
 
     coshv = jnp.cosh(v[None, :] * DeltaY[:, None])                # (P,V)
-    mT2c2 = mT2[:, None] * coshv ** 2
-    denom = mT2c2 - pT2[:, None]
+    sinhv = jnp.sinh(v[None, :] * DeltaY[:, None])
+    # cancellation-free identities (exact algebra):
+    #   mT^2 cosh^2 - pT^2  == m1^2 + mT^2 sinh^2
+    #   Estar^2 + pT^2 - mT^2 cosh^2 == pstar^2 - mT^2 sinh^2
+    # The naive left-hand forms catastrophically cancel for MASSLESS
+    # daughters (mT == pT exactly): in f32, cosh(x)^2 rounds to 1 for
+    # small x*DeltaY, making denom 0 and MTbar/Phip inf/inf = NaN --
+    # measured as NaN photon rows whenever the chosen list includes
+    # mcid 22 (pre-existing production bug, found by the traced-cascade
+    # parity bench).  sinh is accurate near 0, so the right-hand forms
+    # are exact at mass 0 and strictly more accurate for every mass.
+    mT2s2 = mT2[:, None] * sinhv ** 2
+    denom = mass2_1 + mT2s2
     MTbar = Estar * mass_parent * mT[:, None] * coshv / denom
     DeltaMT = (mass_parent * pT[:, None]
-               * jnp.sqrt(jnp.abs(Estar2 + pT2[:, None] - mT2c2)) / denom)
+               * jnp.sqrt(jnp.abs(pstar ** 2 - mT2s2)) / denom)
     mTcosh_over_pT = mT[:, None] * coshv / pT[:, None]
     vw = DeltaY[:, None] * wv[None, :] / jnp.sqrt(jnp.abs(denom))
     return MTbar, DeltaMT, mTcosh_over_pT, vw, DeltaY
@@ -799,10 +810,16 @@ def _q_factor(M, m1, m2, m3):
 # ======================================================================
 
 def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
-                     n_seg, use_hat):
+                     n_seg, use_hat, remat: bool = False,
+                     bucket: int | None = None):
     """jnp twin of _run_wave: identical task batching and the SAME wave
     kernels, but parents are traced arrays and the total stays on device
-    so reverse-mode AD flows through the whole wave."""
+    so reverse-mode AD flows through the whole wave.  remat checkpoints
+    each task BUCKET (not just the wave): the backward pass recomputes
+    bucket-by-bucket, bounding AD memory to one bucket's (K, P, F, Y,
+    V, Z) intermediates -- a full-list wave would otherwise materialize
+    every bucket's residuals at once (measured 39 GB > HBM on a
+    53-species subset at the production momentum grid)."""
     dtype = parents[0][0].dtype
     U = _next_pow2(len(parents))
     pad0 = jnp.full_like(parents[0][0], -745.0)
@@ -816,7 +833,12 @@ def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
     total = jnp.zeros((n_seg,) + parents[0][0].shape, dtype)
     for tasks, fn, scal in (
             (tasks2, _two_body_wave, 4), (tasks3, _three_body_wave, 5)):
-        B = min(_wave_bucket(dimension), _next_pow2(max(1, len(tasks))))
+        B = min(bucket or _wave_bucket(dimension),
+                _next_pow2(max(1, len(tasks))))
+        call = partial(fn, dimension=dimension, n_seg=n_seg,
+                       use_hat=use_hat)
+        if remat:
+            call = jax.checkpoint(call)
         for lo in range(0, len(tasks), B):
             chunk = tasks[lo:lo + B]
             full = chunk + [chunk[0][:1] + (0.0,) + chunk[0][2:]] * (B - len(chunk))
@@ -826,15 +848,14 @@ def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
             MTg = jnp.asarray(np.stack([t[3] for t in full]), dtype)
             scalars = [jnp.asarray(np.array([t[4 + j] for t in full]), dtype)
                        for j in range(scal)]
-            total = total + fn(logdN, tc, ts, pidx, seg, pref,
-                               pT, phi, y_grid, MTg, *scalars,
-                               dimension=dimension, n_seg=n_seg,
-                               use_hat=use_hat)
+            total = total + call(logdN, tc, ts, pidx, seg, pref,
+                                 pT, phi, y_grid, MTg, *scalars)
     return total
 
 
 def resonance_feed_down_traced(spectra, table, mcids, grid, cfg,
-                               use_hat=None, remat: bool = True):
+                               use_hat=None, remat: bool = True,
+                               bucket: int | None = None):
     """Differentiable resonance-decay feed-down: spectra -> decayed
     spectra as ONE traced jnp computation, so reverse-mode AD flows from
     post-feed-down observables back to the Cooper-Frye inputs (compose
@@ -849,9 +870,12 @@ def resonance_feed_down_traced(spectra, table, mcids, grid, cfg,
     * parent-spectrum preparation runs in jnp (_prepare_parent_traced)
       with AD-safe double-where guards.
 
-    remat=True checkpoints each wave, so backward memory is ~one wave's
-    intermediates instead of the whole cascade (full-list cascades are
-    5 waves of up to hundreds of channel buckets)."""
+    remat=True checkpoints each wave AND each task bucket, so backward
+    memory is ~one bucket's intermediates.  For reverse-mode at
+    production momentum-grid scale also pass a small ``bucket`` (e.g.
+    32): a 256-task bucket's AD residuals include the (K, P, F, V, Z,
+    grid) interpolation-weight tensors the forward fuses away, tens of
+    GB at full width (measured OOM on a 16 GB chip; bucket=32 fits)."""
     if use_hat is None:
         use_hat = jax.default_backend() != "cpu"
     dtype = spectra.dtype
@@ -894,7 +918,8 @@ def resonance_feed_down_traced(spectra, table, mcids, grid, cfg,
             if not wave_parents:
                 return jnp.zeros_like(sp)
             return _run_wave_traced(wtasks2, wtasks3, wave_parents, pT,
-                                    phi, y_grid, dimension, S, use_hat)
+                                    phi, y_grid, dimension, S, use_hat,
+                                    remat=remat, bucket=bucket)
 
         if remat:
             wave_fn = jax.checkpoint(wave_fn)

@@ -380,3 +380,41 @@ def test_zero_width_subthreshold_channel_is_closed(reference_dir):
     out = dk.do_resonance_decays(spectra, t2, mcids, grid, cfg)
     # channel closed: pions gain nothing, and we did not hang
     np.testing.assert_allclose(out[0], spectra[0])
+
+
+def test_massless_daughter_f32_finite(reference_dir):
+    """Regression: photon daughters (mass 0) made the f32 cascade NaN --
+    mT == pT exactly, so the naive denom = mT^2 cosh^2 - pT^2 cancels to
+    a rounded 0 at small v*DeltaY and MTbar/Phip hit inf/inf.  The
+    cancellation-free identities (denom = m^2 + mT^2 sinh^2,
+    pstar^2 - mT^2 sinh^2) must keep every f32 output finite AND agree
+    with f64 to the documented ~1e-5 wave accuracy."""
+    import jax.numpy as jnp
+    from is3d_tpu.io import pdg
+    table = pdg.read_resonances(f"{reference_dir}/PDG", 1)
+    mcids_all = np.asarray(table.mc_id)
+    # photon + a radiative parent population (every 16th species catches
+    # several photon channels) + identified particles
+    keep = sorted(set(range(0, len(mcids_all), 16))
+                  | {int(np.nonzero(mcids_all == m)[0][0])
+                     for m in (22, 211, -211, 111, 113, 223, 331)})
+    mcids = mcids_all[keep]
+    assert 22 in mcids
+    grid = native_momentum_grid(dimension=2, n_pT=32, n_phi=12, n_eta=8)
+    mass = np.asarray(table.mass)[keep]
+    MT = np.sqrt(np.asarray(grid.pT)[None, :, None, None] ** 2
+                 + mass[:, None, None, None] ** 2)
+    base = np.broadcast_to(np.exp(-MT / 0.15),
+                           (len(keep), grid.n_pT, grid.n_phi, 1)).copy()
+    cfg = Config(dimension=2, lightest_particle=111)
+    f64 = dk._do_resonance_decays_impl(base.copy(), table, mcids, grid,
+                                       cfg, jnp.float64)
+    f32 = dk._do_resonance_decays_impl(base.copy(), table, mcids, grid,
+                                       cfg, jnp.float32)
+    assert np.isfinite(f64).all()
+    assert np.isfinite(f32).all()
+    i_ph = int(np.nonzero(mcids == 22)[0][0])
+    assert np.abs(f64[i_ph] - base[i_ph]).max() > 0   # photon feed-down real
+    scale = np.abs(f64).max()
+    rel = np.abs(f32 - f64) / np.maximum(np.abs(f64), 1e-9 * scale)
+    assert rel.max() < 1e-3, rel.max()
