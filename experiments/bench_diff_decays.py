@@ -74,37 +74,92 @@ def main():
         dts.append(time.perf_counter() - t0)
     print(f"traced forward (jit): {np.median(dts)*1e3:.0f} ms warm")
 
-    # reverse pass: grad of summed pion dN/dy wrt the input spectra
+    # reverse pass: grad of summed pion dN/dy wrt the input spectra.
+    # The hat evaluators carry a custom_vjp that recomputes the
+    # interpolation weights in the backward (round 4), so the hat path
+    # no longer OOMs on (K, P, F, V, Z, grid) residuals.
     i_pi = int(np.nonzero(mcids == 211)[0][0])
     w = jnp.asarray(np.asarray(grid.pT_weight) * np.asarray(grid.pT), dtype)
     fw = jnp.asarray(np.asarray(grid.phi_weight), dtype)
-    # bucket=8: the reverse pass materializes per-bucket interpolation
-    # weight residuals (tens of GB at the default 256-task bucket)
-    # use_hat=False for the reverse pass: the hat path's AD residuals
-    # include (K, P, F, V, Z, grid)-sized interpolation-weight tensors
-    # (the forward fuses them away); the gather path's backward is
-    # scatter-adds with no such residuals
     gfn = jax.jit(jax.grad(lambda sp: jnp.einsum(
         "pfy,p,f->", dk.resonance_feed_down_traced(
-            sp, table, mcids, grid, cfg, bucket=8,
-            use_hat=False)[i_pi], w, fw)))
+            sp, table, mcids, grid, cfg)[i_pi], w, fw)))
+    jax.block_until_ready(gfn(sp0))
+    dts = []
+    for i in range(3):
+        sp = jnp.asarray(rep_spectra(1 + i), dtype)
+        t0 = time.perf_counter()
+        jax.block_until_ready(gfn(sp))
+        dts.append(time.perf_counter() - t0)
+    print(f"traced value+grad (jit): {np.median(dts)*1e3:.0f} ms warm")
+
+
+def _peak_mem_mb():
     try:
-        jax.block_until_ready(gfn(sp0))
-        dts = []
-        for i in range(3):
-            sp = jnp.asarray(rep_spectra(1 + i), dtype)
-            t0 = time.perf_counter()
-            jax.block_until_ready(gfn(sp))
-            dts.append(time.perf_counter() - t0)
-        print(f"traced value+grad (jit): {np.median(dts)*1e3:.0f} ms warm")
-    except Exception as e:  # record the production-scale reverse limit
-        print("traced value+grad at PRODUCTION momentum-grid scale failed "
-              f"on this chip: {type(e).__name__} (known limit, round 3: "
-              "the hat path OOMs on AD residuals; the gather path compiles "
-              "at bucket<=8 but hits a serving-stack device fault -- "
-              "calibration-scale reverse passes are tested and green, "
-              "tests/test_grad.py)")
+        st = jax.local_devices()[0].memory_stats()
+        return st.get("peak_bytes_in_use", 0) / 1e6
+    except Exception:
+        return None
+
+
+def production_scale(use_hat=True, bucket=None):
+    """The round-3 open limit: jax.grad of a decayed-spectra scalar on the
+    FULL SMASH chosen list at the production 32x24x21 (3+1D) grid, one
+    chip.  Round 4's custom_vjp on the hat evaluators removes the AD
+    residuals that made this OOM (39 GB measured)."""
+    from is3d_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()   # the one-time compile of the
+    #                                         full-cascade grad is large
+    from is3d_tpu.io.pdg import load_chosen_mcids, chosen_indices
+    table = pdg.read_resonances(f"{REFERENCE}/PDG", 2)
+    chosen = load_chosen_mcids(f"{REFERENCE}/PDG/chosen_particles.dat")
+    idx = chosen_indices(table, chosen, skip_missing=True)
+    mcids = np.asarray(table.mc_id)[idx]
+    grid = native_momentum_grid(dimension=3, n_pT=32, n_phi=24, n_y=21)
+    dtype = (jnp.float64 if jax.default_backend() == "cpu"
+             else jnp.float32)
+    cfg = Config(dimension=3, lightest_particle=111)
+
+    mass = np.asarray(table.mass)[idx]
+    MT = np.sqrt(np.asarray(grid.pT)[None, :, None, None] ** 2
+                 + mass[:, None, None, None] ** 2)
+    base = (np.exp(-MT / 0.15)
+            * (1 + 0.2 * np.cos(2 * np.asarray(grid.phi))[None, None, :, None])
+            * np.exp(-0.5 * (np.asarray(grid.y) / 2.5) ** 2)[None, None, None])
+
+    i_pi = int(np.nonzero(mcids == 211)[0][0])
+    w = jnp.asarray(np.asarray(grid.pT_weight) * np.asarray(grid.pT), dtype)
+    fw = jnp.asarray(np.asarray(grid.phi_weight), dtype)
+
+    gfn = jax.jit(jax.value_and_grad(lambda sp: jnp.einsum(
+        "pfy,p,f->", dk.resonance_feed_down_traced(
+            sp, table, mcids, grid, cfg, use_hat=use_hat,
+            bucket=bucket)[i_pi], w, fw)))
+
+    sp0 = jnp.asarray(base * 1.0, dtype)
+    t0 = time.perf_counter()
+    v, g = jax.block_until_ready(gfn(sp0))
+    cold = time.perf_counter() - t0
+    assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
+    dts = []
+    for i in range(3):
+        sp = jnp.asarray(base * (1.0 + 0.01 * (1 + i)), dtype)
+        t0 = time.perf_counter()
+        v, g = jax.block_until_ready(gfn(sp))
+        dts.append(time.perf_counter() - t0)
+    peak = _peak_mem_mb()
+    peak_s = f", peak device mem {peak:.0f} MB" if peak else ""
+    print(f"PRODUCTION-scale value+grad (full SMASH chosen list, "
+          f"{len(mcids)} species, 32x24x21 3+1D, use_hat={use_hat}, "
+          f"bucket={bucket}): {np.median(dts):.2f} s warm "
+          f"(cold {cold:.1f} s){peak_s}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "--production" in _sys.argv:
+        production_scale(use_hat="--gather" not in _sys.argv,
+                         bucket=(int(_sys.argv[_sys.argv.index("--bucket") + 1])
+                                 if "--bucket" in _sys.argv else None))
+    else:
+        main()

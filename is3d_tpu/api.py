@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .config import Config, load_config
@@ -238,6 +239,9 @@ class IS3D:
         from .utils import PhaseTimer
         timer = timer or PhaseTimer(verbose=False)
         cfg = self.cfg
+        # pod operation=2 write path: EVERY process writes its event-slice
+        # part file (then process 0 merges), so it keeps the caller's flag
+        want_files = write_files
         if self._pod():
             # multi-process pod (jax.distributed): deterministic kernels
             # route through parallel/multihost.py (bit-identical results,
@@ -321,18 +325,28 @@ class IS3D:
             # sample_particles -- a capability the reference lacks (its
             # sample_dN_pTdpTdphidy_VAH_PL is a stub,
             # sampling_kernels.cpp:1231-1239)
-            if self._pod():
+            pod = self._pod()
+            if pod and cfg.test_sampler:
                 raise ValueError(
-                    "operation=2 (sampler) does not run in pod mode: "
-                    "Monte-Carlo sampling is share-nothing parallel -- use "
-                    "ensemble.multiprocess_oversample / "
-                    "python -m is3d_tpu.ensemble_worker with one worker per "
-                    "host instead (docs/MULTIHOST.md Levels 2-3)")
+                    "test_sampler=1 (validation histograms) is a "
+                    "single-process harness; run it without jax.distributed "
+                    "(pod sampling itself is supported)")
             from .kernels.sample import sample_particles, calculate_total_yield
+            part = ((jax.process_index(), jax.process_count()) if pod
+                    else None)
             with timer.phase("sampler"):
+                # pod mode: disjoint contiguous GLOBAL event ranges per
+                # process (sampling is share-nothing over events -- the
+                # reference's whole multi-machine story,
+                # scripts/run_multithread_sampling_iS3D.py).  Per-event
+                # streams are keyed by the global event index, so the
+                # process-ordered union of slices is byte-identical to the
+                # single-process run.  Each process samples on its own
+                # chip(s); no collectives.
                 result.events = sample_particles(
                     self.surface, species, np.asarray(mcids), grid, df_data,
-                    cfg, plasma, particle_table, mesh=self.mesh)
+                    cfg, plasma, particle_table,
+                    mesh=None if pod else self.mesh, event_partition=part)
             if cfg.do_resonance_decays and not cfg.test_sampler:
                 # event-level MC decay cascade (kernels/mc_decays.py) -- the
                 # sampled twin of the smooth feed-down on operation 1.  The
@@ -345,11 +359,22 @@ class IS3D:
                 with timer.phase("MC resonance decays"):
                     # NOT the sampler's seed itself: the cascade's per-pass
                     # fold_in(key(seed), i) would alias the sampler's
-                    # per-event Threefry streams
+                    # per-event Threefry streams.  In a pod each process
+                    # decays its own slice under a lane-derived seed (the
+                    # cascade keys by position in the concatenated hadron
+                    # array, so slices cannot share the lane-0 stream);
+                    # decayed pod events are statistically exact, not
+                    # byte-identical to the 1-process run.
                     result.events = decay_events(
                         result.events, particle_table, cfg,
-                        seed=derive_decay_seed(_resolve_seed(None, cfg)))
-            if write_files:
+                        seed=derive_decay_seed(
+                            _resolve_seed(None, cfg),
+                            lane=jax.process_index() if pod else 0))
+            if pod and want_files and not cfg.test_sampler:
+                # all processes participate (part write + barrier + merge)
+                os.makedirs(self.results_dir, exist_ok=True)
+                self._write_pod_oscar(result.events)
+            elif write_files:
                 os.makedirs(self.results_dir, exist_ok=True)
                 if cfg.test_sampler:
                     from .histograms import (sampler_test_histograms,
@@ -367,6 +392,48 @@ class IS3D:
             raise ValueError(f"operation must be 0, 1 or 2, got {cfg.operation}")
 
         return result
+
+    def _write_pod_oscar(self, events_local):
+        """Pod-mode particle-list write: every process writes its event
+        slice to its own part file, a pod barrier orders the writes, and
+        process 0 concatenates the parts (in process order = global event
+        order) into the reference-named particle_list_osc.dat, refusing on
+        a missing part (hole check).  OSCAR events are self-delimiting
+        '# N' blocks (writers.write_particle_list_oscar), so concatenation
+        IS the merge -- with undecayed events the merged file is
+        byte-identical to a single-process run's."""
+        from jax.experimental import multihost_utils
+        p, n_proc = jax.process_index(), jax.process_count()
+        # entry barrier: process 0 cleans results_dir before sampling; no
+        # part may be written until every process is past its own sampling
+        # (and hence process 0 past the clean)
+        multihost_utils.sync_global_devices("is3d_pod_oscar_start")
+        part = os.path.join(self.results_dir,
+                            f"particle_list_osc.part{p}of{n_proc}.dat")
+        writers.write_particle_list_oscar(events_local, part)
+        multihost_utils.sync_global_devices("is3d_pod_oscar_parts")
+        if p == 0:
+            out = os.path.join(self.results_dir, "particle_list_osc.dat")
+            parts = [os.path.join(self.results_dir,
+                                  f"particle_list_osc.part{k}of{n_proc}.dat")
+                     for k in range(n_proc)]
+            missing = [f for f in parts if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"pod OSCAR merge: missing part file(s) {missing} after "
+                    "the write barrier -- a process failed to write its "
+                    "event slice")
+            tmp = out + ".tmp"
+            with open(tmp, "wb") as fo:
+                for f in parts:
+                    with open(f, "rb") as fi:
+                        fo.write(fi.read())
+            os.replace(tmp, out)
+            for f in parts:
+                os.remove(f)
+        # all processes wait for the merge so a caller's post-run file read
+        # is safe on every host
+        multihost_utils.sync_global_devices("is3d_pod_oscar_merged")
 
     def _write_smooth_files(self, spectra, grid, mcids, results_dir):
         cfg = self.cfg

@@ -224,19 +224,35 @@ def _phi_hat_weights(phi_grid, Phip):
     return W + jnp.concatenate([wfirst, mid, wlast], -1)
 
 
+def _eval_parent_2d_tmp(logdN, tc, ts, MT_grid, MT):
+    """Shared first stage of the 2d hat evaluation: the MT hat contraction
+    with the tail switch.  Returns (tmp (p,v,z,Fg), hatM, inside, MTq)."""
+    MTq = MT[:, 0]                                      # (p, v, z)
+    hatM = _hat_weights(MT_grid, MTq)                   # (p, v, z, Pg)
+    tmp = jnp.einsum("pvzg,gf->pvzf", hatM, logdN)      # log dN at (MT, f)
+    tail = tc + ts * MTq[..., None]                     # (p, v, z, Fg)
+    inside = (MTq <= MT_grid[-1])[..., None]
+    return jnp.where(inside, tmp, tail), hatM, inside, MTq
+
+
+@jax.custom_vjp
 def _eval_parent_2d_pair(logdN, tc, ts, MT_grid, phi_grid, MT, Phip1, Phip2):
     """Sum of exp(log dN) at (MT, Phip1) and (MT, Phip2), boost-invariant
     parent.  Gather-free: the bilinear log interpolation (with MT tail
     switch) is two hat-weight contractions; the MT stencil is shared by the
     two Phip solutions (reflection pairs, reference :620-660).
     logdN: (Pg, Fg); tc/ts: (Fg,); MT: (p, 1, v, z); Phip: (p, F, v, z).
-    Returns (p, F, v, z)."""
-    MTq = MT[:, 0]                                      # (p, v, z)
-    hatM = _hat_weights(MT_grid, MTq)                   # (p, v, z, Pg)
-    tmp = jnp.einsum("pvzg,gf->pvzf", hatM, logdN)      # log dN at (MT, f)
-    tail = tc + ts * MTq[..., None]                     # (p, v, z, Fg)
-    inside = (MTq <= MT_grid[-1])[..., None]
-    tmp = jnp.where(inside, tmp, tail)
+    Returns (p, F, v, z).
+
+    custom_vjp: the backward RECOMPUTES the hat-weight tensors instead of
+    storing them as AD residuals -- the (p, F, v, z, grid) weights the
+    forward fuses away were 39 GB at production scale on the full SMASH
+    list (NOTES_ROUND3) and made jax.grad of decayed spectra OOM a 16 GB
+    chip.  Saved residuals are the INPUTS only.  Gradients flow to
+    (logdN, tc, ts); the kinematic queries (MT, Phip) and the grids are
+    functions of particle masses and quadrature grids only -- never of
+    the differentiated surface -- and get symbolic-zero cotangents."""
+    tmp, _, _, _ = _eval_parent_2d_tmp(logdN, tc, ts, MT_grid, MT)
 
     def one(Phip):
         hatP = _phi_hat_weights(phi_grid, Phip)         # (p, F, v, z, Fg)
@@ -245,13 +261,39 @@ def _eval_parent_2d_pair(logdN, tc, ts, MT_grid, phi_grid, MT, Phip1, Phip2):
     return one(Phip1) + one(Phip2)
 
 
-def _eval_parent_3d_pair(logdN, tc, ts, MT_grid, phi_grid, y_grid,
-                         MT, Phip1, Phip2, Y):
-    """Sum of the trilinear (MT, Phip, Y) log interpolations at the two
-    Phip solutions, exponentiated; zero outside |Y| > Ymax.  Gather-free
-    hat-weight contractions; MT/Y stencils shared across the pair.
-    logdN: (Pg, Fg, Yg); tc/ts: (Fg, Yg); MT: (p, 1, 1, v, z);
-    Phip: (p, F, 1, v, z); Y: (p, 1, NY, v, 1).  Returns (p, F, NY, v, z)."""
+def _eval_parent_2d_pair_fwd(logdN, tc, ts, MT_grid, phi_grid,
+                             MT, Phip1, Phip2):
+    out = _eval_parent_2d_pair(logdN, tc, ts, MT_grid, phi_grid,
+                               MT, Phip1, Phip2)
+    return out, (logdN, tc, ts, MT_grid, phi_grid, MT, Phip1, Phip2)
+
+
+def _eval_parent_2d_pair_bwd(res, g):
+    logdN, tc, ts, MT_grid, phi_grid, MT, Phip1, Phip2 = res
+    tmp, hatM, inside, MTq = _eval_parent_2d_tmp(logdN, tc, ts, MT_grid, MT)
+    d_tmp = jnp.zeros_like(tmp)
+    for Phip in (Phip1, Phip2):
+        hatP = _phi_hat_weights(phi_grid, Phip)
+        e = jnp.einsum("pFvzf,pvzf->pFvz", hatP, tmp)
+        ge = g * jnp.exp(e)
+        d_tmp = d_tmp + jnp.einsum("pFvz,pFvzf->pvzf", ge, hatP)
+    d_in = jnp.where(inside, d_tmp, 0.0)
+    d_tail = jnp.where(inside, 0.0, d_tmp)
+    d_logdN = jnp.einsum("pvzg,pvzf->gf", hatM, d_in)
+    d_tc = d_tail.sum(axis=(0, 1, 2))
+    d_ts = (d_tail * MTq[..., None]).sum(axis=(0, 1, 2))
+    z = jnp.zeros_like
+    return (d_logdN, d_tc, d_ts, z(MT_grid), z(phi_grid), z(MT),
+            z(Phip1), z(Phip2))
+
+
+_eval_parent_2d_pair.defvjp(_eval_parent_2d_pair_fwd, _eval_parent_2d_pair_bwd)
+
+
+def _eval_parent_3d_tmp(logdN, tc, ts, MT_grid, y_grid, MT, Y):
+    """Shared first stages of the 3d hat evaluation: MT hat contraction
+    with tail switch, then the Y hat contraction.
+    Returns (tmp2 (p,NY,v,z,Fg), hatM, hatY, inside, MTq)."""
     MTq = MT[:, 0, 0]                                   # (p, v, z)
     hatM = _hat_weights(MT_grid, MTq)                   # (p, v, z, Pg)
     tmp = jnp.einsum("pvzg,gfy->pvzfy", hatM, logdN)    # (p, v, z, Fg, Yg)
@@ -261,14 +303,63 @@ def _eval_parent_3d_pair(logdN, tc, ts, MT_grid, phi_grid, y_grid,
 
     Yq = Y[:, 0, :, :, 0]                               # (p, NY, v)
     hatY = _hat_weights(y_grid, Yq)                     # (p, NY, v, Yg)
-    tmp = jnp.einsum("pvzfy,pYvy->pYvzf", tmp, hatY)    # (p, NY, v, z, Fg)
+    tmp2 = jnp.einsum("pvzfy,pYvy->pYvzf", tmp, hatY)   # (p, NY, v, z, Fg)
+    return tmp2, hatM, hatY, inside, MTq
+
+
+@jax.custom_vjp
+def _eval_parent_3d_pair(logdN, tc, ts, MT_grid, phi_grid, y_grid,
+                         MT, Phip1, Phip2, Y):
+    """Sum of the trilinear (MT, Phip, Y) log interpolations at the two
+    Phip solutions, exponentiated; zero outside |Y| > Ymax.  Gather-free
+    hat-weight contractions; MT/Y stencils shared across the pair.
+    logdN: (Pg, Fg, Yg); tc/ts: (Fg, Yg); MT: (p, 1, 1, v, z);
+    Phip: (p, F, 1, v, z); Y: (p, 1, NY, v, 1).  Returns (p, F, NY, v, z).
+
+    custom_vjp recomputing the hat weights in the backward -- see
+    _eval_parent_2d_pair."""
+    tmp2, _, _, _, _ = _eval_parent_3d_tmp(logdN, tc, ts, MT_grid, y_grid,
+                                           MT, Y)
 
     def one(Phip):
         hatP = _phi_hat_weights(phi_grid, Phip[:, :, 0])  # (p, F, v, z, Fg)
-        return jnp.exp(jnp.einsum("pFvzf,pYvzf->pFYvz", hatP, tmp))
+        return jnp.exp(jnp.einsum("pFvzf,pYvzf->pFYvz", hatP, tmp2))
 
     out = one(Phip1) + one(Phip2)                       # (p, F, NY, v, z)
     return jnp.where(jnp.abs(Y) <= jnp.abs(y_grid[-1]), out, 0.0)
+
+
+def _eval_parent_3d_pair_fwd(logdN, tc, ts, MT_grid, phi_grid, y_grid,
+                             MT, Phip1, Phip2, Y):
+    out = _eval_parent_3d_pair(logdN, tc, ts, MT_grid, phi_grid, y_grid,
+                               MT, Phip1, Phip2, Y)
+    return out, (logdN, tc, ts, MT_grid, phi_grid, y_grid, MT, Phip1,
+                 Phip2, Y)
+
+
+def _eval_parent_3d_pair_bwd(res, g):
+    logdN, tc, ts, MT_grid, phi_grid, y_grid, MT, Phip1, Phip2, Y = res
+    tmp2, hatM, hatY, inside, MTq = _eval_parent_3d_tmp(
+        logdN, tc, ts, MT_grid, y_grid, MT, Y)
+    g = jnp.where(jnp.abs(Y) <= jnp.abs(y_grid[-1]), g, 0.0)
+    d_tmp2 = jnp.zeros_like(tmp2)
+    for Phip in (Phip1, Phip2):
+        hatP = _phi_hat_weights(phi_grid, Phip[:, :, 0])
+        e = jnp.einsum("pFvzf,pYvzf->pFYvz", hatP, tmp2)
+        ge = g * jnp.exp(e)
+        d_tmp2 = d_tmp2 + jnp.einsum("pFYvz,pFvzf->pYvzf", ge, hatP)
+    d_tmp1 = jnp.einsum("pYvzf,pYvy->pvzfy", d_tmp2, hatY)
+    d_in = jnp.where(inside, d_tmp1, 0.0)
+    d_tail = jnp.where(inside, 0.0, d_tmp1)
+    d_logdN = jnp.einsum("pvzg,pvzfy->gfy", hatM, d_in)
+    d_tc = d_tail.sum(axis=(0, 1, 2))
+    d_ts = (d_tail * MTq[..., None, None]).sum(axis=(0, 1, 2))
+    z = jnp.zeros_like
+    return (d_logdN, d_tc, d_ts, z(MT_grid), z(phi_grid), z(y_grid),
+            z(MT), z(Phip1), z(Phip2), z(Y))
+
+
+_eval_parent_3d_pair.defvjp(_eval_parent_3d_pair_fwd, _eval_parent_3d_pair_bwd)
 
 
 def _interp_phi_indices(phi_grid, Phip):

@@ -367,13 +367,21 @@ def _cached_device_tables(table, lightest, tabs: DecayTables, dtype):
     return dev[key]
 
 
-def derive_decay_seed(seed: int) -> int:
+def derive_decay_seed(seed: int, lane: int = 0) -> int:
     """An independent decay-stream seed from a sampler seed.
 
     The cascade must not consume the same Threefry streams as the sampler
     that produced the events (fold_in(key(seed), i) appears in both), so
-    callers derive the decay seed through a distinct SeedSequence branch."""
-    return int(np.random.SeedSequence((int(seed), 0x6D63)).generate_state(
+    callers derive the decay seed through a distinct SeedSequence branch.
+
+    ``lane`` gives collision-free derived seeds for concurrent decayers of
+    the same base seed (the pod sampler uses lane=process_index: the
+    cascade keys draws by position in the concatenated hadron array, so
+    per-slice runs cannot share one stream).  lane=0 keeps the historical
+    (seed, 0x6D63) entropy tuple so existing manifests resume
+    byte-identically."""
+    key = (int(seed), 0x6D63) if lane == 0 else (int(seed), 0x6D63, int(lane))
+    return int(np.random.SeedSequence(key).generate_state(
         2, dtype=np.uint64)[0] % (2**63))
 
 

@@ -77,6 +77,13 @@ def pion_thermal_weight_max(x):
 # Phase A: per-cell data
 # ======================================================================
 
+# The complete set of DeltafCoefficients fields _species_yields_exact_block
+# reads.  The chunked path in _species_yields_exact stacks EXACTLY these and
+# NaN-fills the rest, so the list going stale is self-detecting (NaN output).
+YIELDS_DF_FIELDS = ("F", "G", "z", "betabulk")
+_YIELDS_DF_FILL = {"betabulk": 1.0}   # pad lanes only; avoids 0-division
+
+
 def _species_yields_exact(c, species, laguerre, cfg, max_block=None):
     """Per-(cell, species) max densities dn for the categorical draw
     (reference max_particle_number, sampling_kernels.cpp:282-357).
@@ -108,21 +115,24 @@ def _species_yields_exact(c, species, laguerre, cfg, max_block=None):
             breakdown=prep(c["breakdown"], fill=False),
         )
         dfc = c["df"]
-        for k in ("G", "F", "z"):
-            stacked["df_" + k] = prep(getattr(dfc, k))
-        stacked["df_betabulk"] = prep(dfc.betabulk, fill=1.0)
+        for k in YIELDS_DF_FIELDS:
+            stacked["df_" + k] = prep(getattr(dfc, k),
+                                      fill=_YIELDS_DF_FILL.get(k, 0.0))
 
         def one(chunk):
             cc = dict(T=chunk["T"], alphaB=chunk["alphaB"],
                       bulkPi=chunk["bulkPi"], breakdown=chunk["breakdown"])
             from ..io.deltaf import DeltafCoefficients
-            z0 = jnp.zeros_like(chunk["T"])
-            cc["df"] = DeltafCoefficients(
-                c0=z0, c1=z0, c2=z0, c3=z0, c4=z0, shear14=z0,
-                F=chunk["df_F"], G=chunk["df_G"],
-                betabulk=chunk["df_betabulk"], betaV=jnp.ones_like(z0),
-                betapi=z0, lam=z0, z=chunk["df_z"],
-                delta_lambda=z0, delta_z=z0)
+            import dataclasses
+            # Rebuild the coefficient pytree from the DECLARED field list
+            # only; every undeclared field is a NaN sentinel so a future
+            # df term reading (say) c0 through this chunked path fails
+            # loudly instead of silently seeing zeros.
+            nan = jnp.full_like(chunk["T"], jnp.nan)
+            vals = {f.name: nan for f in dataclasses.fields(DeltafCoefficients)}
+            for k in YIELDS_DF_FIELDS:
+                vals[k] = chunk["df_" + k]
+            cc["df"] = DeltafCoefficients(**vals)
             return _species_yields_exact_block(cc, species, laguerre, cfg)
 
         out = jax.lax.map(one, stacked)            # (nB, B, S)
@@ -1079,6 +1089,15 @@ def _sampler_effective_cfg(surface, cfg: Config) -> Config:
     events: with zero coefficients the ungated kernel computes df_tot = 0
     exactly, so w_visc = clip(0.5 * (1 + 0)) = 0.5 either way -- the same
     acceptance comparisons against the same RNG stream."""
+    if cfg.mode in (2, 3) and not cfg.regulate_deltaf:
+        import warnings
+        warnings.warn(
+            "VAH sampling with regulate_deltaf=0: the sampler's rejection "
+            "scheme still clips the viscous weight (1+df)/2 to [0,1], so on "
+            "cells where |f̄_a df| > 1 sampled events diverge "
+            "statistically from the unclipped smooth_spectra_vah "
+            "(docs/PHYSICS.md, 'VAH sampling and df regulation').",
+            stacklevel=3)
     if not (cfg.vah_df_gate and cfg.mode in (2, 3)):
         return cfg
     from .vah import effective_vah_cfg
@@ -1174,7 +1193,8 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
                      particle_table=None, nevents: Optional[int] = None,
                      seed: Optional[int] = None, laguerre=None,
                      events_per_batch: Optional[int] = None,
-                     mesh=None) -> list:
+                     mesh=None,
+                     event_partition: Optional[tuple] = None) -> list:
     """Sample particle event lists.  Returns a list of per-event dicts of
     numpy arrays (keys: mcid, t, x, y, z, E, px, py, pz, mass, tau, eta, yp).
 
@@ -1185,7 +1205,25 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     With ``mesh``, the cell axis is sharded over the device mesh and every
     device samples its own cell shard (exact by Poisson superposition);
     see sample_particles_sharded.
+
+    ``event_partition=(k, n)`` samples only the k-th of n balanced
+    contiguous slices of the GLOBAL event range.  Event i's stream depends
+    only on fold_in(base_key, i) with the GLOBAL index i, so the
+    concatenation of all n workers' slices is BYTE-identical to the
+    single-worker run -- the pod-mode sampler (api.py operation=2 under
+    jax.distributed) and any share-nothing worker pool split work this
+    way.  The global event count (oversampling included) is derived
+    identically by every worker from the same surface.
     """
+    if event_partition is not None:
+        k, n = event_partition
+        if mesh is not None:
+            raise ValueError("event_partition composes with the per-process "
+                             "single-chip sampler; the cell-sharded mesh "
+                             "sampler has its own per-device streams")
+        if not (0 <= int(k) < int(n)):
+            raise ValueError(f"event_partition must be (k, n) with "
+                             f"0 <= k < n, got {event_partition}")
     if mesh is not None:
         if events_per_batch is not None:
             raise ValueError("events_per_batch is a single-chip batching "
@@ -1201,15 +1239,25 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
         laguerre = _laguerre_device(dtype)
     cell = _build_cell_data(surface, species, df_data, cfg, plasma, laguerre)
 
+    def _slice(n_global: int) -> tuple:
+        if event_partition is None:
+            return 0, n_global
+        k, n = (int(v) for v in event_partition)
+        return (k * n_global) // n, ((k + 1) * n_global) // n
+
     lam = float(jnp.sum(cell["dn_tot"]))
     if lam <= 0.0:
-        return [_empty_event() for _ in range(nevents or 1)]
+        lo0, hi0 = _slice(nevents or 1)
+        return [_empty_event() for _ in range(hi0 - lo0)]
 
     nevents = _oversample_nevents(nevents, cell, cfg)
+    ev_lo, ev_hi = _slice(nevents)
+    if ev_hi == ev_lo:
+        return []
     n_cap = _slot_capacity(lam)
     base_key = jax.random.key(_resolve_seed(seed, cfg))
     if events_per_batch is None:
-        events_per_batch = _batch_width(nevents, n_cap)
+        events_per_batch = _batch_width(ev_hi - ev_lo, n_cap)
 
     mcids_np = np.asarray(mcids, dtype=np.int64)
     mass_np = np.asarray(species.mass, dtype=np.float64)
@@ -1259,8 +1307,8 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     # in-flight limit
     worker = _DrainWorker(drain)
     try:
-        for start in range(0, nevents, events_per_batch):
-            b = min(events_per_batch, nevents - start)
+        for start in range(ev_lo, ev_hi, events_per_batch):
+            b = min(events_per_batch, ev_hi - start)
             # dispatch a full-width batch even for the ragged tail: one
             # compiled shape total, and per-event statistics are unchanged
             # because event i depends only on fold_in(base_key, i)

@@ -16,9 +16,29 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import gc  # noqa: E402
+
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _evict_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    A single-process full-suite run accumulates hundreds of jit
+    specializations (8 virtual devices x x64); round 3's run segfaulted at
+    ~82% inside an XLA CPU compile from that memory pressure while every
+    file passed in isolation.  Dropping the C++-side executable caches and
+    live-array references at module teardown keeps the resident set flat, so
+    `pytest tests/` completes in ONE invocation (no per-file chunking
+    folklore).  Costs only recompiles, and cross-module jit reuse is
+    negligible by design (each file builds its own configs/shapes).
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

@@ -381,6 +381,71 @@ def test_exact_yields_chunked_equals_block(smash_table, df_data):
                                    rtol=1e-14)
 
 
+def test_event_partition_union_byte_identical(smash_table, df_data):
+    """The union of (k, n) event-partition slices equals the full run
+    event for event, byte for byte -- the exactness contract the pod
+    sampler (api operation=2 under jax.distributed) is built on.  Uneven
+    n=3 over 10 events covers ragged slices."""
+    surf = small_surface(n=16, seed=12)
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 sampler_seed=42)
+    sp = species_with_densities(smash_table, 0.155)
+    full = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                            nevents=10)
+    union = []
+    for k in range(3):
+        union += sample_particles(surf, sp, MCIDS, None, df_data, cfg,
+                                  PLASMA, nevents=10, event_partition=(k, 3))
+    assert len(full) == len(union) == 10
+    assert sum(len(e["mcid"]) for e in full) > 0
+    for a, b in zip(full, union):
+        assert set(a) == set(b)
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_event_partition_validates():
+    import pytest as _pytest
+    from is3d_tpu.kernels.sample import sample_particles as sp_fn
+    with _pytest.raises(ValueError, match="0 <= k < n"):
+        sp_fn(None, None, None, None, None, None, None,
+              event_partition=(3, 3))
+
+
+def test_exact_yields_df_field_contract(smash_table, df_data):
+    """YIELDS_DF_FIELDS is the COMPLETE set of DeltafCoefficients fields
+    the block reads: with every other field NaN'd, the output stays finite
+    and equal.  If a future df term reads an undeclared field, this fails
+    (and the chunked path would NaN loudly rather than see silent zeros)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from is3d_tpu.io.deltaf import DeltafCoefficients
+    from is3d_tpu.kernels import sample as smp
+    from is3d_tpu.kernels.common import prepare_cells
+    surf = small_surface(n=11, seed=5)
+    sp = species_with_densities(smash_table, 0.155)
+    for df_mode in (1, 2, 3, 4):
+        cfg = Config(operation=2, dimension=2, df_mode=df_mode,
+                     include_shear_deltaf=1, include_bulk_deltaf=1,
+                     regulate_deltaf=1, outflow=1)
+        lag = smp._laguerre_device(jnp.float64)
+        cols = smp._sampler_cols(surf, cfg)
+        c = prepare_cells(cols, cfg, df_data)
+        c["breakdown"] = jnp.zeros(11, dtype=bool)
+        want = smp._species_yields_exact_block(c, sp, lag, cfg)
+        nan = jnp.full_like(c["T"], jnp.nan)
+        vals = {f.name: nan for f in dataclasses.fields(DeltafCoefficients)}
+        for k in smp.YIELDS_DF_FIELDS:
+            vals[k] = getattr(c["df"], k)
+        c2 = dict(c)
+        c2["df"] = DeltafCoefficients(**vals)
+        got = smp._species_yields_exact_block(c2, sp, lag, cfg)
+        assert np.isfinite(np.asarray(got)).all(), df_mode
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-14)
+
+
 def test_row_categorical_matches_count_draw():
     """The binary-search species draw equals the count formula
     sum(cum < v) for every S, including powers of two (a one-iteration-

@@ -338,3 +338,21 @@ def test_vah_sampler_df_gate_bit_identical():
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_vah_sampler_unregulated_warns():
+    """regulate_deltaf=0 on a VAH sampling run emits the clipped-weight
+    RuntimeWarning (docs/PHYSICS.md 'VAH sampling and df regulation');
+    the default regulated run stays silent."""
+    import warnings
+    sp = species6()
+    surf = vah_flow_surface(n=8, seed=13)
+    cfg = Config(operation=2, mode=2, dimension=2, df_mode=2,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=0, outflow=1, y_cut=2.0, sampler_seed=9)
+    with pytest.warns(UserWarning, match="regulate_deltaf=0"):
+        sample_particles(surf, sp, MCIDS, None, None, cfg, PLASMA, nevents=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sample_particles(surf, sp, MCIDS, None, None,
+                         cfg.replace(regulate_deltaf=1), PLASMA, nevents=2)
