@@ -171,57 +171,66 @@ def _hat_weights(grid, x):
     linear extrapolation beyond both ends -- numerically identical to an
     index-clipped two-point stencil, but built from comparisons only so the
     downstream table lookup is a dense contraction instead of a gather
-    (TPU gathers run near scalar speed; these feed the MXU/VPU)."""
-    g0 = grid[:-1]
-    g1 = grid[1:]
+    (TPU gathers run near scalar speed; these feed the MXU/VPU).
+
+    Node weights are built DIRECTLY at (..., G) from shifted (G,) grid
+    vectors and an iota node mask -- no (..., G-1) interval tensors and no
+    query-sized concatenates.  The earlier concat formulation materialized
+    (..., 1) edge columns whose forced layouts pad 128x on TPU (1.7 GB
+    temps per 13.5 MB of data at production reverse-pass scale); this form
+    has only (..., G) elementwise tensors.  t-expressions are identical
+    operand-for-operand, so the weights are bit-identical."""
+    G = grid.shape[0]
+    k = jnp.arange(G)
+    # interval-k quantities evaluated AT node k (A: falling side 1 - t_k)
+    # and at node k+1 via the k-1 shift (B: rising side t_{k-1})
+    gnext = jnp.concatenate([grid[1:], grid[-1:] + 1.0])     # sentinel
+    gprev = jnp.concatenate([grid[:1] - 1.0, grid[:-1]])     # sentinel
     xe = x[..., None]
-    t = (xe - g0) / (g1 - g0)
-    inc = (xe >= g0) & (xe < g1)
     below = (x < grid[0])[..., None]
     above = (x >= grid[-1])[..., None]
-    zcols = jnp.zeros_like(inc[..., :1])
 
-    def edge(flag, at_start):
-        pads = [flag] + [zcols] * (inc.shape[-1] - 1)
-        return jnp.concatenate(pads if at_start else pads[::-1], -1)
-
-    inc = inc | edge(below, True) | edge(above, False)
-    wl = jnp.where(inc, 1.0 - t, 0.0)
-    wr = jnp.where(inc, t, 0.0)
-    zero = jnp.zeros_like(wl[..., :1])
-    return (jnp.concatenate([wl, zero], -1)
-            + jnp.concatenate([zero, wr], -1))
+    tA = (xe - grid) / (gnext - grid)          # t_k at node k
+    incA = ((xe >= grid) & (xe < gnext) & (k < G - 1)
+            | (below & (k == 0)) | (above & (k == G - 2)))
+    tB = (xe - gprev) / (grid - gprev)         # t_{k-1} at node k
+    incB = ((xe >= gprev) & (xe < grid) & (k >= 1)
+            | (below & (k == 1)) | (above & (k == G - 1)))
+    return jnp.where(incA, 1.0 - tA, 0.0) + jnp.where(incB, tB, 0.0)
 
 
 def _phi_hat_weights(phi_grid, Phip):
     """(..., F) wrap-around interpolation hat weights in Phip: interior
     cells are linear; outside [phi_0, phi_{F-1}] the angle interpolates
-    between (phi_{F-1} - 2pi) and phi_0 (reference interpolator behavior)."""
+    between (phi_{F-1} - 2pi) and phi_0 (reference interpolator behavior).
+
+    Direct (..., F) node-weight construction (shifted grid vectors + iota
+    masks, no query-sized concatenates) for the same layout reason as
+    _hat_weights; bit-identical weights."""
     F = phi_grid.shape[0]
-    inside = (Phip >= phi_grid[0]) & (Phip <= phi_grid[-1])
-    g0 = phi_grid[:-1]
-    g1 = phi_grid[1:]
+    k = jnp.arange(F)
+    gnext = jnp.concatenate([phi_grid[1:], phi_grid[-1:] + 1.0])
+    gprev = jnp.concatenate([phi_grid[:1] - 1.0, phi_grid[:-1]])
     xe = Phip[..., None]
-    t = (xe - g0) / (g1 - g0)
-    inc = (xe >= g0) & (xe < g1)
+    inside = (Phip >= phi_grid[0]) & (Phip <= phi_grid[-1])
     # Phip exactly at the last node falls in the last interior cell (t=1)
     at_end = (Phip == phi_grid[-1])[..., None]
-    zcols = jnp.zeros_like(inc[..., :1])
-    inc = inc | jnp.concatenate([zcols] * (inc.shape[-1] - 1) + [at_end], -1)
-    wl = jnp.where(inc, 1.0 - t, 0.0)
-    wr = jnp.where(inc, t, 0.0)
-    zero = jnp.zeros_like(wl[..., :1])
-    W = (jnp.concatenate([wl, zero], -1)
-         + jnp.concatenate([zero, wr], -1))
+
+    tA = (xe - phi_grid) / (gnext - phi_grid)
+    incA = ((xe >= phi_grid) & (xe < gnext) & (k < F - 1)
+            | (at_end & (k == F - 2)))
+    tB = (xe - gprev) / (phi_grid - gprev)
+    incB = ((xe >= gprev) & (xe < phi_grid) & (k >= 1)
+            | (at_end & (k == F - 1)))
+    W = jnp.where(incA, 1.0 - tA, 0.0) + jnp.where(incB, tB, 0.0)
+
     # wrap cell: map the angle near 0 and interpolate (last node, first node)
-    out = ~inside
+    out = (~inside)[..., None]
     Phip_out = Phip - jnp.floor(Phip / math.pi) * TWO_PI
     tw = ((Phip_out - (phi_grid[-1] - TWO_PI))
-          / (phi_grid[0] - (phi_grid[-1] - TWO_PI)))
-    wfirst = jnp.where(out, tw, 0.0)[..., None]
-    wlast = jnp.where(out, 1.0 - tw, 0.0)[..., None]
-    mid = jnp.zeros_like(W[..., : F - 2])
-    return W + jnp.concatenate([wfirst, mid, wlast], -1)
+          / (phi_grid[0] - (phi_grid[-1] - TWO_PI)))[..., None]
+    return (W + jnp.where(out & (k == 0), tw, 0.0)
+            + jnp.where(out & (k == F - 1), 1.0 - tw, 0.0))
 
 
 def _eval_parent_2d_tmp(logdN, tc, ts, MT_grid, MT):
@@ -905,12 +914,15 @@ def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
                      bucket: int | None = None):
     """jnp twin of _run_wave: identical task batching and the SAME wave
     kernels, but parents are traced arrays and the total stays on device
-    so reverse-mode AD flows through the whole wave.  remat checkpoints
-    each task BUCKET (not just the wave): the backward pass recomputes
-    bucket-by-bucket, bounding AD memory to one bucket's (K, P, F, Y,
-    V, Z) intermediates -- a full-list wave would otherwise materialize
-    every bucket's residuals at once (measured 39 GB > HBM on a
-    53-species subset at the production momentum grid)."""
+    so reverse-mode AD flows through the whole wave.
+
+    Memory: the hat evaluators carry a custom_vjp (residuals = inputs
+    only; weights recomputed in the backward), task buckets ride a
+    lax.scan (sequential backward: ONE bucket's recompute temps live at
+    a time -- an unrolled bucket loop let XLA interleave every bucket's
+    backward, ~20 simultaneous GB-scale temps), and remat checkpoints
+    each scan body.  Together these took the production-scale reverse
+    pass from 39 GB (round 3, OOM) to fitting one 16 GB chip."""
     dtype = parents[0][0].dtype
     U = _next_pow2(len(parents))
     pad0 = jnp.full_like(parents[0][0], -745.0)
@@ -921,26 +933,50 @@ def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
     tc = jnp.stack([p[1] for p in parents] + [pad1] * (U - len(parents)))
     ts = jnp.stack([p[2] for p in parents] + [pad2] * (U - len(parents)))
 
-    total = jnp.zeros((n_seg,) + parents[0][0].shape, dtype)
+    # carry shape from the GRID, not the parent arrays: callers may pass
+    # broadcast-degenerate spectra (trailing singleton phi/y axes) and the
+    # scan carry -- unlike the former Python-loop `+` -- cannot broadcast up
+    n_y_out = 1 if dimension == 2 else y_grid.shape[0]
+    total = jnp.zeros((n_seg, pT.shape[0], phi.shape[0], n_y_out), dtype)
     for tasks, fn, scal in (
             (tasks2, _two_body_wave, 4), (tasks3, _three_body_wave, 5)):
+        if not tasks:
+            continue
         B = min(bucket or _wave_bucket(dimension),
                 _next_pow2(max(1, len(tasks))))
+        # buckets ride a lax.scan (NOT an unrolled Python loop): scan's
+        # backward is sequential by construction, so the reverse pass
+        # holds ONE bucket's recompute temps at a time.  The unrolled
+        # form made every bucket's backward data-independent and XLA
+        # interleaved them all -- ~20 simultaneous 1.7 GB hat-construction
+        # temps at production scale (the round-3/4 OOM) -- and compiled
+        # one program PER bucket.  Short tail buckets pad with zero-pref
+        # copies of task 0 (pref = 0 -> contribution exactly 0).
+        nB = -(-len(tasks) // B)
+        full = tasks + [tasks[0][:1] + (0.0,) + tasks[0][2:]] * (nB * B - len(tasks))
+        seg = jnp.asarray(np.array([t[0] for t in full],
+                                   dtype=np.int32).reshape(nB, B))
+        pref = jnp.asarray(np.array([t[1] for t in full]),
+                           dtype).reshape(nB, B)
+        pidx = jnp.asarray(np.array([t[2] for t in full],
+                                    dtype=np.int32).reshape(nB, B))
+        MTg = jnp.asarray(np.stack([t[3] for t in full]),
+                          dtype).reshape(nB, B, -1)
+        scalars = [jnp.asarray(np.array([t[4 + j] for t in full]),
+                               dtype).reshape(nB, B) for j in range(scal)]
         call = partial(fn, dimension=dimension, n_seg=n_seg,
                        use_hat=use_hat)
+
+        def body(tot, xs, _call=call):
+            seg_b, pref_b, pidx_b, MTg_b, *scal_b = xs
+            out = _call(logdN, tc, ts, pidx_b, seg_b, pref_b,
+                        pT, phi, y_grid, MTg_b, *scal_b)
+            return tot + out, None
+
         if remat:
-            call = jax.checkpoint(call)
-        for lo in range(0, len(tasks), B):
-            chunk = tasks[lo:lo + B]
-            full = chunk + [chunk[0][:1] + (0.0,) + chunk[0][2:]] * (B - len(chunk))
-            seg = jnp.asarray(np.array([t[0] for t in full], dtype=np.int32))
-            pref = jnp.asarray(np.array([t[1] for t in full]), dtype)
-            pidx = jnp.asarray(np.array([t[2] for t in full], dtype=np.int32))
-            MTg = jnp.asarray(np.stack([t[3] for t in full]), dtype)
-            scalars = [jnp.asarray(np.array([t[4 + j] for t in full]), dtype)
-                       for j in range(scal)]
-            total = total + call(logdN, tc, ts, pidx, seg, pref,
-                                 pT, phi, y_grid, MTg, *scalars)
+            body = jax.checkpoint(body)
+        total, _ = jax.lax.scan(body, total, (seg, pref, pidx, MTg,
+                                              *scalars))
     return total
 
 
@@ -961,12 +997,13 @@ def resonance_feed_down_traced(spectra, table, mcids, grid, cfg,
     * parent-spectrum preparation runs in jnp (_prepare_parent_traced)
       with AD-safe double-where guards.
 
-    remat=True checkpoints each wave AND each task bucket, so backward
-    memory is ~one bucket's intermediates.  For reverse-mode at
-    production momentum-grid scale also pass a small ``bucket`` (e.g.
-    32): a 256-task bucket's AD residuals include the (K, P, F, V, Z,
-    grid) interpolation-weight tensors the forward fuses away, tens of
-    GB at full width (measured OOM on a 16 GB chip; bucket=32 fits)."""
+    remat=True checkpoints each wave AND each task bucket; buckets run
+    under a lax.scan whose backward is sequential, and the hat
+    evaluators' custom_vjp recomputes interpolation weights instead of
+    storing them -- reverse mode at the production momentum grid on the
+    full SMASH chosen list fits one 16 GB chip (see _run_wave_traced).
+    ``bucket`` stays as a knob to shrink the per-step footprint
+    further."""
     if use_hat is None:
         use_hat = jax.default_backend() != "cpu"
     dtype = spectra.dtype
