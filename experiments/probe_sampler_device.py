@@ -102,6 +102,18 @@ def main():
         return jax.vmap(one)(ks)
     t_draw = bench(draw, lambda s: (keys_of(s),), "draw", slots)
 
+    # ---- draw_alias: the O(1) Walker-alias replacement (round 4) -------
+    def draw_alias(ks):
+        def one(key):
+            k0, k1, k2, k3 = jax.random.split(key, 4)
+            n = jax.random.poisson(k0, lam_dev)
+            cidx, sidx = smp._alias_cell_species_draw(cell, k1, k2, k3,
+                                                      n_cap, dtype)
+            return cidx, sidx, n
+        return jax.vmap(one)(ks)
+    if "grp_prob" in cell:
+        t_draw_a = bench(draw_alias, lambda s: (keys_of(s),), "draw_a", slots)
+
     # ---- gather: the combined per-slot row gather ----------------------
     gkeys = smp._pre_fields(cfg) + smp._LAB_FIELDS
     packed_rows = jnp.stack([cell[k].astype(dtype) for k in gkeys], axis=1)

@@ -140,6 +140,11 @@ class Config:
                                 # the forward-only production path keeps the
                                 # exact compiled artifact the bit-parity
                                 # suite pins
+    sampler_alias: int = 1      # O(1) Walker-alias categorical draws for
+                                # the sampler's (cell, species) assignment
+                                # (kernels/sample._alias_build); 0 restores
+                                # the binary-search draws (identical
+                                # distribution, different random streams)
     sampler_pack: str = "auto"  # sampled-hadron device->host transfer
                                 # precision: "f16" halves the D2H bytes of
                                 # the bottleneck link (<= 2^-11 relative

@@ -74,6 +74,134 @@ def pion_thermal_weight_max(x):
 
 
 # ======================================================================
+# Alias tables: O(1) categorical draws (Walker's method)
+# ======================================================================
+# Round-4 device-rate work: the sampler's phase-B budget is DOMINATED by
+# the categorical machinery (probe_sampler_device: draw = 1.26 s of a
+# 1.61 s event batch) because every slot pays a 17-round binary search
+# over the cell CDF plus a 9-round binary search over its species row --
+# each round a data-dependent scalar gather, and TPU gathers run near
+# scalar speed.  Alias tables replace both searches with ONE 8-byte
+# gather per draw.  Construction is exact (Walker/Vose), fully
+# vectorized across rows, and runs on device inside phase A -- no host
+# round-trip (an 80 MB (C, S) pull would cost ~3 s on the tunneled rig).
+
+_CELL_BLOCK = 512     # cells per block of the 2-level cell alias
+
+
+def _alias_build(weights):
+    """Walker alias tables for R independent categorical distributions.
+
+    weights: (R, K) nonnegative.  Returns (prob (R, K), alias (R, K)
+    int32) such that  b = floor(u K); b if frac(u K) < prob[b] else
+    alias[b]  is exactly Categorical(weights / sum(weights)) up to fp
+    rounding of the table entries.  Rows with zero total weight get a
+    uniform table (callers only reach them with zero marginal weight).
+
+    Vectorized two-pointer construction on the descending sort: each of
+    the K fori steps finalizes EXACTLY one slot per row -- the current
+    donor i when it has dropped below 1 (its residual becomes a small
+    whose deficit the next donor absorbs), else the smallest untouched
+    entry j against donor i.  The i/j gap shrinks by one per step, so
+    all rows complete in exactly K steps; no row-divergent control flow
+    survives into the compiled loop."""
+    R, K = weights.shape
+    dtype = weights.dtype
+    W = jnp.sum(weights, axis=1, keepdims=True)
+    safe = jnp.where(W > 0.0, W, 1.0)
+    q0 = jnp.where(W > 0.0, weights * (jnp.asarray(K, dtype) / safe),
+                   jnp.ones_like(weights))
+    order = jnp.argsort(-q0, axis=1)                  # descending, stable
+    qs0 = jnp.take_along_axis(q0, order, 1)
+    rows = jnp.arange(R)
+
+    def body(_, st):
+        qs, prob, alias, i, j = st
+        qi = qs[rows, i]
+        last = i == j
+        small_i = (qi < 1.0) & ~last
+        ip1 = jnp.minimum(i + 1, K - 1)
+        qj = qs[rows, j]
+
+        pos = jnp.where(last | small_i, i, j)
+        prob_val = jnp.where(last, jnp.ones((), dtype),
+                             jnp.clip(jnp.where(small_i, qi, qj), 0.0, 1.0))
+        # alias stores ORIGINAL indices: the next donor for a depleted
+        # donor, the current donor for a small, itself on the last slot
+        alias_pos = jnp.where(last, i, jnp.where(small_i, ip1, i))
+        alias_val = order[rows, alias_pos].astype(jnp.int32)
+
+        upd_idx = jnp.where(small_i, ip1, i)
+        upd_val = jnp.where(small_i, qs[rows, ip1] - (1.0 - qi),
+                            jnp.where(last, qi, qi - (1.0 - qj)))
+        qs = qs.at[rows, upd_idx].set(upd_val)
+        prob = prob.at[rows, pos].set(prob_val)
+        alias = alias.at[rows, pos].set(alias_val)
+        i = jnp.where(small_i | last, i + 1, i)
+        j = jnp.where(small_i | last, j, j - 1)
+        return qs, prob, alias, i, j
+
+    # integer carries seeded from shard-VARYING data (a cast of 0 * qs0,
+    # which the float carries prove is tracked as varying) so the fori
+    # carry types match under shard_map as well as plain jit -- the same
+    # pattern as the rejection while_loop's carry below
+    vz = (0.0 * qs0).astype(jnp.int32)
+    st0 = (qs0, jnp.ones_like(qs0), vz,
+           vz[:, 0], vz[:, 0] + jnp.int32(K - 1))
+    _, prob_s, alias_s, _, _ = lax.fori_loop(0, K, body, st0)
+    # sorted space -> original slots (order[r, pos] = original index)
+    prob = jnp.ones_like(prob_s).at[rows[:, None], order].set(prob_s)
+    alias = jnp.zeros_like(alias_s).at[rows[:, None], order].set(alias_s)
+    return prob, alias
+
+
+def _alias_pick(prob, alias, row_idx, u):
+    """One alias draw per query: u in [0,1) -> column index of row_idx."""
+    K = prob.shape[1]
+    x = u * K
+    b = jnp.minimum(x.astype(jnp.int32), K - 1)
+    f = x - b.astype(x.dtype)
+    return jnp.where(f < prob[row_idx, b], b, alias[row_idx, b])
+
+
+def _build_alias_tables(dn_list, dn_tot):
+    """Phase-A alias tables: 2-level cell draw (block of _CELL_BLOCK cells
+    per row keeps the construction loop short and the top table tiny) and
+    the per-cell species draw."""
+    C = dn_tot.shape[0]
+    CB = min(_CELL_BLOCK, _next_pow2_int(C))
+    G = -(-C // CB)
+    pad = G * CB - C
+    blocks = jnp.concatenate(
+        [dn_tot, jnp.zeros((pad,), dn_tot.dtype)]).reshape(G, CB)
+    grp_prob, grp_alias = _alias_build(jnp.sum(blocks, axis=1)[None])
+    blk_prob, blk_alias = _alias_build(blocks)
+    sp_prob, sp_alias = _alias_build(dn_list)
+    return dict(grp_prob=grp_prob, grp_alias=grp_alias,
+                blk_prob=blk_prob, blk_alias=blk_alias,
+                sp_prob=sp_prob, sp_alias=sp_alias)
+
+
+def _next_pow2_int(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
+
+
+def _alias_cell_species_draw(cell, k_grp, k_blk, k_sp, n_cap, dtype):
+    """(cidx, sidx) for every slot via three O(1) alias picks."""
+    CB = cell["blk_prob"].shape[1]
+    C = cell["dn_tot"].shape[0]
+    u1 = jax.random.uniform(k_grp, (n_cap,), dtype=dtype)
+    g = _alias_pick(cell["grp_prob"], cell["grp_alias"],
+                    jnp.zeros((n_cap,), jnp.int32), u1)
+    u2 = jax.random.uniform(k_blk, (n_cap,), dtype=dtype)
+    within = _alias_pick(cell["blk_prob"], cell["blk_alias"], g, u2)
+    cidx = jnp.minimum(g * CB + within, C - 1)
+    u3 = jax.random.uniform(k_sp, (n_cap,), dtype=dtype)
+    sidx = _alias_pick(cell["sp_prob"], cell["sp_alias"], cidx, u3)
+    return cidx, sidx
+
+
+# ======================================================================
 # Phase A: per-cell data
 # ======================================================================
 
@@ -316,6 +444,8 @@ def _cell_data_jit(cols, species: SpeciesArrays, df_data: DeltafData,
         dn_tot=dn_tot, cum_dn=jnp.cumsum(dn_tot),
         mean_cell=mean_cell,
     )
+    if cfg.sampler_alias:
+        out.update(_build_alias_tables(dn_list, dn_tot))
     # per-cell df coefficients needed by the hadron-level viscous weight
     for name in ("c0", "c1", "c2", "c3", "c4", "shear14", "F", "G",
                  "betabulk", "betaV", "betapi", "delta_lambda", "delta_z"):
@@ -396,7 +526,7 @@ def _vah_cell_data_jit(cols, species: SpeciesArrays, laguerre, cfg: Config):
     mean_cell = jnp.where(valid, udsigma * jnp.sum(dn_list, axis=1) * 0.5,
                           0.0)
 
-    return dict(
+    out = dict(
         tau=tau, x=c["x"], y=c["y"], eta=c["eta"],
         Lambda=c["Lambda"], aL=c["aL"], bulkPi=c["bulkPi"],
         c0=c["c0"], c1=c["c1"], c2=c["c2"], c3=c["c3"], c4=c["c4"],
@@ -409,6 +539,9 @@ def _vah_cell_data_jit(cols, species: SpeciesArrays, laguerre, cfg: Config):
         rowcum=jnp.cumsum(dn_list, axis=1),
         dn_tot=dn_tot, cum_dn=jnp.cumsum(dn_tot), mean_cell=mean_cell,
     )
+    if cfg.sampler_alias:
+        out.update(_build_alias_tables(dn_list, dn_tot))
+    return out
 
 
 def _vah_sampler_cols(surface, cfg):
@@ -653,19 +786,28 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
     n = jax.random.poisson(ks[0], lam)
     slot = jnp.arange(n_cap) < n
 
-    # cell assignment ~ Categorical(dn_tot / lam) via inverse CDF
-    u_cell = jax.random.uniform(ks[1], (n_cap,), dtype=dtype) * lam
-    cidx = jnp.clip(jnp.searchsorted(cell["cum_dn"], u_cell, side="right"),
-                    0, cell["cum_dn"].shape[0] - 1)
+    if cfg.sampler_alias:
+        # O(1) alias draws: the binary-search formulation below costs
+        # 17 + 9 data-dependent scalar-gather rounds per slot and was the
+        # dominant device phase (probe_sampler_device, round 4)
+        cidx, sidx = _alias_cell_species_draw(cell, ks[1], ks[5], ks[2],
+                                              n_cap, dtype)
+    else:
+        # cell assignment ~ Categorical(dn_tot / lam) via inverse CDF
+        u_cell = jax.random.uniform(ks[1], (n_cap,), dtype=dtype) * lam
+        cidx = jnp.clip(
+            jnp.searchsorted(cell["cum_dn"], u_cell, side="right"),
+            0, cell["cum_dn"].shape[0] - 1)
 
-    # species assignment ~ Categorical(dn_list[cell]) via binary search in
-    # the cell's cumulative row: sidx = first s with rowcum[c, s] >= v,
-    # identical to counting (cum < u_s) over a gathered row but using
-    # ceil(log2 S) scalar gathers per slot instead of an (n_cap, S) block
-    S = species.n_species
-    v = (jax.random.uniform(ks[2], (n_cap,), dtype=dtype)
-         * cell["rowcum"][cidx, S - 1])
-    sidx = _row_categorical(cell["rowcum"], cidx, v)
+        # species assignment ~ Categorical(dn_list[cell]) via binary
+        # search in the cell's cumulative row: sidx = first s with
+        # rowcum[c, s] >= v, identical to counting (cum < u_s) over a
+        # gathered row but using ceil(log2 S) scalar gathers per slot
+        # instead of an (n_cap, S) block
+        S = species.n_species
+        v = (jax.random.uniform(ks[2], (n_cap,), dtype=dtype)
+             * cell["rowcum"][cidx, S - 1])
+        sidx = _row_categorical(cell["rowcum"], cidx, v)
 
     # one contiguous row gather for the per-cell scalars, pruned per df_mode:
     # separate (C,) gathers cost one index resolution each on TPU; the stack

@@ -140,19 +140,14 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     for k in ("dat", "dan", "dax", "day"):
         c[k] = c[k] * mask
 
-    # fold the per-cell shear df coefficient into the pi columns BEFORE the
-    # composites are built, so pipp arrives as the df shear term directly
-    # and the full-rank cb(coef) * pipp multiply disappears (same algebra
-    # at per-cell rank; the df chain below consumes pipp pre-scaled).
-    # Mode 1: 0.5/(2T^2(E+P))-> pi; mode 2: 0.5/(betapi T) with the 1/(u.p)
-    # factor still applied per point (SURVEY Appendix B).
-    if shear_on:
-        df0 = c["df"]
-        shear_coef = (0.5 / (c["T"] ** 2 * (c["E"] + c["P"]))
-                      if cfg.df_mode == 1 else 0.5 / (df0.betapi * c["T"]))
-        for k in ("pitt", "pitx", "pity", "pitn", "pixx", "pixy", "pixn",
-                  "piyy", "piyn", "pinn"):
-            c[k] = c[k] * shear_coef
+    # NOTE (round 4, negative result): folding the per-cell shear df
+    # coefficient into the pi columns (removing the full-rank
+    # cb(coef) * pipp multiply) was tried and MEASURED: paired
+    # same-session headline runs lost 2.7% (83.6 vs 86.0 Geval/s), and
+    # the dN/dX df1 delta (+3%) sat inside the rig's session noise
+    # (identical-code df3 drew 59.4 vs 62.1 across adjacent runs).  XLA
+    # evidently already places the scalar multiply optimally; keep the
+    # simpler unfolded chain.  docs/PERF.md "dN/dX df1" entry.
 
     W1 = c["dax"][:, None] * pxf[None] + c["day"][:, None] * pyf[None]
     W2 = c["ux"][:, None] * pxf[None] + c["uy"][:, None] * pyf[None]
@@ -219,8 +214,8 @@ def _chunk_contribution(c: dict, valid, species: SpeciesArrays,
     feqbar = 1.0 - sign_b * feq
 
     df = _linear_df_flat(cfg, c["df"], c, pdotu, pipp, Vp, mass2_b, baryon_b,
-                         feqbar, pipp_prescaled=True)
-    # feq * (1 + df) written as one full-rank fma
+                         feqbar)
+    # feq * (1 + df) written as one full-rank fma (+4% measured, round 4)
     f = feq if df is None else feq * df + feq
 
     if cfg.outflow:
@@ -353,26 +348,20 @@ def df_switches(cfg: Config) -> tuple[bool, bool, bool]:
 
 
 def _linear_df_flat(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b,
-                    feqbar, pipp_prescaled: bool = False):
+                    feqbar):
     """Linear viscous correction, df modes 1 (Grad 14-moment) and
     2 (Chapman-Enskog), with (C, R, S, M) block broadcasting (reference:
     emissionfunction_smooth_kernels.cpp:214-242, 299-326; formulas
     documented in SURVEY Appendix B).  pipp/Vp are None when the shear /
     diffusion switches are off (df_switches); those terms drop out of the
-    compiled chain entirely.  Returns None when every term is off.
-
-    pipp_prescaled: the caller folded the per-cell shear coefficient into
-    the pi columns (so pipp already IS the mode-1 shear term / the mode-2
-    numerator), removing a full-rank multiply -- _chunk_contribution does
-    this; passing raw pipp keeps the historical chain."""
+    compiled chain entirely.  Returns None when every term is off."""
     cb = lambda x: x[:, None, None, None]
     shear_on, bulk_on, diff_on = df_switches(cfg)
     terms = []
 
     if cfg.df_mode == 1:
         if shear_on:
-            terms.append(pipp if pipp_prescaled else
-                         cb(0.5 / (c["T"] ** 2 * (c["E"] + c["P"]))) * pipp)
+            terms.append(cb(0.5 / (c["T"] ** 2 * (c["E"] + c["P"]))) * pipp)
         if bulk_on:
             # bulkPi folded into the hoisted per-cell / per-(cell, species)
             # coefficients instead of a full-rank multiply per point
@@ -400,8 +389,7 @@ def _linear_df_flat(cfg: Config, df, c, pdotu, pipp, Vp, mass2_b, baryon_b,
         r_term = p_term = c_term = None
         acc = lambda a, b: b if a is None else a + b
         if shear_on:
-            r_term = (pipp if pipp_prescaled else
-                      cb(0.5 / (df.betapi * c["T"])) * pipp)
+            r_term = cb(0.5 / (df.betapi * c["T"])) * pipp
         if bulk_on:
             bulkPi = c["bulkPi"]
             inv_bb = 1.0 / df.betabulk

@@ -381,6 +381,70 @@ def test_exact_yields_chunked_equals_block(smash_table, df_data):
                                    rtol=1e-14)
 
 
+def test_alias_tables_reconstruct_pmf_exactly():
+    """_alias_build's (prob, alias) tables realize EXACTLY the input
+    categorical: P(v) = (prob[v] + sum_b (1 - prob[b]) [alias[b] = v]) / K
+    must equal w_v / W to fp roundoff, for adversarial rows -- zeros
+    (masked species), one dominant entry, uniform ties, K = 1."""
+    import jax.numpy as jnp
+    from is3d_tpu.kernels.sample import _alias_build
+
+    rng = np.random.default_rng(7)
+    rows = [
+        rng.random(320),
+        np.where(rng.random(320) < 0.5, 0.0, rng.random(320)),  # zeros
+        np.concatenate([[1e6], rng.random(319) * 1e-6]),        # dominant
+        np.ones(320),                                           # ties
+        np.concatenate([np.zeros(200), rng.random(120)]),
+    ]
+    w = np.stack(rows)
+    prob, alias = _alias_build(jnp.asarray(w, jnp.float64))
+    prob, alias = np.asarray(prob), np.asarray(alias)
+    K = w.shape[1]
+    for r in range(w.shape[0]):
+        got = prob[r].copy()
+        np.add.at(got, alias[r], 1.0 - prob[r])
+        np.testing.assert_allclose(got / K, w[r] / w[r].sum(),
+                                   rtol=1e-12, atol=1e-15, err_msg=str(r))
+        assert (prob[r] >= 0).all() and (prob[r] <= 1).all()
+        # zero-weight entries are never produced: own prob 0, no inbound
+        zero = w[r] == 0.0
+        assert (prob[r][zero] == 0.0).all()
+        assert not np.isin(alias[r][prob[r] < 1.0], np.nonzero(zero)[0]).any()
+
+    # K = 1 and the all-zero row (uniform fallback; marginal weight 0)
+    p1, a1 = _alias_build(jnp.asarray([[3.0]], jnp.float64))
+    assert float(p1[0, 0]) == 1.0 and int(a1[0, 0]) == 0
+    p0, a0 = _alias_build(jnp.zeros((1, 8), jnp.float64))
+    assert np.isfinite(np.asarray(p0)).all()
+
+
+def test_alias_sampler_matches_binary_search_statistically(smash_table,
+                                                           df_data):
+    """The alias draw (sampler_alias=1, default) and the binary-search
+    draw (=0) realize the same (cell, species) distribution: compare
+    per-species yields over many events."""
+    surf = small_surface(n=16, seed=3)
+    sp = species_with_densities(smash_table, 0.155)
+    base = Config(operation=2, dimension=2, df_mode=2,
+                  include_shear_deltaf=1, include_bulk_deltaf=1,
+                  regulate_deltaf=1, outflow=1, sampler_seed=11)
+    nev = 400
+    counts = {}
+    for flag in (0, 1):
+        ev = sample_particles(surf, sp, MCIDS, None, df_data,
+                              base.replace(sampler_alias=flag), PLASMA,
+                              nevents=nev)
+        mc = np.concatenate([e["mcid"] for e in ev])
+        counts[flag] = np.array([(mc == m).sum() for m in MCIDS], float)
+    tot0, tot1 = counts[0].sum(), counts[1].sum()
+    sigma = np.sqrt(counts[0] + counts[1] + 1.0)
+    diff = np.abs(counts[0] - counts[1])
+    assert tot0 > 0 and abs(tot0 - tot1) < 5 * np.sqrt(tot0 + tot1)
+    assert (diff < 5 * sigma + 0.02 * (counts[0] + counts[1])).all(), (
+        counts[0], counts[1])
+
+
 def test_event_partition_union_byte_identical(smash_table, df_data):
     """The union of (k, n) event-partition slices equals the full run
     event for event, byte for byte -- the exactness contract the pod
