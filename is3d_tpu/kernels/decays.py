@@ -616,16 +616,52 @@ def _wave_bucket(dimension: int) -> int:
     return 256 if dimension == 2 else 32
 
 
+def _wave_shape_plan(parent_rows, parent_tasks2, parent_tasks3, level,
+                     dimension: int, bucket=None):
+    """(U_pad, B2, B3): ONE static shape for every wave's dispatches,
+    derived from the schedule alone (never from the spectra).  With the
+    parent stack padded to the max wave width and fixed bucket widths
+    per task type, all waves share a single compiled program per task
+    type -- the per-wave shape specialization was the dominant
+    machine-cold compile cost (each of ~24 bucket shapes compiled its
+    own program)."""
+    n_waves = int(level.max()) + 1 if len(parent_rows) else 0
+    u_max = n2_max = n3_max = 1
+    for w in range(n_waves):
+        idx = np.nonzero(level == w)[0]
+        # distinct (parent, adjusted-mass) slots; conservative upper
+        # bound = tasks' distinct (i, M) pairs (skipped all-zero parents
+        # at runtime only SHRINK the actual count -- shapes stay valid)
+        slots = set()
+        n2 = n3 = 0
+        for i in idx:
+            for t in parent_tasks2[i]:
+                slots.add((int(i), float(t[6])))
+            for t in parent_tasks3[i]:
+                slots.add((int(i), float(t[4])))
+            n2 += len(parent_tasks2[i])
+            n3 += len(parent_tasks3[i])
+        u_max = max(u_max, len(slots))
+        n2_max = max(n2_max, n2)
+        n3_max = max(n3_max, n3)
+    cap = bucket or _wave_bucket(dimension)
+    return (_next_pow2(u_max), min(cap, _next_pow2(n2_max)),
+            min(cap, _next_pow2(n3_max)))
+
+
 def _run_wave(tasks2, tasks3, parents, pT, phi, y_grid, dimension, n_seg,
-              dtype, use_hat):
+              dtype, use_hat, shape_plan=None):
     """Dispatch one wave.  parents: list of (logdN, tc, ts) host arrays;
     tasks reference parents by slot index.
 
     tasks2: (seg, pref, parent_slot, MT_grid, m2, Estar, pstar, M)
     tasks3: (seg, pref, parent_slot, MT_grid, m2, M, s_minus, s_plus, d)
+    shape_plan: (U_pad, B2, B3) from _wave_shape_plan -- uniform shapes
+    across waves so every wave hits the same compiled programs.
     Returns the (n_seg, P, F, Y) feed-down of this wave (numpy float64).
     """
-    U = _next_pow2(len(parents))
+    U = (shape_plan[0] if shape_plan is not None
+         else _next_pow2(len(parents)))
     logdN = np.stack([p[0] for p in parents]
                      + [np.full_like(parents[0][0], -745.0)] * (U - len(parents)))
     tc = np.stack([p[1] for p in parents]
@@ -639,9 +675,13 @@ def _run_wave(tasks2, tasks3, parents, pT, phi, y_grid, dimension, n_seg,
 
     total = np.zeros((n_seg,) + parents[0][0].shape, dtype=np.float64)
 
-    for tasks, fn, scal in (
-            (tasks2, _two_body_wave, 4), (tasks3, _three_body_wave, 5)):
-        B = min(_wave_bucket(dimension), _next_pow2(max(1, len(tasks))))
+    for tasks, fn, scal, Bfix in (
+            (tasks2, _two_body_wave, 4,
+             None if shape_plan is None else shape_plan[1]),
+            (tasks3, _three_body_wave, 5,
+             None if shape_plan is None else shape_plan[2])):
+        B = (Bfix if Bfix is not None
+             else min(_wave_bucket(dimension), _next_pow2(max(1, len(tasks)))))
         for lo in range(0, len(tasks), B):
             chunk = tasks[lo:lo + B]
             full = chunk + [chunk[0][:1] + (0.0,) + chunk[0][2:]] * (B - len(chunk))
@@ -718,6 +758,8 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
 
     parent_rows, parent_tasks2, parent_tasks3, level = _decay_schedule(
         table, mcids, pT, cfg.lightest_particle, sequential)
+    plan = _wave_shape_plan(parent_rows, parent_tasks2, parent_tasks3,
+                            level, dimension)
 
     # ---- phase 2: one batched dispatch per wave x topology-bucket
     n_waves = int(level.max()) + 1 if len(parent_rows) else 0
@@ -753,7 +795,7 @@ def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
             continue
         n_channels_done += len(wtasks2) + len(wtasks3)
         spectra += _run_wave(wtasks2, wtasks3, wave_parents, pT, phi, y_grid,
-                             dimension, S, dtype, use_hat)
+                             dimension, S, dtype, use_hat, shape_plan=plan)
 
     print(f"Resonance decays: {n_channels_done} channel-contributions added"
           f" in {n_waves} waves")
@@ -911,7 +953,7 @@ def _q_factor(M, m1, m2, m3):
 
 def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
                      n_seg, use_hat, remat: bool = False,
-                     bucket: int | None = None):
+                     bucket: int | None = None, shape_plan=None):
     """jnp twin of _run_wave: identical task batching and the SAME wave
     kernels, but parents are traced arrays and the total stays on device
     so reverse-mode AD flows through the whole wave.
@@ -924,7 +966,8 @@ def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
     each scan body.  Together these took the production-scale reverse
     pass from 39 GB (round 3, OOM) to fitting one 16 GB chip."""
     dtype = parents[0][0].dtype
-    U = _next_pow2(len(parents))
+    U = (shape_plan[0] if shape_plan is not None
+         else _next_pow2(len(parents)))
     pad0 = jnp.full_like(parents[0][0], -745.0)
     pad1 = jnp.full_like(parents[0][1], -745.0)
     pad2 = jnp.zeros_like(parents[0][2])
@@ -938,12 +981,18 @@ def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
     # scan carry -- unlike the former Python-loop `+` -- cannot broadcast up
     n_y_out = 1 if dimension == 2 else y_grid.shape[0]
     total = jnp.zeros((n_seg, pT.shape[0], phi.shape[0], n_y_out), dtype)
-    for tasks, fn, scal in (
-            (tasks2, _two_body_wave, 4), (tasks3, _three_body_wave, 5)):
+    for tasks, fn, scal, Bfix in (
+            (tasks2, _two_body_wave, 4,
+             None if shape_plan is None else shape_plan[1]),
+            (tasks3, _three_body_wave, 5,
+             None if shape_plan is None else shape_plan[2])):
         if not tasks:
             continue
-        B = min(bucket or _wave_bucket(dimension),
-                _next_pow2(max(1, len(tasks))))
+        # the shape plan (built with the caller's bucket cap) wins; the
+        # legacy per-wave sizing remains for plan-less direct callers
+        B = (Bfix if Bfix is not None
+             else min(bucket or _wave_bucket(dimension),
+                      _next_pow2(max(1, len(tasks)))))
         # buckets ride a lax.scan (NOT an unrolled Python loop): scan's
         # backward is sequential by construction, so the reverse pass
         # holds ONE bucket's recompute temps at a time.  The unrolled
@@ -1010,6 +1059,8 @@ def resonance_feed_down_traced(spectra, table, mcids, grid, cfg,
     pT_np = np.asarray(grid.pT, dtype=np.float64)
     parent_rows, parent_tasks2, parent_tasks3, level = _decay_schedule(
         table, mcids, pT_np, cfg.lightest_particle)
+    plan = _wave_shape_plan(parent_rows, parent_tasks2, parent_tasks3,
+                            level, int(cfg.dimension), bucket=bucket)
 
     pT = jnp.asarray(grid.pT, dtype)
     phi = jnp.asarray(grid.phi, dtype)
@@ -1047,7 +1098,8 @@ def resonance_feed_down_traced(spectra, table, mcids, grid, cfg,
                 return jnp.zeros_like(sp)
             return _run_wave_traced(wtasks2, wtasks3, wave_parents, pT,
                                     phi, y_grid, dimension, S, use_hat,
-                                    remat=remat, bucket=bucket)
+                                    remat=remat, bucket=bucket,
+                                    shape_plan=plan)
 
         if remat:
             wave_fn = jax.checkpoint(wave_fn)
