@@ -128,6 +128,19 @@ def main():
         return jax.vmap(one)(ks)
     t_gather = bench(gather, lambda s: (keys_of(s),), "gather", slots)
 
+    # ---- gather_sorted: same row gather with SORTED indices ------------
+    # (tests whether TPU gather cost is locality-sensitive: if sorted
+    # indices are much faster, a sort+unsort pipeline could pay)
+    def gather_sorted(ks):
+        def one(key):
+            u = jax.random.uniform(key, (n_cap,), dtype=dtype) * lam_dev
+            cidx = jnp.clip(jnp.searchsorted(cell["cum_dn"], u, side="right"),
+                            0, cell["cum_dn"].shape[0] - 1)
+            cidx = jnp.sort(cidx)
+            return jnp.sum(packed_rows[cidx], axis=0)
+        return jax.vmap(one)(ks)
+    bench(gather_sorted, lambda s: (keys_of(s),), "gat_srt", slots)
+
     # ---- reject: the batched-proposal while_loop -----------------------
     mass_all = species.mass
     def reject(ks):
