@@ -435,7 +435,8 @@ def _chunk_contribution_feqmod(c, valid, species: SpeciesArrays,
         else:
             if cfg.regulate_deltaf:
                 out_df = jnp.clip(out_df, -1.0, 1.0)
-            f_fallback = feq * (1.0 + out_df)
+            # one full-rank fma (same +4% pattern as the linear kernel)
+            f_fallback = feq * out_df + feq
 
     # ---- feqmod branch (momentum transform at scaled rapidity) -----------
     # p_LRF = mT (alpha ch + beta sh) + gamma with per-cell alpha =
