@@ -326,14 +326,15 @@ class IS3D:
             # sample_dN_pTdpTdphidy_VAH_PL is a stub,
             # sampling_kernels.cpp:1231-1239)
             pod = self._pod()
-            if pod and cfg.test_sampler:
-                raise ValueError(
-                    "test_sampler=1 (validation histograms) is a "
-                    "single-process harness; run it without jax.distributed "
-                    "(pod sampling itself is supported)")
             from .kernels.sample import sample_particles, calculate_total_yield
             part = ((jax.process_index(), jax.process_count()) if pod
                     else None)
+            if pod and want_files:
+                # fail fast BEFORE the sampling run: both the OSCAR
+                # part-file merge and the test_sampler histogram gather
+                # need results_dir on a filesystem every process sees
+                self._check_pod_shared_fs()
+            sample_info = {}
             with timer.phase("sampler"):
                 # pod mode: disjoint contiguous GLOBAL event ranges per
                 # process (sampling is share-nothing over events -- the
@@ -346,7 +347,8 @@ class IS3D:
                 result.events = sample_particles(
                     self.surface, species, np.asarray(mcids), grid, df_data,
                     cfg, plasma, particle_table,
-                    mesh=None if pod else self.mesh, event_partition=part)
+                    mesh=None if pod else self.mesh, event_partition=part,
+                    info=sample_info)
             if cfg.do_resonance_decays and not cfg.test_sampler:
                 # event-level MC decay cascade (kernels/mc_decays.py) -- the
                 # sampled twin of the smooth feed-down on operation 1.  The
@@ -357,20 +359,38 @@ class IS3D:
                 from .kernels.mc_decays import decay_events, derive_decay_seed
                 from .kernels.sample import _resolve_seed
                 with timer.phase("MC resonance decays"):
-                    # NOT the sampler's seed itself: the cascade's per-pass
-                    # fold_in(key(seed), i) would alias the sampler's
-                    # per-event Threefry streams.  In a pod each process
-                    # decays its own slice under a lane-derived seed (the
-                    # cascade keys by position in the concatenated hadron
-                    # array, so slices cannot share the lane-0 stream);
-                    # decayed pod events are statistically exact, not
-                    # byte-identical to the 1-process run.
+                    # NOT the sampler's seed itself: the cascade's lineage
+                    # fold_in over the global event index would alias the
+                    # sampler's per-event Threefry streams.  ONE shared
+                    # decay seed serves every pod process: lineage keys
+                    # are (global event, in-event ordinal, decay path), so
+                    # the merged pod events are BYTE-identical to the
+                    # single-process run -- event_offset carries each
+                    # slice's global start into the keying.
                     result.events = decay_events(
                         result.events, particle_table, cfg,
-                        seed=derive_decay_seed(
-                            _resolve_seed(None, cfg),
-                            lane=jax.process_index() if pod else 0))
-            if pod and want_files and not cfg.test_sampler:
+                        seed=derive_decay_seed(_resolve_seed(None, cfg)),
+                        event_offset=sample_info.get("event_lo", 0))
+            if pod and want_files and cfg.test_sampler:
+                # pod validation histograms (round-5): gather every
+                # process's event slice to process 0 (the merged list is
+                # byte-identical to a single-process run's by the global
+                # event-stream keying), bin it as ONE list, write -- the
+                # written histograms byte-equal the single-process run's.
+                os.makedirs(self.results_dir, exist_ok=True)
+                events_global = self._gather_pod_events(result.events)
+                if jax.process_index() == 0:
+                    from .histograms import (sampler_test_histograms,
+                                             write_sampler_test)
+                    mean_yield = calculate_total_yield(
+                        self.surface, species, df_data, cfg, plasma)
+                    hist = sampler_test_histograms(events_global, mcids,
+                                                   cfg, mean_yield)
+                    write_sampler_test(hist, mcids, self.results_dir)
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(
+                    "is3d_pod_test_sampler_written")
+            elif pod and want_files:
                 # all processes participate (part write + barrier + merge)
                 os.makedirs(self.results_dir, exist_ok=True)
                 self._write_pod_oscar(result.events)
@@ -392,6 +412,78 @@ class IS3D:
             raise ValueError(f"operation must be 0, 1 or 2, got {cfg.operation}")
 
         return result
+
+    def _check_pod_shared_fs(self):
+        """Pod-mode sampling with file output requires results_dir on a
+        SHARED filesystem (process 0 merges every process's part file,
+        docs/MULTIHOST.md).  Probe it with a marker file before the
+        sampling run: process 0 writes, everyone checks, and the verdicts
+        are allgathered so every process raises together instead of
+        process 1..n-1 discovering a FileNotFoundError only at the
+        post-sampling merge barrier."""
+        from jax.experimental import multihost_utils
+        marker = os.path.join(self.results_dir, ".is3d_pod_fs_probe")
+        if jax.process_index() == 0:
+            os.makedirs(self.results_dir, exist_ok=True)
+            with open(marker, "w") as f:
+                f.write(str(jax.process_count()))
+        multihost_utils.sync_global_devices("is3d_pod_fs_probe_written")
+        ok = os.path.exists(marker)
+        all_ok = multihost_utils.process_allgather(
+            np.asarray([ok], dtype=bool))
+        multihost_utils.sync_global_devices("is3d_pod_fs_probe_checked")
+        if jax.process_index() == 0 and os.path.exists(marker):
+            os.remove(marker)
+        if not bool(np.all(all_ok)):
+            bad = [i for i, v in enumerate(np.ravel(all_ok)) if not v]
+            raise RuntimeError(
+                f"pod sampling with write_files: results_dir "
+                f"'{self.results_dir}' is not visible to process(es) {bad} "
+                "-- the part-file merge requires a shared filesystem.  "
+                "Point results_dir at shared storage, or run with "
+                "write_files=False and write each process's event slice "
+                "yourself (docs/MULTIHOST.md, 'Shared filesystem "
+                "requirement').")
+
+    def _gather_pod_events(self, events_local):
+        """Gather per-process event slices to process 0 through npz part
+        files on the shared results_dir (slices are contiguous in process
+        order, so concatenation in process order IS the global event
+        list).  Returns the global list on process 0, None elsewhere."""
+        from jax.experimental import multihost_utils
+        from .kernels.sample import EVENT_FIELDS
+        p, n_proc = jax.process_index(), jax.process_count()
+        part = os.path.join(self.results_dir,
+                            f".test_sampler_part{p}of{n_proc}.npz")
+        counts = np.asarray([len(e["mcid"]) for e in events_local],
+                            dtype=np.int64)
+        flat = {k: (np.concatenate([np.asarray(e[k]) for e in events_local])
+                    if events_local else
+                    np.zeros(0, np.int64 if k == "mcid" else np.float64))
+                for k in EVENT_FIELDS}
+        np.savez(part, counts=counts, **flat)
+        multihost_utils.sync_global_devices("is3d_pod_gather_parts")
+        events = None
+        if p == 0:
+            events = []
+            for k in range(n_proc):
+                f = os.path.join(self.results_dir,
+                                 f".test_sampler_part{k}of{n_proc}.npz")
+                if not os.path.exists(f):
+                    raise FileNotFoundError(
+                        f"pod event gather: missing part file {f} after the "
+                        "write barrier -- a process failed to write its "
+                        "event slice")
+                with np.load(f) as z:
+                    offs = np.concatenate([[0], np.cumsum(z["counts"])])
+                    cols = {key: z[key] for key in EVENT_FIELDS}
+                    for e in range(len(z["counts"])):
+                        lo, hi = int(offs[e]), int(offs[e + 1])
+                        events.append({key: cols[key][lo:hi]
+                                       for key in EVENT_FIELDS})
+        multihost_utils.sync_global_devices("is3d_pod_gather_read")
+        os.remove(part)
+        return events
 
     def _write_pod_oscar(self, events_local):
         """Pod-mode particle-list write: every process writes its event
@@ -424,10 +516,13 @@ class IS3D:
                     "the write barrier -- a process failed to write its "
                     "event slice")
             tmp = out + ".tmp"
+            import shutil
             with open(tmp, "wb") as fo:
                 for f in parts:
+                    # stream, don't slurp: production event lists can be
+                    # multi-GB per process (advisor round 4)
                     with open(f, "rb") as fi:
-                        fo.write(fi.read())
+                        shutil.copyfileobj(fi, fo, 1 << 22)
             os.replace(tmp, out)
             for f in parts:
                 os.remove(f)

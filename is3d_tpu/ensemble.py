@@ -98,11 +98,19 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
     # mesh sharding changes the per-batch random stream (per-shard key
     # folding), so it is pinned like the other stream parameters
     mesh_shards = 0 if mesh is None else int(mesh.shape[cfg.mesh_axis])
+    # stream-identity tags: the sampler draw path (alias tables vs binary
+    # search consume different Threefry substreams) and the MC-decay keying
+    # scheme are both part of "which bytes does batch i produce"; a resumed
+    # run must refuse on a mismatch exactly like a changed base_seed would
+    from .kernels.mc_decays import DECAY_STREAM_VERSION
+    sampler_alias = int(getattr(cfg, "sampler_alias", 0))
+    decay_stream = DECAY_STREAM_VERSION if do_decays else 0
     manifest = {"base_seed": base_seed, "events_per_batch": events_per_batch,
                 "n_events_needed": n_events_needed, "batches": {},
                 "worker_id": worker_id, "n_workers": n_workers,
                 "mesh_shards": mesh_shards, "max_batches": max_batches,
-                "decays": int(do_decays)}
+                "decays": int(do_decays), "sampler_alias": sampler_alias,
+                "decay_stream": decay_stream}
     if os.path.exists(manifest_path):
         if not resume:
             raise ValueError(
@@ -120,7 +128,9 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                 or prev.get("worker_id", 0) != worker_id
                 or prev.get("n_workers", 1) != n_workers
                 or prev.get("mesh_shards", 0) != mesh_shards
-                or prev.get("decays", 0) != int(do_decays)):
+                or prev.get("decays", 0) != int(do_decays)
+                or prev.get("sampler_alias") != sampler_alias
+                or prev.get("decay_stream", 0) != decay_stream):
             raise ValueError(
                 f"{manifest_path} was written with base_seed="
                 f"{prev.get('base_seed')}, events_per_batch="
@@ -128,9 +138,12 @@ def oversample_run(surface, species, mcids, df_data, cfg, plasma,
                 f"{prev.get('n_events_needed')} (now {n_events_needed}), "
                 f"worker {prev.get('worker_id', 0)}/"
                 f"{prev.get('n_workers', 1)}, decays="
-                f"{prev.get('decays', 0)} (now {int(do_decays)}); refusing "
-                "to resume with different parameters (would silently mix "
-                "sample streams)")
+                f"{prev.get('decays', 0)} (now {int(do_decays)}), "
+                f"sampler_alias={prev.get('sampler_alias')} "
+                f"(now {sampler_alias}), decay_stream="
+                f"{prev.get('decay_stream', 0)} (now {decay_stream}); "
+                "refusing to resume with different parameters (would "
+                "silently mix sample streams)")
         manifest = prev
         # max_batches is a run-length cap, not a stream parameter: batch
         # seeds/contents don't depend on it, so resuming with a different
@@ -209,14 +222,18 @@ def merge_manifests(out_dir: str, n_workers: int) -> dict:
             merged.update(n_workers=n_workers, batches={},
                           max_batches=m.get("max_batches", 1000),
                           mesh_shards=m.get("mesh_shards", 0),
-                          decays=m.get("decays", 0))
+                          decays=m.get("decays", 0),
+                          sampler_alias=m.get("sampler_alias"),
+                          decay_stream=m.get("decay_stream", 0))
         else:
             for key in ("base_seed", "events_per_batch", "n_events_needed",
-                        "max_batches", "mesh_shards", "decays"):
-                # mesh_shards/decays default to 0 for pre-flag manifests --
-                # a decayed worker must NOT merge silently with an old
-                # undecayed one
-                have = (m.get(key, 0) if key in ("mesh_shards", "decays")
+                        "max_batches", "mesh_shards", "decays",
+                        "sampler_alias", "decay_stream"):
+                # mesh_shards/decays/decay_stream default to 0 for pre-flag
+                # manifests -- a decayed worker must NOT merge silently
+                # with an old undecayed one
+                have = (m.get(key, 0)
+                        if key in ("mesh_shards", "decays", "decay_stream")
                         else m.get(key, merged.get(key)))
                 if have != merged.get(key):
                     raise ValueError(

@@ -17,6 +17,20 @@ final multiplicity, computed host-side from the table).  A lax.fori_loop
 runs `n_passes` generations (the table's longest decay-chain depth); in
 each pass every currently-unstable hadron decays simultaneously:
 
+Per-hadron lineage RNG (DECAY_STREAM_VERSION 2): every hadron carries its
+own Threefry key.  A root hadron's key is
+fold_in(fold_in(base_key, GLOBAL event index), in-event ordinal); a decay
+derives daughter keys by fold_in(parent_key, 1..3) and draws its uniforms
+from fold_in(parent_key, 0).  Streams therefore depend only on (seed,
+event, ordinal, decay path) -- NEVER on the hadron's position in the
+concatenated batch -- so any event-slice partition of a batch (the pod
+sampler's per-process slices, api.py operation=2) decays every hadron
+byte-identically to the single-process run.  Version 1 keyed draws by
+batch position (fold_in(key, pass) over a (7, C) block), which forced
+pod slices onto lane-derived seeds and made pod decays only
+statistically equal; the stream version is recorded in oversampling
+manifests so resumed runs refuse to mix the two.
+
   * channel choice: one uniform against the per-species cumulative
     branching table (open 2-/3-body channels only, renormalized),
   * 2-body: isotropic in the parent rest frame at the Kallen momentum
@@ -225,20 +239,31 @@ def _iso_dir(u_cos, u_phi, pmag):
 
 
 @partial(jax.jit, static_argnames=("n_passes",))
-def _cascade_jit(sidx, E, px, py, pz, t, x, y, z, eid, n0, key, tabs,
-                 n_passes: int):
+def _cascade_jit(sidx, E, px, py, pz, t, x, y, z, eid, eg, ordv, n0, key,
+                 tabs, n_passes: int):
     """Run the full decay cascade in-device.  All arrays have static
-    capacity C; `n0` hadrons are live on entry.  Returns the updated state
-    and the final live count."""
+    capacity C; `n0` hadrons are live on entry.  Each hadron carries
+    (C, 2) uint32 lineage key data seeded from
+    fold_in(fold_in(key, eg), ordv) -- global event index and in-event
+    ordinal (see module docstring): draws come from fold_in(k, 0),
+    daughters inherit fold_in(k, 1..3), so every hadron's stream is
+    independent of its batch position.  Returns the updated state and the
+    final live count."""
+    kd = jax.vmap(lambda e, o: jax.random.key_data(
+        jax.random.fold_in(jax.random.fold_in(key, e), o)))(eg, ordv)
     C = sidx.shape[0]
     dtype = E.dtype
     iota = jnp.arange(C, dtype=jnp.int32)
     tiny = jnp.asarray(1e-8, dtype)
 
     def body(i, st):
-        sidx, E, px, py, pz, t, x, y, z, eid, n = st
-        u = jax.random.uniform(jax.random.fold_in(key, i), (7, C),
-                               dtype=dtype)
+        sidx, E, px, py, pz, t, x, y, z, eid, kd, n = st
+        keys = jax.random.wrap_key_data(kd)              # (C,) key array
+        u = jax.vmap(lambda k: jax.random.uniform(
+            jax.random.fold_in(k, 0), (7,), dtype=dtype))(keys).T
+        kid = jax.vmap(
+            lambda k: jnp.stack([jax.random.key_data(jax.random.fold_in(k, j))
+                                 for j in (1, 2, 3)]))(keys)   # (C, 3, 2)
         alive = iota < n
         dec = alive & ~tabs["stable"][sidx]
         M = tabs["mass"][sidx]
@@ -301,7 +326,8 @@ def _cascade_jit(sidx, E, px, py, pz, t, x, y, z, eid, n0, key, tabs,
         yD = y + taup * py * invM
         zD = z + taup * pz * invM
 
-        # daughter 1 overwrites the parent slot
+        # daughter 1 overwrites the parent slot (and inherits lineage
+        # child-key 1; non-decaying slots keep their key untouched)
         sidx = jnp.where(dec, D1, sidx)
         E = jnp.where(dec, E1, E)
         px = jnp.where(dec, p1x, px)
@@ -311,6 +337,7 @@ def _cascade_jit(sidx, E, px, py, pz, t, x, y, z, eid, n0, key, tabs,
         x = jnp.where(dec, xD, x)
         y = jnp.where(dec, yD, y)
         z = jnp.where(dec, zD, z)
+        kd = jnp.where(dec[:, None], kid[:, 0], kd)
 
         # daughters 2-3 scatter to fresh slots
         extra = jnp.where(dec, nd - 1, 0).astype(jnp.int32)
@@ -332,10 +359,11 @@ def _cascade_jit(sidx, E, px, py, pz, t, x, y, z, eid, n0, key, tabs,
         y = put(y, yD, yD)
         z = put(z, zD, zD)
         eid = put(eid, eid, eid)
+        kd = put(kd, kid[:, 1], kid[:, 2])
         n = n + jnp.sum(extra, dtype=jnp.int32)
-        return (sidx, E, px, py, pz, t, x, y, z, eid, n)
+        return (sidx, E, px, py, pz, t, x, y, z, eid, kd, n)
 
-    st = (sidx, E, px, py, pz, t, x, y, z, eid,
+    st = (sidx, E, px, py, pz, t, x, y, z, eid, kd,
           jnp.asarray(n0, dtype=jnp.int32))
     st = jax.lax.fori_loop(0, n_passes, body, st)
     return st
@@ -367,32 +395,42 @@ def _cached_device_tables(table, lightest, tabs: DecayTables, dtype):
     return dev[key]
 
 
-def derive_decay_seed(seed: int, lane: int = 0) -> int:
+# Bumped whenever the cascade's draw-keying scheme changes (recorded in
+# oversampling manifests; a resumed run refuses on mismatch).  Version 2:
+# per-hadron lineage keys (see module docstring).
+DECAY_STREAM_VERSION = 2
+
+
+def derive_decay_seed(seed: int) -> int:
     """An independent decay-stream seed from a sampler seed.
 
     The cascade must not consume the same Threefry streams as the sampler
-    that produced the events (fold_in(key(seed), i) appears in both), so
-    callers derive the decay seed through a distinct SeedSequence branch.
-
-    ``lane`` gives collision-free derived seeds for concurrent decayers of
-    the same base seed (the pod sampler uses lane=process_index: the
-    cascade keys draws by position in the concatenated hadron array, so
-    per-slice runs cannot share one stream).  lane=0 keeps the historical
-    (seed, 0x6D63) entropy tuple so existing manifests resume
-    byte-identically."""
-    key = (int(seed), 0x6D63) if lane == 0 else (int(seed), 0x6D63, int(lane))
-    return int(np.random.SeedSequence(key).generate_state(
+    that produced the events (fold_in over the global event index appears
+    in both), so callers derive the decay seed through a distinct
+    SeedSequence branch.  One shared seed serves every pod process /
+    worker: lineage keying makes slices byte-identical by construction
+    (the former per-process ``lane`` parameter is gone with stream
+    version 2)."""
+    return int(np.random.SeedSequence((int(seed), 0x6D63)).generate_state(
         2, dtype=np.uint64)[0] % (2**63))
 
 
 def decay_events(events: list, table, cfg=None, seed: int = 0,
-                 lightest_particle: int | None = None) -> list:
+                 lightest_particle: int | None = None,
+                 event_offset: int = 0) -> list:
     """Decay all unstable resonances in sampled events to stable hadrons.
 
     events: list of per-event dicts with the sampler's EVENT_FIELDS schema
     (kernels/sample.py).  Returns a NEW list in the same schema holding only
     final-state (stable) hadrons, with decay products carrying physical
-    decay vertices.  Deterministic in (events, seed).
+    decay vertices.
+
+    ``event_offset``: the GLOBAL index of events[0].  Per-hadron streams
+    key on (seed, event_offset + local index, in-event ordinal), so
+    decaying an event slice with its true global offset is byte-identical
+    to decaying the full list in one call (the pod sampler's per-process
+    slices rely on this; tests/test_mc_decays.py proves the invariance).
+    Deterministic in (events, seed, event_offset).
     """
     if lightest_particle is None:
         lightest_particle = int(getattr(cfg, "lightest_particle", 111))
@@ -411,6 +449,12 @@ def decay_events(events: list, table, cfg=None, seed: int = 0,
             for k in FIELDS}
     mcid_in = cols["mcid"].astype(np.int64)
     eid_in = np.repeat(np.arange(len(events), dtype=np.int32), counts)
+    # in-event ordinal = position in the event's FULL hadron list: the
+    # sampler's per-event lists are byte-identical across partitionings,
+    # so (global event, ordinal) is a partition-invariant stream address
+    ord_in = (np.arange(N, dtype=np.int32)
+              - np.repeat(np.cumsum([0] + counts[:-1]).astype(np.int32),
+                          counts))
 
     order = np.argsort(tabs.mc_id, kind="stable")
     pos = np.searchsorted(tabs.mc_id[order], mcid_in)
@@ -429,6 +473,7 @@ def decay_events(events: list, table, cfg=None, seed: int = 0,
     eid_pass = eid_in[~unst]
     sidx_in = sidx_all[unst]
     eid_unst = eid_in[unst]
+    ord_unst = ord_in[unst]
     n_u = int(sidx_in.shape[0])
 
     dtype = np.asarray(events[0]["E"]).dtype
@@ -448,13 +493,18 @@ def decay_events(events: list, table, cfg=None, seed: int = 0,
 
         sidx = jnp.asarray(np.pad(sidx_in, (0, C - n_u)))
         eid = jnp.asarray(np.pad(eid_unst, (0, C - n_u), constant_values=-1))
+        eg = jnp.asarray(np.pad(
+            eid_unst.astype(np.int64) + int(event_offset), (0, C - n_u)),
+            jnp.int32)
+        ordv = jnp.asarray(np.pad(ord_unst, (0, C - n_u)), jnp.int32)
         args = [pad_f(cols[k][unst])
                 for k in ("E", "px", "py", "pz", "t", "x", "y", "z")]
 
         dev_tabs = _cached_device_tables(table, lightest_particle, tabs,
                                          dtype)
-        st = _cascade_jit(sidx, *args, eid, n_u, jax.random.key(int(seed)),
-                          dev_tabs, n_passes=tabs.n_passes)
+        st = _cascade_jit(sidx, *args, eid, eg, ordv, n_u,
+                          jax.random.key(int(seed)), dev_tabs,
+                          n_passes=tabs.n_passes)
         nf = int(st[-1])
         if nf > C:
             raise RuntimeError(f"decay cascade overflow: {nf} hadrons > "
@@ -464,7 +514,7 @@ def decay_events(events: list, table, cfg=None, seed: int = 0,
         # bound (not using nf itself) caps slice-program recompiles
         bound = min(C, -(-nf // 65536) * 65536)
         sidx_o, E, px, py, pz, t, x, y, z, eid_c = (
-            np.asarray(v[:bound])[:nf] for v in st[:-1])
+            np.asarray(v[:bound])[:nf] for v in st[:-2])
         if np.any(~tabs.stable[sidx_o]):
             raise RuntimeError("unstable hadrons survived the cascade; the "
                                "table's chain depth exceeded n_passes")

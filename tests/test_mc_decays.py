@@ -266,6 +266,39 @@ def test_event_bookkeeping_and_determinism():
         o["t"]**2 - o["z"]**2, 0.0), atol=1e-9)
 
 
+def test_partition_invariant_lineage_streams():
+    """Decaying any event-slice partition with its true global offsets is
+    BYTE-identical to decaying the full list in one call: lineage keys
+    depend on (seed, global event, in-event ordinal, decay path), never on
+    batch position (DECAY_STREAM_VERSION 2; the pod sampler's decays-on
+    byte-identity rides on exactly this invariance).  Uses the chain table
+    so multi-generation daughters (whose slots land at partition-dependent
+    positions) are covered too."""
+    rng = np.random.default_rng(11)
+    evs = []
+    for n in (5, 3, 0, 17, 9):
+        e = _events_of(900, 2.0, rng.normal(0, 0.7, (max(n, 1), 3)))[0]
+        if n == 0:
+            e = {k: v[:0] for k, v in e.items()}
+        evs.append(e)
+    full = mcd.decay_events(evs, CHAIN_TABLE, seed=77)
+    # uneven 3-way split: offsets 0, 2, 3
+    for lo, hi in ((0, 2), (2, 3), (3, 5)):
+        part = mcd.decay_events(evs[lo:hi], CHAIN_TABLE, seed=77,
+                                event_offset=lo)
+        assert len(part) == hi - lo
+        for a, b in zip(full[lo:hi], part):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # per-event singleton slices too (the finest possible partition)
+    for i in range(len(evs)):
+        one = mcd.decay_events(evs[i:i + 1], CHAIN_TABLE, seed=77,
+                               event_offset=i)
+        for k in full[i]:
+            np.testing.assert_array_equal(full[i][k], one[0][k], err_msg=k)
+
+
 def test_unknown_mcid_raises():
     ev = _events_of(999999, 1.0, np.zeros((3, 3)))
     with pytest.raises(KeyError):

@@ -170,18 +170,23 @@ def test_pod_cli_bit_identical_results(tmp_path, reference_dir, operation):
             os.path.join(d, "average_thermodynamic_quantities.dat"))
 
 
-def test_pod_sampler_byte_identical_merge(tmp_path, reference_dir):
+@pytest.mark.parametrize("decays", [0, 1], ids=["raw", "decays"])
+def test_pod_sampler_byte_identical_merge(tmp_path, reference_dir, decays):
     """operation=2 in pod mode (round-4): each process samples a disjoint
     contiguous slice of the GLOBAL event range (streams keyed by global
     event index), writes a part file, and process 0 concatenates them --
     the merged particle_list_osc.dat must be BYTE-identical to the
     single-process run's (the reference's whole multi-machine story is
-    process-parallel sampling, scripts/run_multithread_sampling_iS3D.py)."""
+    process-parallel sampling, scripts/run_multithread_sampling_iS3D.py).
+    With do_resonance_decays=1 (round-5) the MC cascade's lineage streams
+    key on (global event, in-event ordinal, decay path), so the decayed
+    merged list is byte-identical too -- no lane seeds, one shared decay
+    stream."""
     # the toy 1-cell surface has a tiny mean yield, so oversampling hits the
     # max_num_samples cap exactly: both runs sample exactly 24 events
     args = ["mode=1", "operation=2", "platform=cpu", "oversample=1",
-            "max_num_samples=24", "sampler_seed=7", "do_resonance_decays=0",
-            "test_sampler=0"]
+            "max_num_samples=24", "sampler_seed=7",
+            f"do_resonance_decays={decays}", "test_sampler=0"]
     env = _cli_env()
 
     run_single = _make_run_dir(tmp_path / "single2")
@@ -216,20 +221,48 @@ def test_pod_sampler_byte_identical_merge(tmp_path, reference_dir):
     assert not leftover, leftover
 
 
-def test_pod_sampler_rejects_test_sampler(tmp_path, reference_dir):
-    """test_sampler=1 (the validation-histogram harness) stays
-    single-process; pod runs must fail fast, not write partial histograms."""
+def test_pod_test_sampler_histograms_identical(tmp_path, reference_dir):
+    """test_sampler=1 in a pod (round-5): event slices are gathered to
+    process 0 and binned as one global list, so every written validation
+    histogram must be BYTE-identical to the single-process run's."""
+    args = ["mode=1", "operation=2", "platform=cpu", "oversample=1",
+            "max_num_samples=24", "sampler_seed=7", "test_sampler=1"]
+    env = _cli_env()
+
+    run_single = _make_run_dir(tmp_path / "single3")
+    out = subprocess.run(
+        [sys.executable, "-m", "is3d_tpu", run_single, "host_devices=1"]
+        + args, env=env, capture_output=True, timeout=600)
+    assert out.returncode == 0, out.stdout.decode()[-2000:] + \
+        out.stderr.decode()[-2000:]
+
     run_pod = _make_run_dir(tmp_path / "pod3")
     port = str(_free_port())
     procs = [subprocess.Popen(
         [sys.executable, "-m", "is3d_tpu", run_pod, "host_devices=1",
          f"multihost_coordinator=localhost:{port}", "multihost_nproc=2",
-         f"multihost_pid={i}", "mode=1", "operation=2", "platform=cpu",
-         "test_sampler=1"],
+         f"multihost_pid={i}"] + args,
         env=_cli_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, o in zip(procs, outs):
-        text = o.decode(errors="replace")
-        assert p.returncode != 0
-        assert "single-process harness" in text, text[-2000:]
+        assert p.returncode == 0, o.decode(errors="replace")[-4000:]
+
+    def tree(root):
+        out = []
+        for d, _, files in os.walk(root):
+            rel = os.path.relpath(d, root)
+            out += [os.path.normpath(os.path.join(rel, f)) for f in files]
+        return sorted(out)
+
+    single_files = tree(os.path.join(run_single, "results"))
+    pod_files = tree(os.path.join(run_pod, "results"))
+    assert single_files == pod_files and single_files
+    # the tree includes every per-species histogram file + yield_list.dat
+    assert any("yield_list" in f for f in single_files)
+    for name in single_files:
+        with open(os.path.join(run_single, "results", name), "rb") as f:
+            want = f.read()
+        with open(os.path.join(run_pod, "results", name), "rb") as f:
+            got = f.read()
+        assert got == want, f"results/{name} differs between pod and single"

@@ -356,3 +356,11 @@ def test_vah_sampler_unregulated_warns():
         warnings.simplefilter("error")
         sample_particles(surf, sp, MCIDS, None, None,
                          cfg.replace(regulate_deltaf=1), PLASMA, nevents=2)
+    # with every residual-df chain disabled, df_tot == 0 exactly and the
+    # clip is a no-op -- regulate_deltaf=0 must NOT warn (advisor round 4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sample_particles(surf, sp, MCIDS, None, None,
+                         cfg.replace(include_shear_deltaf=0,
+                                     include_bulk_deltaf=0),
+                         PLASMA, nevents=2)
