@@ -205,6 +205,27 @@ def main():
         return sum(jnp.sum(o) for o in out)
     t_pack = bench(pack, lambda s: (keys_of(s),), "pack", slots)
 
+    # ---- tetrad lever (round 5): full-kernel paired A/B ----------------
+    # cfg.sampler_gather_tetrad=0 drops the 8 Milne tetrad fields from
+    # the row gather (NF 39 -> 31) and rebuilds the basis per slot from
+    # (u, tau) already in the row.  Gathers cost per element (round-4
+    # probe), so this trades ~20% of gathered elements for VPU math.
+    cfg_nt = cfg.replace(sampler_gather_tetrad=0)
+    cell_nt = dict(cell)     # same phase-A data; the kernel gathers less
+    t_full_nt = bench(
+        lambda ks: smp._event_batch_packed_jit(cell_nt, species, ks,
+                                               lam_dev, n_cap, cap_total,
+                                               cfg_nt),
+        lambda s: (keys_of(s),), "full_nt", slots)
+    t_full_ab = bench(
+        lambda ks: smp._event_batch_packed_jit(cell, species, ks, lam_dev,
+                                               n_cap, cap_total, cfg),
+        lambda s: (keys_of(s),), "full_ab", slots)
+    print(f"tetrad lever: gather-tetrad {t_full_ab*1e3:.1f} ms vs "
+          f"recompute {t_full_nt*1e3:.1f} ms "
+          f"({100.0 * (t_full_ab - t_full_nt) / t_full_ab:+.1f}% "
+          f"same-session paired)")
+
     t_sum = t_draw + t_gather + t_rej + t_lab + t_pack
     print(f"\nphase sum {t_sum*1e3:.1f} ms vs full {t_full*1e3:.1f} ms "
           f"(standalone phases double-count the shared index machinery)")

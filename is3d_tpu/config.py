@@ -140,6 +140,25 @@ class Config:
                                 # the forward-only production path keeps the
                                 # exact compiled artifact the bit-parity
                                 # suite pins
+    sampler_cell_chunk: int = 0  # sampler phase-A memory bound, in cells:
+                                # the sampler never materializes (C, S)
+                                # tables wider than this -- larger surfaces
+                                # are sampled as independent cell chunks
+                                # (exact by Poisson superposition,
+                                # kernels/sample._sample_cell_chunked).
+                                # 0 = auto (chunk at 2^19 cells once the
+                                # surface exceeds 2^20); -1 = never chunk;
+                                # explicit N = chunk size (engages when
+                                # C > N).  Changing the chunk plan changes
+                                # the random streams (documented), never
+                                # the distribution.
+    sampler_gather_tetrad: int = 1  # 1: the per-slot row gather carries the
+                                # 8 Milne tetrad fields (Xt..Zn); 0: drop
+                                # them and rebuild the basis per slot from
+                                # (u, tau) already in the row -- fewer
+                                # gathered elements vs extra VPU math
+                                # (probe_sampler_device round-5 A/B; same
+                                # events, lab momenta equal to fp roundoff)
     sampler_alias: int = 1      # O(1) Walker-alias categorical draws for
                                 # the sampler's (cell, species) assignment
                                 # (kernels/sample._alias_build); 0 restores

@@ -331,6 +331,24 @@ def _species_yields_fast(c, species, cfg):
 def _cell_data_jit(cols, species: SpeciesArrays, df_data: DeltafData,
                    laguerre, plasma_avg, cfg: Config):
     """All per-cell sampler inputs, as a dict of (C,) / (C, S) arrays."""
+    return _cell_data_impl(cols, species, df_data, laguerre, plasma_avg,
+                           cfg, scalars_only=False)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _cell_scalars_jit(cols, species: SpeciesArrays, df_data: DeltafData,
+                      laguerre, plasma_avg, cfg: Config):
+    """Scalar pre-pass for the cell-chunked sampler: (sum dn_tot,
+    sum mean_cell) of a cell chunk WITHOUT retaining any (C, S) table --
+    peak memory is one transient dn_list block.  Runs the same physics as
+    _cell_data_jit (the chunked driver needs every chunk's lam before it
+    can pin uniform batch shapes)."""
+    return _cell_data_impl(cols, species, df_data, laguerre, plasma_avg,
+                           cfg, scalars_only=True)
+
+
+def _cell_data_impl(cols, species: SpeciesArrays, df_data: DeltafData,
+                    laguerre, plasma_avg, cfg: Config, scalars_only: bool):
     c = prepare_cells(cols, cfg, df_data)
     tau = c["tau"]
 
@@ -430,6 +448,9 @@ def _cell_data_jit(cols, species: SpeciesArrays, df_data: DeltafData,
             - ds_space * Vdsigma * jnp.sum(species.diff_density))
     mean_cell = jnp.where(c["valid"], mean_cell, 0.0)
 
+    if scalars_only:
+        return dict(lam=jnp.sum(dn_tot), mean=jnp.sum(mean_cell))
+
     out = dict(
         tau=tau, x=c["x"], y=c["y"], eta=c["eta"],
         T=c["T"], alphaB=c["alphaB"], T_mod=T_mod, alphaB_mod=alphaB_mod,
@@ -502,6 +523,20 @@ def _vah_cell_data_jit(cols, species: SpeciesArrays, laguerre, cfg: Config):
     The reference has no working counterpart (its VAH sampler is a stub,
     sampling_kernels.cpp:1231-1239); validation is statistical agreement
     with our VAH smooth kernel (test_sampler_vah.py)."""
+    return _vah_cell_data_impl(cols, species, laguerre, cfg,
+                               scalars_only=False)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _vah_cell_scalars_jit(cols, species: SpeciesArrays, laguerre,
+                          cfg: Config):
+    """VAH twin of _cell_scalars_jit (cell-chunked sampler pre-pass)."""
+    return _vah_cell_data_impl(cols, species, laguerre, cfg,
+                               scalars_only=True)
+
+
+def _vah_cell_data_impl(cols, species: SpeciesArrays, laguerre, cfg: Config,
+                        scalars_only: bool):
     c = dict(cols)
     tau = c["tau"]
     ut = lrf.u_tau(c["ux"], c["uy"], c["un"], tau)
@@ -532,6 +567,9 @@ def _vah_cell_data_jit(cols, species: SpeciesArrays, laguerre, cfg: Config):
     dn_tot = jnp.where(valid, dn_tot, 0.0)
     mean_cell = jnp.where(valid, udsigma * jnp.sum(dn_list, axis=1) * 0.5,
                           0.0)
+
+    if scalars_only:
+        return dict(lam=jnp.sum(dn_tot), mean=jnp.sum(mean_cell))
 
     out = dict(
         tau=tau, x=c["x"], y=c["y"], eta=c["eta"],
@@ -733,15 +771,36 @@ def _pre_fields(cfg):
 # tried and measured ~20% slower (see _one_event_lrf docstring)
 _LAB_FIELDS = ("tau", "x", "y", "eta", "ut", "ux", "uy", "un",
                "Xt", "Xx", "Xy", "Xn", "Yx", "Yy", "Zt", "Zn")
+# the 8 Milne tetrad components are pure arithmetic of (u, tau), both
+# already in the row: cfg.sampler_gather_tetrad=0 drops them from the
+# gather and rebuilds the basis per slot (TPU gathers cost per ELEMENT,
+# so 8 fewer gathered fields trade against cheap VPU math; see
+# experiments/probe_sampler_device.py round-5 A/B)
+_LAB_FIELDS_NOTETRAD = ("tau", "x", "y", "eta", "ut", "ux", "uy", "un")
+
+
+def _lab_fields(cfg) -> tuple:
+    return (_LAB_FIELDS if getattr(cfg, "sampler_gather_tetrad", 1)
+            else _LAB_FIELDS_NOTETRAD)
 
 
 def _lab_kinematics(rows, mass, E, px, py, pz, key_y, cfg):
     """Boost LRF momenta to the lab frame and reconstruct spacetime /
     rapidity coordinates (tail of the reference's per-hadron loop,
-    sampling_kernels.cpp:1144-1192)."""
-    g = {k: rows[:, i] for i, k in enumerate(_LAB_FIELDS)}
-    basis = lrf.MilneBasis(Xt=g["Xt"], Xx=g["Xx"], Xy=g["Xy"], Xn=g["Xn"],
-                           Yx=g["Yx"], Yy=g["Yy"], Zt=g["Zt"], Zn=g["Zn"])
+    sampling_kernels.cpp:1144-1192).  The tetrad either rides the row
+    gather or is recomputed per slot from (u, tau) -- same formula as
+    phase A's lrf.milne_basis, so the boost consumes identical values
+    either way (reference: viscous_correction.cpp:10-29, where the
+    tetrad is likewise derived data)."""
+    fields = _lab_fields(cfg)
+    g = {k: rows[:, i] for i, k in enumerate(fields)}
+    if "Xt" in g:
+        basis = lrf.MilneBasis(Xt=g["Xt"], Xx=g["Xx"], Xy=g["Xy"],
+                               Xn=g["Xn"], Yx=g["Yx"], Yy=g["Yy"],
+                               Zt=g["Zt"], Zn=g["Zn"])
+    else:
+        basis = lrf.milne_basis(g["ut"], g["ux"], g["uy"], g["un"],
+                                g["tau"])
     ptau, px_lab, py_lab, pn = lrf.boost_pLRF_to_lab(
         basis, g["ut"], g["ux"], g["uy"], g["un"], E, px, py, pz)
 
@@ -819,7 +878,7 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
     # one contiguous row gather for the per-cell scalars, pruned per df_mode:
     # separate (C,) gathers cost one index resolution each on TPU; the stack
     # is event-independent so XLA hoists it out of the event vmap
-    gkeys = _pre_fields(cfg) + _LAB_FIELDS
+    gkeys = _pre_fields(cfg) + _lab_fields(cfg)
     packed = jnp.stack([cell[k].astype(dtype) for k in gkeys], axis=1)
     rows = packed[cidx]                                # (n_cap, NF)
     g = {k: rows[:, i] for i, k in enumerate(gkeys)}
@@ -943,7 +1002,7 @@ def _one_event_lrf(cell, species: SpeciesArrays, key, lam, n_cap: int,
 
     out = dict(keep=keep, cidx=cidx, sidx=sidx, E=E, px=px, py=py, pz=pz,
                mass=mass, acceptances=jnp.sum(sampled_ok), samples=nsamp)
-    out["lab_rows"] = rows[:, len(gkeys) - len(_LAB_FIELDS):]
+    out["lab_rows"] = rows[:, len(gkeys) - len(_lab_fields(cfg)):]
     return out
 
 
@@ -1287,9 +1346,17 @@ def _oversample_nevents(nevents, cell, cfg) -> int:
     sharded paths (reference: emissionfunction.cpp:1524-1532)."""
     if nevents is not None:
         return nevents
+    return _oversample_nevents_scalar(nevents, _mean_total_yield(cell, cfg),
+                                      cfg)
+
+
+def _oversample_nevents_scalar(nevents, ntot: float, cfg) -> int:
+    """Same policy from the already-reduced physical mean yield (the
+    cell-chunked driver accumulates ntot across chunks)."""
+    if nevents is not None:
+        return nevents
     if not cfg.oversample:
         return 1
-    ntot = _mean_total_yield(cell, cfg)
     return max(1, min(int(math.ceil(cfg.min_num_hadrons / max(ntot, 1e-30))),
                       cfg.max_num_samples))
 
@@ -1331,11 +1398,37 @@ def _packed_capacity(B: int, ntot_est: float, n_cap: int) -> int:
 def calculate_total_yield(surface, species, df_data, cfg, plasma,
                           laguerre=None) -> float:
     """Mean total hadron yield of the surface (reference:
-    sampling_kernels.cpp:653-831).  In 2+1D the yield is dN/dy * 2 Y_CUT."""
+    sampling_kernels.cpp:653-831).  In 2+1D the yield is dN/dy * 2 Y_CUT.
+    Above the sampler_cell_chunk bound the mean accumulates over cell
+    chunks through the scalar pre-pass (no (C, S) materialization)."""
     if laguerre is None:
         laguerre = _laguerre_device(surface.tau.dtype)
-    cell = _build_cell_data(surface, species, df_data, cfg, plasma, laguerre)
-    ntot = float(jnp.sum(cell["mean_cell"]))
+    C = surface.tau.shape[0]
+    chunk = _resolve_cell_chunk(cfg, C)
+    if chunk is not None:
+        cfg_eff = _sampler_effective_cfg(surface, cfg)
+        dtype = _sampler_dtype(surface.tau.dtype)
+        sp = _cast_floats(species, dtype)
+        vah = cfg_eff.mode in (2, 3)
+        cols = _cast_floats(
+            _vah_sampler_cols(surface, cfg_eff) if vah
+            else _sampler_cols(surface, cfg_eff), dtype)
+        if not vah:
+            df_cast = _cast_floats(df_data, dtype)
+            plasma_avg = (jnp.asarray(plasma.temperature, dtype),
+                          jnp.asarray(plasma.baryon_chemical_potential,
+                                      dtype))
+        ntot = 0.0
+        for lo in range(0, C, chunk):
+            cc = _chunk_cols(cols, lo, min(lo + chunk, C), chunk)
+            s = (_vah_cell_scalars_jit(cc, sp, laguerre, cfg_eff) if vah
+                 else _cell_scalars_jit(cc, sp, df_cast, laguerre,
+                                        plasma_avg, cfg_eff))
+            ntot += float(s["mean"])
+    else:
+        cell = _build_cell_data(surface, species, df_data, cfg, plasma,
+                                laguerre)
+        ntot = float(jnp.sum(cell["mean_cell"]))
     if cfg.dimension == 2:
         ntot *= 2.0 * cfg.y_cut
     return ntot
@@ -1399,6 +1492,12 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     species = _cast_floats(species, dtype)
     if laguerre is None:
         laguerre = _laguerre_device(dtype)
+    chunk = _resolve_cell_chunk(cfg, surface.tau.shape[0])
+    if chunk is not None:
+        return _sample_cell_chunked(
+            surface, species, mcids, df_data, cfg, plasma, laguerre,
+            dtype, chunk, nevents=nevents, seed=seed,
+            event_partition=event_partition, info=info)
     cell = _build_cell_data(surface, species, df_data, cfg, plasma, laguerre)
 
     def _slice(n_global: int) -> tuple:
@@ -1432,12 +1531,31 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     B = events_per_batch
     ntot_est = min(_mean_total_yield(cell, cfg), lam) or lam
     cap_total = _packed_capacity(B, ntot_est, n_cap)
+    timings = _phase_timer()
+    events = []
+    total_acc, total_samp = _drain_event_range(
+        cell, species, cfg, base_key, ev_lo, ev_hi, B, n_cap, cap_total,
+        lam_dev, mcids_np, mass_np, timings, events)
+    timings.report("sample_particles")
+
+    if total_samp:
+        eff = 100.0 * total_acc / total_samp
+        print(f"Momentum sampling efficiency = {eff:.2f} %")
+    return events
+
+
+def _drain_event_range(cell, species, cfg: Config, base_key, ev_lo: int,
+                       ev_hi: int, B: int, n_cap: int, cap_total: int,
+                       lam_dev, mcids_np, mass_np, timings,
+                       events: list) -> tuple:
+    """Dispatch + drain every event batch in [ev_lo, ev_hi) against ONE
+    cell-data dict, appending per-event dicts to ``events``.  The shapes
+    (B, n_cap, cap_total) are caller-pinned so the cell-chunked driver can
+    run MANY chunks through one compiled program.  Returns
+    (acceptances, samples) totals."""
     granule = _transfer_granule(cap_total)
     cellpos = _cell_positions(cell, cfg)
-
-    events = []
     total_acc = total_samp = 0
-    timings = _phase_timer()
 
     def drain(item):
         nonlocal total_acc, total_samp
@@ -1473,8 +1591,8 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
     # in-flight limit
     worker = _DrainWorker(drain)
     try:
-        for start in range(ev_lo, ev_hi, events_per_batch):
-            b = min(events_per_batch, ev_hi - start)
+        for start in range(ev_lo, ev_hi, B):
+            b = min(B, ev_hi - start)
             # dispatch a full-width batch even for the ragged tail: one
             # compiled shape total, and per-event statistics are unchanged
             # because event i depends only on fold_in(base_key, i)
@@ -1487,12 +1605,170 @@ def sample_particles(surface, species: SpeciesArrays, mcids, grid,
             worker.put((b, packed, counts, acc, samp))
     finally:
         worker.close()
-    timings.report("sample_particles")
+    return total_acc, total_samp
 
+# ======================================================================
+# Cell-chunked sampling: bounded phase-A memory at any surface size
+# ======================================================================
+# The reference sampler streams cells serially with O(S) memory per cell
+# (dn_list.resize inside the cell loop, sampling_kernels.cpp:878,
+# 1040-1042), so it handles arbitrarily large surfaces.  The vectorized
+# phase A above instead materializes ~4 (C, S) tables (rowcum + alias
+# pair + transient dn_list) -- ~51 GB at 10M cells x 444 species vs 16 GB
+# HBM.  This driver restores the unbounded-surface capability the TPU
+# way: disjoint cell chunks are INDEPENDENT sub-surfaces by Poisson
+# superposition (the same argument the cell-sharded mesh sampler uses
+# across devices, applied serially), so each chunk runs the full
+# two-phase sampler under its own derived seed and the per-event hadron
+# lists concatenate across chunks.  Exact in distribution; the random
+# streams depend on the (deterministic) chunk plan, so results are
+# reproducible given (seed, cfg.sampler_cell_chunk, C) but differ from
+# the unchunked path's streams -- the same contract as the mesh sampler.
+#
+# Memory: one chunk's phase A lives at a time (<= chunk x S tables);
+# batch shapes (n_cap, cap_total, B) are pinned from the worst chunk's
+# scalar pre-pass so every chunk reuses ONE compiled event program.  The
+# pre-pass re-runs the species-yield quadrature (scalars only, no (C, S)
+# retention) -- a one-time ~2x phase-A compute cost, paid instead of an
+# unbounded (C, S) footprint.
+
+def _resolve_cell_chunk(cfg: Config, n_cells: int):
+    """Chunk size in cells, or None for the single-phase-A fast path
+    (see Config.sampler_cell_chunk)."""
+    v = int(getattr(cfg, "sampler_cell_chunk", 0))
+    if v < 0:
+        return None
+    if v == 0:
+        return (1 << 19) if n_cells > (1 << 20) else None
+    return v if n_cells > v else None
+
+
+def _chunk_seed(seed: int, chunk_idx: int) -> int:
+    """Independent per-chunk sampler seed: a pure function of (seed,
+    chunk index) through a SeedSequence branch distinct from both the
+    event fold_in stream and the decay-seed branch (0x6D63)."""
+    return int(np.random.SeedSequence(
+        (int(seed), 0x63636B, int(chunk_idx))).generate_state(
+            2, dtype=np.uint64)[0] % (2**63))
+
+
+def _chunk_cols(cols: dict, lo: int, hi: int, target: int) -> dict:
+    """Slice [lo, hi) of every cell column, padded to ``target`` cells
+    with inert entries (dsigma = 0 => udsigma = 0 => invalid => zero
+    yield; physical fields pad to 1 to keep 1/T etc. finite)."""
+    from ..parallel.mesh import _pad_cols_to
+    out = {k: v[lo:hi] for k, v in cols.items()}
+    out, n_valid = _pad_cols_to(out, target)
+    if n_valid != target:
+        mask = (jnp.arange(target) < n_valid).astype(out["tau"].dtype)
+        for k in ("dat", "dax", "day", "dan"):
+            out[k] = out[k] * mask
+    return out
+
+
+def _sample_cell_chunked(surface, species: SpeciesArrays, mcids,
+                         df_data, cfg: Config, plasma, laguerre, dtype,
+                         chunk: int, nevents=None, seed=None,
+                         event_partition=None, info=None) -> list:
+    """Cell-chunked sampling driver (module comment above).  Composes
+    with event_partition: streams key on (chunk, GLOBAL event), so the
+    union of event slices is byte-identical to the full chunked run."""
+    vah = cfg.mode in (2, 3)
+    cols = _cast_floats(
+        _vah_sampler_cols(surface, cfg) if vah else _sampler_cols(surface,
+                                                                  cfg),
+        dtype)
+    if not vah:
+        df_cast = _cast_floats(df_data, dtype)
+        plasma_avg = (jnp.asarray(plasma.temperature, dtype),
+                      jnp.asarray(plasma.baryon_chemical_potential, dtype))
+    C = cols["tau"].shape[0]
+    n_chunks = -(-C // chunk)
+    bounds = [(ci * chunk, min((ci + 1) * chunk, C))
+              for ci in range(n_chunks)]
+
+    def build(ci, scalars: bool):
+        cc = _chunk_cols(cols, *bounds[ci], chunk)
+        if vah:
+            fn = _vah_cell_scalars_jit if scalars else _vah_cell_data_jit
+            return fn(cc, species, laguerre, cfg)
+        fn = _cell_scalars_jit if scalars else _cell_data_jit
+        return fn(cc, species, df_cast, laguerre, plasma_avg, cfg)
+
+    # scalar pre-pass: every chunk's (lam, mean) without (C, S) retention
+    lam_chunks, mean_chunks = [], []
+    for ci in range(n_chunks):
+        s = build(ci, scalars=True)
+        lam_chunks.append(float(s["lam"]))
+        mean_chunks.append(float(s["mean"]))
+    lam_max = max(lam_chunks)
+    ntot = sum(mean_chunks)
+    if cfg.dimension == 2:
+        ntot *= 2.0 * cfg.y_cut
+    ntot = abs(ntot)
+
+    def _slice(n_global: int) -> tuple:
+        if event_partition is None:
+            return 0, n_global
+        k, n = (int(v) for v in event_partition)
+        return (k * n_global) // n, ((k + 1) * n_global) // n
+
+    if lam_max <= 0.0:
+        lo0, hi0 = _slice(nevents or 1)
+        if info is not None:
+            info.update(event_lo=lo0, nevents_global=nevents or 1)
+        return [_empty_event() for _ in range(hi0 - lo0)]
+
+    nevents = _oversample_nevents_scalar(nevents, ntot, cfg)
+    ev_lo, ev_hi = _slice(nevents)
+    if info is not None:
+        info.update(event_lo=ev_lo, nevents_global=nevents)
+    if ev_hi == ev_lo:
+        return []
+
+    # shapes pinned to the WORST chunk -> one compiled event program
+    seed = _resolve_seed(seed, cfg)
+    n_cap = _slot_capacity(lam_max)
+    B = _batch_width(ev_hi - ev_lo, n_cap)
+    ntot_est = max(min(m * ((2.0 * cfg.y_cut) if cfg.dimension == 2
+                            else 1.0), lm) or lm
+                   for m, lm in zip(np.abs(mean_chunks), lam_chunks))
+    cap_total = _packed_capacity(B, ntot_est, n_cap)
+
+    mcids_np = np.asarray(mcids, dtype=np.int64)
+    mass_np = np.asarray(species.mass, dtype=np.float64)
+    timings = _phase_timer()
+    n_ev = ev_hi - ev_lo
+    merged = [{k: [] for k in EVENT_FIELDS} for _ in range(n_ev)]
+    total_acc = total_samp = 0
+    for ci in range(n_chunks):
+        if lam_chunks[ci] <= 0.0:
+            continue                      # inert chunk: zero contribution
+        cell = build(ci, scalars=False)
+        base_key = jax.random.key(_chunk_seed(seed, ci))
+        ev_chunk = []
+        acc, samp = _drain_event_range(
+            cell, species, cfg, base_key, ev_lo, ev_hi, B, n_cap,
+            cap_total, jnp.asarray(lam_chunks[ci], dtype), mcids_np,
+            mass_np, timings, ev_chunk)
+        total_acc += acc
+        total_samp += samp
+        for i, ev in enumerate(ev_chunk):
+            for k in EVENT_FIELDS:
+                merged[i][k].append(ev[k])
+    timings.report("sample_particles (cell-chunked)")
+
+    events = []
+    for m in merged:
+        if m["mcid"]:
+            events.append({k: np.concatenate(v) for k, v in m.items()})
+        else:
+            events.append(_empty_event())
     if total_samp:
         eff = 100.0 * total_acc / total_samp
         print(f"Momentum sampling efficiency = {eff:.2f} %")
     return events
+
 
 # ======================================================================
 # Multi-chip sampling: shard the cell axis over a device mesh

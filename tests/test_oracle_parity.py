@@ -358,6 +358,52 @@ def test_sampler_statistical_parity_vs_reference(oracle_binary, sandbox,
         assert abs(ours_avg - ref_avg) < 5 * sigma + 0.02 * ref_avg, \
             (mcid, ours_avg, ref_avg, nev_ref, nev_ours)
 
+    # ---- round-5: direct per-species pT-MARGINAL parity against the
+    # reference sampler's own momentum_distribution histograms (not just
+    # total yields): a two-sample chi^2 on the shared binning
+    # (sample_dN_2pipTdpTdy, sampling_kernels.cpp:63-85; writer
+    # normalization emissionfunction.cpp:999 inverted to raw counts).
+    # Kaons and protons ride the 3-component HEAVY rejection branch
+    # (mbar > 1.008, sampling_kernels.cpp:520-599), so this closes the
+    # momentum-shape chain without the sampler<->smooth transitivity
+    # argument -- for every df mode including feqmod rescales.
+    cfgr = run.cfg
+    pT_all = np.hypot(np.concatenate([e["px"] for e in res.events]),
+                      np.concatenate([e["py"] for e in res.events]))
+    pT_w = (cfgr.pT_upper_cut - cfgr.pT_lower_cut) / cfgr.pT_bins
+    for mcid in MCIDS:
+        ref = np.loadtxt(d / "results" / "momentum_distribution"
+                         / f"dN_2pipTdpTdy_{mcid}_test.dat")
+        pT_mid = ref[:, 0]
+        n_ref = ref[:, 1] * (2.0 * np.pi * 2.0 * y_cut * pT_w * pT_mid
+                             * nev_ref)
+        sel = (mc_all == mcid) & (np.abs(yp_all) <= y_cut)
+        n_ours, _ = np.histogram(pT_all[sel], bins=cfgr.pT_bins,
+                                 range=(cfgr.pT_lower_cut,
+                                        cfgr.pT_upper_cut))
+        N1, N2 = n_ref.sum(), n_ours.sum()
+        # greedy adjacent-bin merge to a >= 30 combined-count floor per
+        # group (chi^2 validity): heavy species (p, K) have O(10^2-10^3)
+        # counts spread over ~100 fine bins, so fine-binned chi^2 would
+        # be invalid exactly where the heavy branch needs coverage
+        groups, a1, a2 = [], 0.0, 0.0
+        for v1, v2 in zip(n_ref, n_ours):
+            a1 += v1
+            a2 += v2
+            if a1 + a2 >= 30.0:
+                groups.append((a1, a2))
+                a1 = a2 = 0.0
+        if groups and a1 + a2 > 0:
+            groups[-1] = (groups[-1][0] + a1, groups[-1][1] + a2)
+        k = len(groups)
+        assert k >= 3, (mcid, k)
+        g1 = np.asarray([g[0] for g in groups])
+        g2 = np.asarray([g[1] for g in groups])
+        chi2 = float(((g1 / N1 - g2 / N2) ** 2
+                      / (g1 / N1**2 + g2 / N2**2)).sum())
+        # 5-sigma band of a chi^2_k statistic
+        assert chi2 < k + 5.0 * np.sqrt(2.0 * k), (mcid, chi2, k)
+
 
 FIXED_BIN = "/tmp/is3d_oracle/iS3D_fixedbilinear.e"
 

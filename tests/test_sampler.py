@@ -520,6 +520,149 @@ def test_event_partition_union_byte_identical(smash_table, df_data):
             np.testing.assert_array_equal(a[key], b[key])
 
 
+def test_sampler_tetrad_recompute_equivalent(smash_table, df_data):
+    """sampler_gather_tetrad=0 (rebuild the Milne basis per slot from the
+    gathered (u, tau) instead of gathering Xt..Zn) must keep every event's
+    hadron COUNT and identity exactly (the RNG streams and the keep
+    decision never touch the tetrad) and reproduce lab momenta to fp
+    roundoff of the same formula."""
+    surf = small_surface(n=24, seed=13)
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 y_cut=3.0, sampler_seed=77)
+    sp = species_with_densities(smash_table, 0.155)
+    ev_g = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                            nevents=6)
+    ev_r = sample_particles(surf, sp, MCIDS, None, df_data,
+                            cfg.replace(sampler_gather_tetrad=0), PLASMA,
+                            nevents=6)
+    assert len(ev_g) == len(ev_r) == 6
+    assert sum(len(e["mcid"]) for e in ev_g) > 0
+    for a, b in zip(ev_g, ev_r):
+        np.testing.assert_array_equal(a["mcid"], b["mcid"])
+        for k in ("tau", "x", "y"):           # positions ride the cell index
+            np.testing.assert_array_equal(a[k], b[k])
+        for k in ("px", "py", "pz", "E"):
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-5, atol=1e-7,
+                                       err_msg=k)
+
+
+# ------------------------------------------------- cell-chunked sampling
+
+def test_cell_chunked_deterministic_and_onshell(smash_table, df_data):
+    """Forced cell chunking (sampler_cell_chunk=8 on a 24-cell surface =
+    3 chunks incl. shape padding): deterministic in (surface, seed,
+    chunk plan); every hadron on-shell, on the tau hypersurface, schema
+    complete."""
+    surf = small_surface(n=20, seed=6)       # 20 cells -> 8+8+4(pad) chunks
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 y_cut=3.0, sampler_seed=5, sampler_cell_chunk=8)
+    sp = species_with_densities(smash_table, 0.155)
+    ev1 = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                           nevents=4)
+    ev2 = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                           nevents=4)
+    assert len(ev1) == len(ev2) == 4
+    assert sum(len(e["mcid"]) for e in ev1) > 0
+    from is3d_tpu.kernels.sample import EVENT_FIELDS
+    for a, b in zip(ev1, ev2):
+        assert set(a) == set(EVENT_FIELDS)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+        E2 = a["mass"]**2 + a["px"]**2 + a["py"]**2 + a["pz"]**2
+        np.testing.assert_allclose(a["E"]**2, E2, rtol=1e-10)
+        np.testing.assert_allclose(a["t"]**2 - a["z"]**2, a["tau"]**2,
+                                   rtol=1e-10)
+
+
+def test_cell_chunked_matches_unchunked_statistically(smash_table, df_data):
+    """Chunked sampling is the SAME distribution (Poisson superposition
+    over disjoint cell chunks): per-species yields and mean pT agree with
+    the unchunked path within combined MC error over 400 events."""
+    surf = small_surface(n=24, seed=11)
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 y_cut=4.0, sampler_seed=42)
+    sp = species_with_densities(smash_table, 0.155)
+    nev = 400
+    ev_u = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                            nevents=nev)
+    ev_c = sample_particles(surf, sp, MCIDS, None, df_data,
+                            cfg.replace(sampler_cell_chunk=7), PLASMA,
+                            nevents=nev)
+    mc_u = np.concatenate([e["mcid"] for e in ev_u])
+    mc_c = np.concatenate([e["mcid"] for e in ev_c])
+    pT_u = np.hypot(np.concatenate([e["px"] for e in ev_u]),
+                    np.concatenate([e["py"] for e in ev_u]))
+    pT_c = np.hypot(np.concatenate([e["px"] for e in ev_c]),
+                    np.concatenate([e["py"] for e in ev_c]))
+    for mcid in MCIDS:
+        n_u, n_c = int((mc_u == mcid).sum()), int((mc_c == mcid).sum())
+        sig = np.sqrt(max(n_u, 1)) + np.sqrt(max(n_c, 1))
+        assert abs(n_u - n_c) < 5 * sig + 2, (mcid, n_u, n_c)
+        if min(n_u, n_c) > 100:
+            m_u, m_c = pT_u[mc_u == mcid], pT_c[mc_c == mcid]
+            se = (m_u.std() / np.sqrt(n_u) + m_c.std() / np.sqrt(n_c))
+            assert abs(m_u.mean() - m_c.mean()) < 5 * se, mcid
+
+
+def test_cell_chunked_event_partition_union_byte_identical(smash_table,
+                                                           df_data):
+    """Cell chunking composes with event partitioning: streams key on
+    (chunk, GLOBAL event), so the union of event slices byte-equals the
+    full chunked run -- pod sampling stays exact on chunked surfaces."""
+    surf = small_surface(n=20, seed=12)
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 sampler_seed=42, sampler_cell_chunk=8)
+    sp = species_with_densities(smash_table, 0.155)
+    full = sample_particles(surf, sp, MCIDS, None, df_data, cfg, PLASMA,
+                            nevents=7)
+    union = []
+    for k in range(3):
+        union += sample_particles(surf, sp, MCIDS, None, df_data, cfg,
+                                  PLASMA, nevents=7, event_partition=(k, 3))
+    assert len(full) == len(union) == 7
+    assert sum(len(e["mcid"]) for e in full) > 0
+    for a, b in zip(full, union):
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_cell_chunked_total_yield_and_inert_chunk(smash_table, df_data):
+    """calculate_total_yield through the chunked scalar pre-pass equals
+    the unchunked mean to fp tolerance; a chunk of entirely invalid
+    cells (udsigma <= 0) contributes nothing and is skipped without
+    disturbing the other chunks' events."""
+    surf = small_surface(n=20, seed=8)
+    cfg = Config(operation=2, dimension=2, df_mode=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, regulate_deltaf=1, outflow=1,
+                 sampler_seed=3)
+    sp = species_with_densities(smash_table, 0.155)
+    want = calculate_total_yield(surf, sp, df_data, cfg, PLASMA)
+    got = calculate_total_yield(surf, sp, df_data,
+                                cfg.replace(sampler_cell_chunk=8), PLASMA)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # kill chunk 1 (cells 8..16): dsigma = 0 -> invalid everywhere there
+    import jax.numpy as jnp_
+    mask = np.ones(20)
+    mask[8:16] = 0.0
+    surf2 = surf.replace(
+        dat=surf.dat * jnp_.asarray(mask), dax=surf.dax * jnp_.asarray(mask),
+        day=surf.day * jnp_.asarray(mask), dan=surf.dan * jnp_.asarray(mask))
+    ev = sample_particles(surf2, sp, MCIDS, None, df_data,
+                          cfg.replace(sampler_cell_chunk=8), PLASMA,
+                          nevents=6)
+    assert len(ev) == 6
+    allx = np.concatenate([e["x"] for e in ev])
+    assert allx.size > 0
+    # no hadron originates from the killed cells
+    dead_x = set(np.asarray(surf.x)[8:16].tolist())
+    assert not any(float(x) in dead_x for x in allx)
+
+
 def test_event_partition_validates():
     import pytest as _pytest
     from is3d_tpu.kernels.sample import sample_particles as sp_fn

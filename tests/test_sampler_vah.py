@@ -340,6 +340,33 @@ def test_vah_sampler_df_gate_bit_identical():
             np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_vah_sampler_cell_chunked(smash_table=None):
+    """Cell-chunked VAH sampling (modes 2/3 route through
+    _vah_cell_scalars_jit in the pre-pass): deterministic, nonzero, and
+    statistically consistent with the unchunked run's total yield."""
+    sp = species6()
+    surf = vah_flow_surface(n=20, seed=5)
+    cfg = Config(operation=2, mode=2, dimension=2, df_mode=2,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, y_cut=2.5, sampler_seed=11)
+    nev = 200
+    ev_u = sample_particles(surf, sp, MCIDS, None, None, cfg, PLASMA,
+                            nevents=nev)
+    ev_c = sample_particles(surf, sp, MCIDS, None, None,
+                            cfg.replace(sampler_cell_chunk=8), PLASMA,
+                            nevents=nev)
+    ev_c2 = sample_particles(surf, sp, MCIDS, None, None,
+                             cfg.replace(sampler_cell_chunk=8), PLASMA,
+                             nevents=nev)
+    n_u = sum(len(e["mcid"]) for e in ev_u)
+    n_c = sum(len(e["mcid"]) for e in ev_c)
+    assert n_u > 0 and n_c > 0
+    assert abs(n_u - n_c) < 5 * (np.sqrt(n_u) + np.sqrt(n_c))
+    for a, b in zip(ev_c, ev_c2):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_vah_sampler_unregulated_warns():
     """regulate_deltaf=0 on a VAH sampling run emits the clipped-weight
     RuntimeWarning (docs/PHYSICS.md 'VAH sampling and df regulation');
