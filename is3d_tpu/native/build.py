@@ -94,6 +94,10 @@ def get_fastio():
                 lib.write_oscar_event.argtypes = [
                     ctypes.c_char_p, ctypes.c_int, ctypes.c_longlong,
                     ctypes.POINTER(ctypes.c_longlong)] + [dp] * 8
+                lib.write_sci_table.restype = ctypes.c_longlong
+                lib.write_sci_table.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, dp,
+                    ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong]
                 _lib = lib
     return _lib
 
@@ -115,6 +119,26 @@ def fast_parse_doubles(data: bytes) -> np.ndarray | None:
     if got != n:
         return None
     return out
+
+
+def fast_write_sci_table(path: str, append: bool, header: str | None,
+                         rows: np.ndarray, blank_every: int) -> bool:
+    """Append ``rows`` (2-D float64, C-contiguous) as tab-separated %.8e
+    lines with a blank line after every ``blank_every`` rows; False if the
+    native lib is unavailable or the write failed (caller falls back to
+    the byte-identical Python loop)."""
+    lib = get_fastio()
+    if lib is None:
+        return False
+    rows = np.ascontiguousarray(rows, dtype=np.float64)
+    if rows.ndim != 2:
+        return False
+    got = lib.write_sci_table(
+        path.encode(), 1 if append else 0,
+        header.encode() if header else None,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        rows.shape[0], rows.shape[1], int(blank_every))
+    return got == rows.shape[0]
 
 
 def fast_write_oscar_event(path: str, append: bool, ev: dict) -> bool:

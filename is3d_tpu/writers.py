@@ -19,6 +19,52 @@ def _sci(v: float) -> str:
     return f"{v:.8e}"
 
 
+def _write_sci_table(path: str, header: str | None, rows: np.ndarray,
+                     blank_every: int):
+    """Append ``rows`` (N, ncols) as tab-separated ``%.8e`` lines, one extra
+    blank line after every ``blank_every`` rows (the reference writers'
+    per-pT-block separators).  Values must already be float64 (cast from the
+    source dtype AFTER any arithmetic, so the written decimals match the
+    original per-value formatting loops bit for bit).
+
+    Routes through the native C formatter (native/fastio.cpp
+    write_sci_table) when available -- the pure-Python per-value loop
+    measured ~240 s for a full-SMASH 444-species 3+1D results tree, all of
+    it host-side f-string formatting -- with a byte-identical Python
+    fallback."""
+    from .native.build import fast_write_sci_table
+    _ensure_dir(path)
+    rows = np.ascontiguousarray(rows, dtype=np.float64)
+    size_before = os.path.getsize(path) if os.path.exists(path) else 0
+    if fast_write_sci_table(path, True, header, rows, blank_every):
+        return
+    # a failed native write may have appended partial bytes; rewind so the
+    # fallback produces a clean block
+    if os.path.exists(path) and os.path.getsize(path) != size_before:
+        os.truncate(path, size_before)
+    with open(path, "a") as f:
+        if header:
+            f.write(header)
+        for i in range(rows.shape[0]):
+            f.write("\t".join(_sci(v) for v in rows[i]) + "\n")
+            if blank_every > 0 and (i + 1) % blank_every == 0:
+                f.write("\n")
+
+
+def _block_rows(ys, phis, pTs, vals):
+    """Rows (y, phip, pT, value) in the reference writers' loop order
+    (species-major, then y, phip, pT) from ``vals`` shaped (S, npT, nphi,
+    ny); returns (S, ny*nphi*npT, 4) float64."""
+    S = vals.shape[0]
+    Y, P, T = len(ys), len(phis), len(pTs)
+    out = np.empty((S, Y, P, T, 4), np.float64)
+    out[..., 0] = np.asarray(ys, np.float64)[None, :, None, None]
+    out[..., 1] = np.asarray(phis, np.float64)[None, None, :, None]
+    out[..., 2] = np.asarray(pTs, np.float64)[None, None, None, :]
+    out[..., 3] = vals.transpose(0, 3, 2, 1)     # (S, Y, P, T)
+    return out.reshape(S, -1, 4)
+
+
 def _ensure_dir(path: str):
     d = os.path.dirname(path)
     if d:
@@ -80,27 +126,14 @@ def write_dN_pTdpTdphidy(spectra, grid, mcids, dimension, results_dir="results",
     pTs = np.asarray(grid.pT)
     phis = np.asarray(grid.phi)
 
+    rows = _block_rows(ys, phis, pTs, spectra)
     main_path = f"{results_dir}/dN_pTdpTdphidy{suffix}.dat"
-    _ensure_dir(main_path)
-    with open(main_path, "a") as f:
-        for s in range(spectra.shape[0]):
-            for iy, y in enumerate(ys):
-                for ifp, phip in enumerate(phis):
-                    for ipT, pT in enumerate(pTs):
-                        f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(pT)}\t"
-                                f"{_sci(spectra[s, ipT, ifp, iy])}\n")
-                    f.write("\n")
-
+    _write_sci_table(main_path, None, rows.reshape(-1, 4),
+                     blank_every=len(pTs))
     for s, mcid in enumerate(mcids):
         path = f"{results_dir}/dN_pTdpTdphidy_{int(mcid)}{suffix}.dat"
-        with open(path, "a") as f:
-            f.write("y\tphip\tpT\tdN_pTdpTdphidy\n")
-            for iy, y in enumerate(ys):
-                for ifp, phip in enumerate(phis):
-                    for ipT, pT in enumerate(pTs):
-                        f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(pT)}\t"
-                                f"{_sci(spectra[s, ipT, ifp, iy])}\n")
-                    f.write("\n")
+        _write_sci_table(path, "y\tphip\tpT\tdN_pTdpTdphidy\n", rows[s],
+                         blank_every=len(pTs))
 
 
 def write_dN_dpTdphidy(spectra, grid, mcids, dimension, results_dir="results",
@@ -114,17 +147,14 @@ def write_dN_dpTdphidy(spectra, grid, mcids, dimension, results_dir="results",
     ys = _y_values(grid, dimension)
     pTs = np.asarray(grid.pT)
     phis = np.asarray(grid.phi)
+    # the pT Jacobian product runs under the SOURCE dtypes' promotion (the
+    # per-value loop this replaces multiplied the raw scalars), so the
+    # written decimals are unchanged
+    vals = spectra * pTs[None, :, None, None]
+    rows = _block_rows(ys, phis, pTs, vals)
     path = f"{results_dir}/dN_dpTdphidy{suffix}.dat"
-    _ensure_dir(path)
-    with open(path, "a") as f:
-        f.write("y\tphip\tpT\tdN_dpTdphidy\n")
-        for s in range(spectra.shape[0]):
-            for iy, y in enumerate(ys):
-                for ifp, phip in enumerate(phis):
-                    for ipT, pT in enumerate(pTs):
-                        f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(pT)}\t"
-                                f"{_sci(spectra[s, ipT, ifp, iy] * pT)}\n")
-                    f.write("\n")
+    _write_sci_table(path, "y\tphip\tpT\tdN_dpTdphidy\n",
+                     rows.reshape(-1, 4), blank_every=len(pTs))
 
 
 def write_dN_twopidpTdy(spectra, grid, mcids, dimension, results_dir="results"):
@@ -134,14 +164,15 @@ def write_dN_twopidpTdy(spectra, grid, mcids, dimension, results_dir="results"):
     vals = np.asarray(dN_twopipTdpTdy(spectra, grid))
     ys = _y_values(grid, dimension)
     pTs = np.asarray(grid.pT)
+    prod = vals * pTs[None, :, None]
+    rows = np.empty((len(mcids), len(ys), len(pTs), 3), np.float64)
+    rows[..., 0] = np.asarray(ys, np.float64)[None, :, None]
+    rows[..., 1] = np.asarray(pTs, np.float64)[None, None, :]
+    rows[..., 2] = prod.transpose(0, 2, 1)
     for s, mcid in enumerate(mcids):
         path = f"{results_dir}/dN_twopidpTdy_{int(mcid)}.dat"
-        _ensure_dir(path)
-        with open(path, "a") as f:
-            for iy, y in enumerate(ys):
-                for ipT, pT in enumerate(pTs):
-                    f.write(f"{_sci(y)}\t{_sci(pT)}\t{_sci(vals[s, ipT, iy] * pT)}\n")
-                f.write("\n")
+        _write_sci_table(path, None, rows[s].reshape(-1, 3),
+                         blank_every=len(pTs))
 
 
 def write_sampled_pT_pdf(events, mcids, cfg, results_dir="results"):
@@ -184,14 +215,14 @@ def write_dN_dphidy(spectra, grid, mcids, dimension, results_dir="results"):
     vals = np.asarray(dN_dphidy(spectra, grid))
     ys = _y_values(grid, dimension)
     phis = np.asarray(grid.phi)
+    rows = np.empty((len(mcids), len(ys), len(phis), 3), np.float64)
+    rows[..., 0] = np.asarray(ys, np.float64)[None, :, None]
+    rows[..., 1] = np.asarray(phis, np.float64)[None, None, :]
+    rows[..., 2] = vals.transpose(0, 2, 1)
     for s, mcid in enumerate(mcids):
         path = f"{results_dir}/dN_dphidy_{int(mcid)}.dat"
-        _ensure_dir(path)
-        with open(path, "a") as f:
-            for iy, y in enumerate(ys):
-                for ifp, phip in enumerate(phis):
-                    f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(vals[s, ifp, iy])}\n")
-                f.write("\n")
+        _write_sci_table(path, None, rows[s].reshape(-1, 3),
+                         blank_every=len(phis))
 
 
 def write_dN_twopipTdpTdy(spectra, grid, mcids, dimension, results_dir="results"):
@@ -199,14 +230,14 @@ def write_dN_twopipTdpTdy(spectra, grid, mcids, dimension, results_dir="results"
     vals = np.asarray(dN_twopipTdpTdy(spectra, grid))
     ys = _y_values(grid, dimension)
     pTs = np.asarray(grid.pT)
+    rows = np.empty((len(mcids), len(ys), len(pTs), 3), np.float64)
+    rows[..., 0] = np.asarray(ys, np.float64)[None, :, None]
+    rows[..., 1] = np.asarray(pTs, np.float64)[None, None, :]
+    rows[..., 2] = vals.transpose(0, 2, 1)
     for s, mcid in enumerate(mcids):
         path = f"{results_dir}/dN_twopipTdpTdy_{int(mcid)}.dat"
-        _ensure_dir(path)
-        with open(path, "a") as f:
-            for iy, y in enumerate(ys):
-                for ipT, pT in enumerate(pTs):
-                    f.write(f"{_sci(y)}\t{_sci(pT)}\t{_sci(vals[s, ipT, iy])}\n")
-                f.write("\n")
+        _write_sci_table(path, None, rows[s].reshape(-1, 3),
+                         blank_every=len(pTs))
 
 
 def write_dN_dy(spectra, grid, mcids, dimension, results_dir="results",
@@ -234,15 +265,14 @@ def write_continuous_vn(spectra, grid, mcids, dimension, results_dir="results"):
     vn = np.asarray(vn)
     ys = _y_values(grid, dimension)
     pTs = np.asarray(grid.pT)
+    rows = np.empty((vn.shape[0], len(ys), len(pTs), 2 + K_MAX), np.float64)
+    rows[..., 0] = np.asarray(ys, np.float64)[None, :, None]
+    rows[..., 1] = np.asarray(pTs, np.float64)[None, None, :]
+    rows[..., 2:] = vn.transpose(0, 3, 2, 1)     # (S, Y, T, K)
     for s, mcid in enumerate(mcids):
         path = f"{results_dir}/vn_continuous/vn_{int(mcid)}.dat"
-        _ensure_dir(path)
-        with open(path, "a") as f:
-            for iy, y in enumerate(ys):
-                for ipT, pT in enumerate(pTs):
-                    row = "\t".join(_sci(vn[s, k, ipT, iy]) for k in range(K_MAX))
-                    f.write(f"{_sci(y)}\t{_sci(pT)}\t{row}\n")
-                f.write("\n")
+        _write_sci_table(path, None, rows[s].reshape(-1, 2 + K_MAX),
+                         blank_every=len(pTs))
 
 
 def write_polarization(St, Sx, Sy, Sn, Snorm, grid, dimension,
@@ -260,15 +290,9 @@ def write_polarization(St, Sx, Sy, Sn, Snorm, grid, dimension,
     Snorm = np.where(Snorm == 0.0, 1.0, Snorm)
     for name, arr in comps.items():
         path = f"{results_dir}/{name}.dat"
-        _ensure_dir(path)
-        with open(path, "a") as f:
-            for s in range(arr.shape[0]):
-                for iy, y in enumerate(ys):
-                    for ifp, phip in enumerate(phis):
-                        for ipT, pT in enumerate(pTs):
-                            v = arr[s, ipT, ifp, iy] / Snorm[s, ipT, ifp, iy]
-                            f.write(f"{_sci(y)}\t{_sci(phip)}\t{_sci(pT)}\t{_sci(v)}\n")
-                        f.write("\n")
+        rows = _block_rows(ys, phis, pTs, arr / Snorm)
+        _write_sci_table(path, None, rows.reshape(-1, 4),
+                         blank_every=len(pTs))
 
 
 def write_particle_list_csv(events, results_dir="results"):

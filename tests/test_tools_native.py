@@ -101,6 +101,92 @@ def test_native_parser_in_surface_loader():
     np.testing.assert_array_equal(got, m)
 
 
+def test_native_sci_table_byte_parity(tmp_path):
+    """write_sci_table (C) must byte-equal the Python fallback loop on
+    adversarial values: nan, +-inf, -0.0, denormals, extreme exponents,
+    exact halfway-rounding cases -- glibc printf and CPython formatting
+    must agree on every one, or the native fast path silently changes
+    results files."""
+    from is3d_tpu import writers
+    from is3d_tpu.native import build as nb
+
+    if nb.get_fastio() is None:
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.normal(0, 1, 400),
+        10.0 ** rng.uniform(-300, 300, 400) * rng.choice([-1, 1], 400),
+        [np.nan, np.inf, -np.inf, 0.0, -0.0, 5e-324, 1.7976931348623157e308,
+         1.5e-8, 2.5e-8, 1.00000000499999995e0,
+         # EXACT decimal ties at the 9th significant digit (x.5 doubles):
+         # printf and CPython both round half-to-even; the fast formatter
+         # must detect these and delegate
+         100000000.5, 123456789.5, 123456788.5, -999999999.5,
+         # decade-boundary carries
+         9.999999996e5, 9.999999994e-7, 1e8, 1e-8],
+        rng.normal(0, 1, 190).astype(np.float32).astype(np.float64),
+    ])
+    rows = vals.reshape(-1, 4)
+    header = "a\tb\tc\td\n"
+
+    a = tmp_path / "native.dat"
+    assert nb.fast_write_sci_table(str(a), False, header, rows, 7)
+    b = tmp_path / "python.dat"
+    orig = nb.fast_write_sci_table
+    nb.fast_write_sci_table = lambda *args, **kw: False
+    try:
+        writers._write_sci_table(str(b), header, rows, 7)
+    finally:
+        nb.fast_write_sci_table = orig
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_vectorized_writers_match_per_value_loops(tmp_path):
+    """The vectorized row builders must reproduce the original per-value
+    formatting loops byte for byte -- including the dN_dpTdphidy pT
+    Jacobian, which the old loop multiplied under f32 scalar promotion."""
+    import jax.numpy as jnp
+    from is3d_tpu import writers
+    from is3d_tpu.io.tables import native_momentum_grid
+
+    grid = native_momentum_grid(dimension=3, n_pT=5, n_phi=4, n_y=3,
+                                dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    spectra = rng.gamma(0.3, 2.0, (3, 5, 4, 3)).astype(np.float32)
+    mcids = [211, -321, 2212]
+    ys = writers._y_values(grid, 3)
+    pTs, phis = np.asarray(grid.pT), np.asarray(grid.phi)
+
+    d = str(tmp_path / "new")
+    writers.write_dN_pTdpTdphidy(spectra, grid, mcids, 3, d)
+    writers.write_dN_dpTdphidy(spectra, grid, mcids, 3, d)
+
+    old = tmp_path / "old_main.dat"
+    with open(old, "w") as f:
+        for s in range(spectra.shape[0]):
+            for iy, y in enumerate(ys):
+                for ifp, phip in enumerate(phis):
+                    for ipT, pT in enumerate(pTs):
+                        f.write(f"{y:.8e}\t{phip:.8e}\t{pT:.8e}\t"
+                                f"{spectra[s, ipT, ifp, iy]:.8e}\n")
+                    f.write("\n")
+    assert (open(f"{d}/dN_pTdpTdphidy.dat").read()
+            == old.read_text())
+
+    old_j = tmp_path / "old_jac.dat"
+    with open(old_j, "w") as f:
+        f.write("y\tphip\tpT\tdN_dpTdphidy\n")
+        for s in range(spectra.shape[0]):
+            for iy, y in enumerate(ys):
+                for ifp, phip in enumerate(phis):
+                    for ipT, pT in enumerate(pTs):
+                        f.write(f"{y:.8e}\t{phip:.8e}\t{pT:.8e}\t"
+                                f"{spectra[s, ipT, ifp, iy] * pT:.8e}\n")
+                    f.write("\n")
+    assert (open(f"{d}/dN_dpTdphidy.dat").read() == old_j.read_text())
+
+
 def test_native_oscar_writer_byte_parity(tmp_path):
     """The native OSCAR writer must produce byte-identical files to the
     Python fallback (including empty-event skipping and multi-event
