@@ -738,8 +738,63 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         return _do_resonance_decays_impl(spectra, table, mcids, grid, cfg,
                                          dtype)
-    return _do_resonance_decays_impl(spectra, table, mcids, grid, cfg,
-                                     jnp.float32)
+    # Accelerator: run the ONE-program traced cascade instead of the
+    # per-wave host loop.  The host loop reads the (S, P, F, Y) wave
+    # feed-down back after every bucket dispatch to update parents on the
+    # host -- ~80 x 28 MB transfers at production scale, which on a
+    # serialized host<->device link dominated the composite north-star run
+    # (224 s warm vs ~5 s for the traced program + ONE readback).  The
+    # traced twin keeps the inter-wave accumulation on device; its one
+    # deliberate difference (all-zero parents evaluated at the -745
+    # log-floor instead of skipped) is exp(-745) ~ 0, and agreement with
+    # the host loop is tested channel-exactly
+    # (test_grad.test_traced_feed_down_matches_production).
+    fn = _forward_traced_jit(table, mcids, grid, cfg, spectra.shape)
+    decayed = np.asarray(fn(jnp.asarray(spectra, jnp.float32)),
+                         dtype=np.float64)
+    print(f"Resonance decays: {fn.n_channels} channel-contributions added"
+          f" in {fn.n_waves} waves")
+    return decayed
+
+
+class _TracedForward:
+    """Jitted full-cascade forward, memoized per (table, chosen list, grid,
+    cfg) so repeat calls skip schedule construction and retracing; holds a
+    strong reference to `table` so a cache key can never alias a collected
+    table object's reused id()."""
+
+    def __init__(self, table, mcids, grid, cfg):
+        self.table = table
+        schedule = _decay_schedule(table, np.asarray(mcids),
+                                   np.asarray(grid.pT, dtype=np.float64),
+                                   cfg.lightest_particle)
+        parent_rows, tasks2, tasks3, level = schedule
+        self.n_waves = int(level.max()) + 1 if len(parent_rows) else 0
+        self.n_channels = sum(len(t) for t in tasks2) + \
+            sum(len(t) for t in tasks3)
+        self._jit = jax.jit(lambda sp: resonance_feed_down_traced(
+            sp, table, mcids, grid, cfg, schedule=schedule))
+
+    def __call__(self, spectra):
+        return self._jit(spectra)
+
+
+_FORWARD_TRACED_CACHE: dict = {}
+
+
+def _forward_traced_jit(table, mcids, grid, cfg, shape):
+    import hashlib
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(np.asarray(mcids, np.int64)).tobytes())
+    for a in (grid.pT, grid.phi, grid.y):
+        h.update(np.asarray(a, np.float64).tobytes())
+    key = (h.hexdigest(), tuple(shape), id(table), int(cfg.dimension),
+           int(cfg.lightest_particle))
+    fn = _FORWARD_TRACED_CACHE.get(key)
+    if fn is None:
+        fn = _TracedForward(table, mcids, grid, cfg)
+        _FORWARD_TRACED_CACHE[key] = fn
+    return fn
 
 
 def _do_resonance_decays_impl(spectra, table, mcids, grid, cfg, dtype,
@@ -1031,7 +1086,8 @@ def _run_wave_traced(tasks2, tasks3, parents, pT, phi, y_grid, dimension,
 
 def resonance_feed_down_traced(spectra, table, mcids, grid, cfg,
                                use_hat=None, remat: bool = True,
-                               bucket: int | None = None):
+                               bucket: int | None = None,
+                               schedule=None):
     """Differentiable resonance-decay feed-down: spectra -> decayed
     spectra as ONE traced jnp computation, so reverse-mode AD flows from
     post-feed-down observables back to the Cooper-Frye inputs (compose
@@ -1057,8 +1113,11 @@ def resonance_feed_down_traced(spectra, table, mcids, grid, cfg,
         use_hat = jax.default_backend() != "cpu"
     dtype = spectra.dtype
     pT_np = np.asarray(grid.pT, dtype=np.float64)
-    parent_rows, parent_tasks2, parent_tasks3, level = _decay_schedule(
-        table, mcids, pT_np, cfg.lightest_particle)
+    # `schedule` lets a caller that already built the (static) decay
+    # schedule reuse it across traces (the memoized production forward)
+    parent_rows, parent_tasks2, parent_tasks3, level = (
+        schedule if schedule is not None
+        else _decay_schedule(table, mcids, pT_np, cfg.lightest_particle))
     plan = _wave_shape_plan(parent_rows, parent_tasks2, parent_tasks3,
                             level, int(cfg.dimension), bucket=bucket)
 

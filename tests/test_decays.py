@@ -199,6 +199,38 @@ def test_driver_rho_feeds_pions(reference_dir):
     np.testing.assert_allclose(out[2], spectra[2])
 
 
+def test_traced_forward_route_matches_host_loop(reference_dir):
+    """The accelerator production path (_forward_traced_jit: ONE jitted
+    cascade, memoized per (table, chosen, grid, cfg)) must agree with the
+    CPU host-loop driver and must reuse the cached program on a second
+    call (repeat invocations skip schedule construction + retracing)."""
+    from is3d_tpu.io import pdg
+    table = pdg.read_resonances(f"{reference_dir}/PDG", 1)
+    grid = native_momentum_grid(dimension=2, n_pT=24, pT_max=3.0, n_phi=12,
+                                n_eta=8)
+    mcids = np.asarray([211, -211, 321, 113, 223, 313])
+    rng = np.random.default_rng(3)
+    spectra = rng.gamma(0.4, 1.0, (len(mcids), grid.n_pT, grid.n_phi, 1))
+    cfg = Config(dimension=2, do_resonance_decays=1, lightest_particle=111)
+
+    host = dk._do_resonance_decays_impl(spectra, table, mcids, grid, cfg,
+                                        jnp.float64)
+    fn = dk._forward_traced_jit(table, mcids, grid, cfg, spectra.shape)
+    assert fn.n_waves >= 1 and fn.n_channels >= 4
+    traced = np.asarray(fn(jnp.asarray(spectra, jnp.float64)))
+    # random (unphysically non-falling) spectra drive the MT tail
+    # extrapolation to ~1e113, where the two paths' summation orders
+    # differ at ~1e-10 relative; 1e-8 is the op-order tolerance
+    np.testing.assert_allclose(traced, host, rtol=1e-8, atol=1e-300)
+
+    fn2 = dk._forward_traced_jit(table, mcids, grid, cfg, spectra.shape)
+    assert fn2 is fn          # memoized: same schedule + jitted program
+    # a different chosen list must NOT hit the same cache entry
+    fn3 = dk._forward_traced_jit(table, mcids[:3], grid, cfg,
+                                 (3,) + spectra.shape[1:])
+    assert fn3 is not fn
+
+
 def test_three_body_shape_vs_monte_carlo():
     """omega -> pi+ pi- pi0: integral feed-down pT shape vs a phase-space
     Monte-Carlo decay simulation (flat matrix element, like the kernel)."""
