@@ -40,10 +40,15 @@ def peak_hbm_gb():
 
 
 def pipeline(surface, species, mcids, grid, df_data, cfg, table, out_dir):
-    """surface -> spectra -> feed-down -> writers, one call."""
+    """surface -> spectra -> feed-down -> writers, one call.
+
+    Overlapped like api operation=1: the decay cascade is dispatched
+    (async, device-resident) BEFORE the CPU-bound smooth writers run, so
+    `wr_smooth` and the device feed-down proceed concurrently and
+    `dec_wait` is only the residual wait after those writers finish."""
     from is3d_tpu.kernels.smooth import smooth_spectra
     from is3d_tpu.kernels.feqmod import smooth_spectra_feqmod
-    from is3d_tpu.kernels.decays import do_resonance_decays
+    from is3d_tpu.kernels.decays import do_resonance_decays_async
     from is3d_tpu import writers
     kernel = smooth_spectra if cfg.df_mode in (1, 2) else smooth_spectra_feqmod
     t = {}
@@ -51,29 +56,30 @@ def pipeline(surface, species, mcids, grid, df_data, cfg, table, out_dir):
     spectra = np.asarray(kernel(surface, species, grid, df_data, cfg))
     t["spectra"] = time.perf_counter() - t0
     t1 = time.perf_counter()
-    decayed = do_resonance_decays(spectra, table, np.asarray(mcids), grid,
-                                  cfg)
-    t["decays"] = time.perf_counter() - t1
+    dec_future = do_resonance_decays_async(spectra, table,
+                                           np.asarray(mcids), grid, cfg)
+    t["dec_dispatch"] = time.perf_counter() - t1
     t2 = time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
     writers.clean_results_dir(out_dir)
-    writers.write_dN_pTdpTdphidy(jnp.asarray(spectra), grid, mcids,
-                                 cfg.dimension, out_dir)
-    writers.write_continuous_vn(jnp.asarray(spectra), grid, mcids,
-                                cfg.dimension, out_dir)
-    writers.write_dN_dy(jnp.asarray(spectra), grid, mcids, cfg.dimension,
-                        out_dir)
-    writers.write_dN_dphidy(jnp.asarray(spectra), grid, mcids,
-                            cfg.dimension, out_dir)
-    writers.write_dN_twopipTdpTdy(jnp.asarray(spectra), grid, mcids,
-                                  cfg.dimension, out_dir)
-    writers.write_dN_pTdpTdphidy(jnp.asarray(decayed), grid, mcids,
-                                 cfg.dimension, out_dir,
-                                 suffix="_resonance_decays")
-    writers.write_dN_dpTdphidy(jnp.asarray(decayed), grid, mcids,
-                               cfg.dimension, out_dir,
-                               suffix="_resonance_decays")
-    t["writers"] = time.perf_counter() - t2
+    writers.write_dN_pTdpTdphidy(spectra, grid, mcids, cfg.dimension,
+                                 out_dir)
+    writers.write_continuous_vn(spectra, grid, mcids, cfg.dimension,
+                                out_dir)
+    writers.write_dN_dy(spectra, grid, mcids, cfg.dimension, out_dir)
+    writers.write_dN_dphidy(spectra, grid, mcids, cfg.dimension, out_dir)
+    writers.write_dN_twopipTdpTdy(spectra, grid, mcids, cfg.dimension,
+                                  out_dir)
+    t["wr_smooth"] = time.perf_counter() - t2
+    t3 = time.perf_counter()
+    decayed = np.asarray(dec_future, dtype=np.float64)
+    t["dec_wait"] = time.perf_counter() - t3
+    t4 = time.perf_counter()
+    writers.write_dN_pTdpTdphidy(decayed, grid, mcids, cfg.dimension,
+                                 out_dir, suffix="_resonance_decays")
+    writers.write_dN_dpTdphidy(decayed, grid, mcids, cfg.dimension,
+                               out_dir, suffix="_resonance_decays")
+    t["wr_decay"] = time.perf_counter() - t4
     t["total"] = time.perf_counter() - t0
     return spectra, decayed, t
 
@@ -128,8 +134,8 @@ def main():
     print(f"  spectra rate {ev / t['spectra'] / 1e9:.1f} Geval/s; "
           f"{n_files} result files; peak HBM {peak_hbm_gb():.2f} GB; "
           f"checksums {np.sum(spectra):.4e} / {np.sum(decayed):.4e}")
-    v5e8 = t["spectra"] / 8.0 + t["decays"] + t["writers"]
-    print(f"  v5e-8 projection (spectra/8 + decays + writers): "
+    v5e8 = t["spectra"] / 8.0 + (t["total"] - t["spectra"])
+    print(f"  v5e-8 projection (spectra/8 + overlapped decays+writers): "
           f"{v5e8:.1f} s  (north star: < 30 s)")
 
 

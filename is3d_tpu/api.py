@@ -287,14 +287,23 @@ class IS3D:
             with timer.phase("smooth spectra"):
                 spectra = self._smooth_spectra(species, grid, df_data)
                 result.spectra = np.asarray(spectra)
-            if write_files:
-                self._write_smooth_files(spectra, grid, mcids, self.results_dir)
+            # pipeline overlap: dispatch the (device-resident) decay
+            # cascade BEFORE the CPU-bound smooth writers run, so the
+            # device computes feed-down while the host formats files;
+            # the later np.asarray blocks (kernels/decays
+            # .do_resonance_decays_async)
+            dec_future = None
             if cfg.do_resonance_decays:
-                from .kernels.decays import do_resonance_decays
-                with timer.phase("resonance decays"):
-                    decayed = do_resonance_decays(
+                from .kernels.decays import do_resonance_decays_async
+                with timer.phase("resonance decays dispatch"):
+                    dec_future = do_resonance_decays_async(
                         np.asarray(result.spectra), particle_table,
                         np.asarray(mcids), grid, cfg)
+            if write_files:
+                self._write_smooth_files(spectra, grid, mcids, self.results_dir)
+            if dec_future is not None:
+                with timer.phase("resonance decays"):
+                    decayed = np.asarray(dec_future, dtype=np.float64)
                 result.spectra = decayed
                 if write_files:
                     self._write_decay_files(decayed, grid, mcids,

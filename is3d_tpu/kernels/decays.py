@@ -749,12 +749,31 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
     # log-floor instead of skipped) is exp(-745) ~ 0, and agreement with
     # the host loop is tested channel-exactly
     # (test_grad.test_traced_feed_down_matches_production).
+    return np.asarray(do_resonance_decays_async(spectra, table, mcids,
+                                                grid, cfg),
+                      dtype=np.float64)
+
+
+def do_resonance_decays_async(spectra, table, mcids, grid, cfg):
+    """Non-blocking variant of do_resonance_decays for pipeline overlap.
+
+    On accelerator backends this dispatches the one-program traced
+    cascade and returns the device array WITHOUT waiting (jax dispatch is
+    asynchronous), so the host can run the CPU-bound smooth-spectra
+    writers while the device computes the feed-down (api operation=1 does
+    exactly this); ``np.asarray`` on the result blocks.  On CPU the f64
+    host loop runs synchronously and the finished array is returned."""
+    from ..utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+    if jax.default_backend() == "cpu":
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return _do_resonance_decays_impl(spectra, table, mcids, grid, cfg,
+                                         dtype)
     fn = _forward_traced_jit(table, mcids, grid, cfg, spectra.shape)
-    decayed = np.asarray(fn(jnp.asarray(spectra, jnp.float32)),
-                         dtype=np.float64)
+    out = fn(jnp.asarray(spectra, jnp.float32))
     print(f"Resonance decays: {fn.n_channels} channel-contributions added"
           f" in {fn.n_waves} waves")
-    return decayed
+    return out
 
 
 class _TracedForward:

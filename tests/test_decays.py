@@ -231,6 +231,60 @@ def test_traced_forward_route_matches_host_loop(reference_dir):
     assert fn3 is not fn
 
 
+def test_api_operation1_decay_overlap(tmp_path, reference_dir):
+    """api operation=1 with do_resonance_decays=1: the async decay
+    dispatch overlapped with the smooth writers must produce the same
+    RunResult.spectra as a direct (blocking) do_resonance_decays on the
+    smooth spectra, and both smooth and _resonance_decays writer files
+    must land."""
+    import os
+    from is3d_tpu.api import IS3D
+    from is3d_tpu.io import pdg
+
+    chosen = tmp_path / "chosen.dat"
+    chosen.write_text("211\n-211\n113\n223\n")
+    rng = np.random.default_rng(7)
+    n = 10
+    cols = dict(
+        tau=rng.uniform(1, 4, n), x=rng.uniform(-2, 2, n),
+        y=rng.uniform(-2, 2, n), eta=np.zeros(n),
+        dat=rng.uniform(0.2, 1.0, n), dax=rng.uniform(-0.2, 0.2, n),
+        day=rng.uniform(-0.2, 0.2, n), dan=np.zeros(n),
+        ux=rng.uniform(-0.3, 0.3, n), uy=rng.uniform(-0.3, 0.3, n),
+        un=np.zeros(n),
+        E=rng.uniform(0.25, 0.4, n), T=rng.uniform(0.15, 0.16, n),
+        P=rng.uniform(0.04, 0.08, n),
+        pixx=np.zeros(n), pixy=np.zeros(n), pixn=np.zeros(n),
+        piyy=np.zeros(n), piyn=np.zeros(n), bulkPi=np.zeros(n))
+
+    def run(decays):
+        cfg = Config(operation=1, mode=1, dimension=2, df_mode=1, hrg_eos=1,
+                     do_resonance_decays=decays)
+        r = IS3D(cfg, data_dir=reference_dir,
+                 results_dir=str(tmp_path / f"res{decays}"),
+                 chosen_file=str(chosen))
+        r.read_fo_surf_from_memory(**cols)
+        return r.run_particlization(write_files=True)
+
+    smooth = run(0)
+    decayed = run(1)
+    d = str(tmp_path / "res1")
+    assert os.path.exists(f"{d}/dN_pTdpTdphidy.dat")
+    assert os.path.exists(f"{d}/dN_pTdpTdphidy_resonance_decays.dat")
+    assert os.path.exists(f"{d}/dN_dpTdphidy_resonance_decays.dat")
+
+    table = pdg.read_resonances(f"{reference_dir}/PDG", 1)
+    grid_mcids = np.asarray([211, -211, 113, 223])
+    from is3d_tpu.io.tables import load_momentum_grid
+    grid = load_momentum_grid(f"{reference_dir}/tables", 2, 1)
+    cfg = Config(operation=1, mode=1, dimension=2, df_mode=1, hrg_eos=1,
+                 do_resonance_decays=1)
+    direct = dk.do_resonance_decays(np.asarray(smooth.spectra), table,
+                                    grid_mcids, grid, cfg)
+    np.testing.assert_allclose(np.asarray(decayed.spectra), direct,
+                               rtol=1e-12, atol=0)
+
+
 def test_three_body_shape_vs_monte_carlo():
     """omega -> pi+ pi- pi0: integral feed-down pT shape vs a phase-space
     Monte-Carlo decay simulation (flat matrix element, like the kernel)."""
