@@ -300,7 +300,13 @@ class IS3D:
                         np.asarray(result.spectra), particle_table,
                         np.asarray(mcids), grid, cfg)
             if write_files:
-                self._write_smooth_files(spectra, grid, mcids, self.results_dir)
+                # pass the MATERIALIZED numpy spectra, not the device
+                # array: jnp ops inside the writers (transposes,
+                # observables) would queue on the accelerator stream
+                # BEHIND the just-dispatched cascade and re-serialize the
+                # overlap this branch exists to create
+                self._write_smooth_files(result.spectra, grid, mcids,
+                                         self.results_dir)
             if dec_future is not None:
                 with timer.phase("resonance decays"):
                     decayed = np.asarray(dec_future, dtype=np.float64)

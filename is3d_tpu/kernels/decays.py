@@ -57,6 +57,7 @@ Deliberate fixes of reference defects (beyond the disabling bug):
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import numpy as np
@@ -725,9 +726,15 @@ def do_resonance_decays(spectra, table, mcids, grid, cfg) -> np.ndarray:
     waves such that a parent's own decay runs only after every *heavier*
     parent feeding it has run, and each wave is one batched dispatch.
 
-    On an accelerator backend the wave quadrature runs in float32 (each
-    channel is a smooth 12-pt Gauss-Legendre sum; validated at ~1e-5
-    relative against the float64 path); on CPU it keeps float64.
+    On an accelerator backend the wave quadrature AND the inter-wave
+    accumulation run in float32 (round 5: the traced one-program cascade
+    — the earlier host loop accumulated waves in f64 on the host, but
+    its wave kernels and the production spectra feeding them are f32, so
+    the e2e output was already f32-limited; measured agreement between
+    the two routes is ~1e-5 relative, and x64 is disabled on the TPU
+    path by policy).  On CPU the f64 host loop runs (oracle-parity
+    route; channel-exact vs the traced twin under x64,
+    test_grad.test_traced_feed_down_matches_production).
     Returns the updated spectra array.
     """
     from ..utils import enable_persistent_compilation_cache
@@ -762,15 +769,23 @@ def do_resonance_decays_async(spectra, table, mcids, grid, cfg):
     asynchronous), so the host can run the CPU-bound smooth-spectra
     writers while the device computes the feed-down (api operation=1 does
     exactly this); ``np.asarray`` on the result blocks.  On CPU the f64
-    host loop runs synchronously and the finished array is returned."""
+    host loop runs synchronously and the finished array is returned.
+
+    IS3D_DECAYS_TRACED=1 forces the traced route on any backend (CPU jax
+    dispatch is async too, so the overlap path is testable without a
+    TPU); =0 forces the host loop."""
     from ..utils import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
-    if jax.default_backend() == "cpu":
+    force = os.environ.get("IS3D_DECAYS_TRACED")
+    host_loop = (jax.default_backend() == "cpu" if force is None
+                 else force != "1")
+    if host_loop:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         return _do_resonance_decays_impl(spectra, table, mcids, grid, cfg,
                                          dtype)
     fn = _forward_traced_jit(table, mcids, grid, cfg, spectra.shape)
-    out = fn(jnp.asarray(spectra, jnp.float32))
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    out = fn(jnp.asarray(spectra, dtype))
     print(f"Resonance decays: {fn.n_channels} channel-contributions added"
           f" in {fn.n_waves} waves")
     return out
@@ -798,7 +813,8 @@ class _TracedForward:
         return self._jit(spectra)
 
 
-_FORWARD_TRACED_CACHE: dict = {}
+_FORWARD_TRACED_CACHE: "dict" = {}   # insertion-ordered; LRU-bounded
+_FORWARD_TRACED_CACHE_MAX = 4
 
 
 def _forward_traced_jit(table, mcids, grid, cfg, shape):
@@ -809,10 +825,15 @@ def _forward_traced_jit(table, mcids, grid, cfg, shape):
         h.update(np.asarray(a, np.float64).tobytes())
     key = (h.hexdigest(), tuple(shape), id(table), int(cfg.dimension),
            int(cfg.lightest_particle))
-    fn = _FORWARD_TRACED_CACHE.get(key)
+    fn = _FORWARD_TRACED_CACHE.pop(key, None)
     if fn is None:
         fn = _TracedForward(table, mcids, grid, cfg)
-        _FORWARD_TRACED_CACHE[key] = fn
+    _FORWARD_TRACED_CACHE[key] = fn          # re-insert = most recent
+    # bound the cache: each entry pins a particle table, a decay
+    # schedule, and a compiled XLA executable (HBM) — a long-lived
+    # server loading fresh tables per run would otherwise leak them
+    while len(_FORWARD_TRACED_CACHE) > _FORWARD_TRACED_CACHE_MAX:
+        _FORWARD_TRACED_CACHE.pop(next(iter(_FORWARD_TRACED_CACHE)))
     return fn
 
 

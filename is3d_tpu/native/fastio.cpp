@@ -119,23 +119,29 @@ static const int P10_LO = -350, P10_HI = 350;
 // effectively ~85-bit product below via a two-term expansion -- SSE double
 // arithmetic throughout (the pure x87 long-double pipeline measured ~2x
 // slower per value on this host).
-static struct P10Split {
+struct P10Split {
     double hi[P10_HI - P10_LO + 1];
     double lo[P10_HI - P10_LO + 1];
-} p10s;
+};
+
+static P10Split p10_build()
+{
+    P10Split t;
+    for (int k = P10_LO; k <= P10_HI; ++k) {
+        long double v = powl(10.0L, (long double)k);
+        t.hi[k - P10_LO] = (double)v;
+        t.lo[k - P10_LO] = (double)(v - (long double)(double)v);
+    }
+    return t;
+}
 
 static const P10Split* p10_table()
 {
-    static bool init = false;
-    if (!init) {
-        for (int k = P10_LO; k <= P10_HI; ++k) {
-            long double v = powl(10.0L, (long double)k);
-            p10s.hi[k - P10_LO] = (double)v;
-            p10s.lo[k - P10_LO] = (double)(v - (long double)(double)v);
-        }
-        init = true;
-    }
-    return &p10s;
+    // C++11 magic static: thread-safe one-time init (ctypes drops the
+    // GIL, so concurrent writer threads DO reach this together; a
+    // hand-rolled bool guard would race on a half-filled table)
+    static const P10Split tab = p10_build();
+    return &tab;
 }
 
 static const char DIG2[201] =

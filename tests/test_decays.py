@@ -257,17 +257,31 @@ def test_api_operation1_decay_overlap(tmp_path, reference_dir):
         pixx=np.zeros(n), pixy=np.zeros(n), pixn=np.zeros(n),
         piyy=np.zeros(n), piyn=np.zeros(n), bulkPi=np.zeros(n))
 
-    def run(decays):
-        cfg = Config(operation=1, mode=1, dimension=2, df_mode=1, hrg_eos=1,
-                     do_resonance_decays=decays)
-        r = IS3D(cfg, data_dir=reference_dir,
-                 results_dir=str(tmp_path / f"res{decays}"),
-                 chosen_file=str(chosen))
-        r.read_fo_surf_from_memory(**cols)
-        return r.run_particlization(write_files=True)
+    def run(decays, tag=None, traced=None):
+        import os as _os
+        if traced is not None:
+            _os.environ["IS3D_DECAYS_TRACED"] = traced
+        try:
+            cfg = Config(operation=1, mode=1, dimension=2, df_mode=1,
+                         hrg_eos=1, do_resonance_decays=decays)
+            r = IS3D(cfg, data_dir=reference_dir,
+                     results_dir=str(tmp_path / f"res{tag or decays}"),
+                     chosen_file=str(chosen))
+            r.read_fo_surf_from_memory(**cols)
+            return r.run_particlization(write_files=True)
+        finally:
+            _os.environ.pop("IS3D_DECAYS_TRACED", None)
 
     smooth = run(0)
     decayed = run(1)
+    # force the TRACED route (IS3D_DECAYS_TRACED=1): dec_future is then a
+    # genuine in-flight jax array on CPU too, so the api's
+    # dispatch-before-writers ordering and the blocking np.asarray are
+    # exercised, not just the synchronous host-loop collapse
+    decayed_async = run(1, tag="1t", traced="1")
+    np.testing.assert_allclose(np.asarray(decayed_async.spectra),
+                               np.asarray(decayed.spectra),
+                               rtol=1e-8, atol=1e-300)
     d = str(tmp_path / "res1")
     assert os.path.exists(f"{d}/dN_pTdpTdphidy.dat")
     assert os.path.exists(f"{d}/dN_pTdpTdphidy_resonance_decays.dat")
